@@ -1,0 +1,73 @@
+"""Vector distance / similarity expressions over ``array<double>`` columns.
+
+All functions build pure Catalyst expressions (higher-order functions
+``zip_with`` / ``aggregate``) — they run JVM-side inside whole-stage
+codegen, never in Python. The reference computes squared Euclidean
+distance row-at-a-time in Java (``Hadoop.java:155-165``: sum of
+``(a_i-b_i)^2`` over feature positions, label excluded, no sqrt); here
+the same arithmetic is a single vectorizable expression.
+
+Determinism note: ``aggregate`` folds left-to-right, so the floating
+addition order is fixed — the same sequence DuckDB evaluates for the
+equivalent explicit ``(a1-b1)*(a1-b1) + ...`` expression, which keeps
+the oracle comparison bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def sq_euclidean(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance: sum_i (a_i - b_i)^2.
+
+    No sqrt — rank-preserving strength reduction, same semantic choice
+    as the reference (``Hadoop.java:155-165``).
+    """
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def manhattan_distance(a: Column | str, b: Column | str) -> Column:
+    """L1 distance: sum_i |a_i - b_i|."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product: sum_i a_i * b_i (left-to-right fold)."""
+    a, b = _as_col(a), _as_col(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm: sqrt(sum_i a_i^2)."""
+    a = _as_col(a)
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity: dot(a,b) / (||a|| * ||b||)."""
+    a, b = _as_col(a), _as_col(b)
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,45 @@
+"""Parquet table catalog over the driver's TPC-H-ish testdata.
+
+Plain ``spark.read.parquet`` — columnar scan with predicate pushdown
+and column pruning for free. At 100 TB these would be partitioned
+datasets (e.g. orders by o_orderdate) and the same loaders apply; the
+engine never assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+
+
+def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    base = base_dir or sf_dir()
+    return spark.read.parquet(f"{base}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, base_dir: str | None = None) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in TABLES:
+        load_table(spark, name, base_dir).createOrReplaceTempView(name)
