@@ -1,0 +1,95 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline metric is total wall-clock over the query set — the
+engine twin of the reference's job wall-clock printout
+(``Hadoop.java:310-316``). KNN runs with a test fraction scaled so the
+distance-eval count at sf0.1 (~360M pairs) comfortably exceeds the
+reference's largest committed workload (~53M pairs, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from knn_using_hadoop_spark import contract  # noqa: E402
+from knn_using_hadoop_spark.operators.knn import knn_predict  # noqa: E402
+from knn_using_hadoop_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Queries timed from the contract registry (full materialization via
+# a count over the result — no driver-side collect of payloads).
+# NOTE: the contract's knn_* queries use a 1% test fraction sized for
+# the sf0.01 correctness gate; at sf0.1 that would be ~3.5B distance
+# evals. Bench times the flagship KNN separately at mod=1000 (~360M
+# evals — still ~7x the reference's largest committed workload).
+BENCH_QUERIES = [
+    "groupby_agg",
+    "topk_per_group",
+    "join_agg",
+    "window_analytics",
+    "events_windowed_agg",
+    "scan_filter_project",
+]
+
+
+def _sf_from_dir(d: str) -> float:
+    tag = os.path.basename(d.rstrip("/"))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    qs = contract.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # flagship KNN (mod=1000 at sf0.1 -> ~600 queries x ~600k train =
+    # ~360M distance evals)
+    t0 = time.perf_counter()
+    train, test = contract.knn_tables(spark, SF_DIR, mod=1000)
+    n = knn_predict(
+        train, test, contract.KNN_K, dim=len(contract.KNN_FEATURES)
+    ).count()
+    timings["knn_predict_large"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# knn_predict_large: {n} rows in {timings['knn_predict_large']}s",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_clock_headline_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

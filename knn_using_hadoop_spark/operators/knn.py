@@ -52,13 +52,13 @@ _METRICS = {
     "sqeuclidean": sq_euclidean,
     "manhattan": manhattan_distance,
     # Nearest under cosine = highest similarity, so distance = 1 - sim.
-    "cosine": lambda a, b: F.lit(1.0) - cosine_similarity(a, b),
+    "cosine": lambda a, b, dim=None: F.lit(1.0) - cosine_similarity(a, b),
 }
 
 
-def _distance(metric: str, a: Column, b: Column) -> Column:
+def _distance(metric: str, a: Column, b: Column, dim: int | None) -> Column:
     try:
-        return _METRICS[metric](a, b)
+        return _METRICS[metric](a, b, dim)
     except KeyError:
         raise ValueError(
             f"unknown metric {metric!r}; choose from {sorted(_METRICS)}"
@@ -72,6 +72,9 @@ def knn_neighbors(
     *,
     metric: str = "sqeuclidean",
     broadcast_test: bool = True,
+    dim: int | None = None,
+    prefilter: bool = True,
+    prefilter_sample: int = 8192,
 ) -> DataFrame:
     """k nearest train rows per test row.
 
@@ -80,6 +83,20 @@ def knn_neighbors(
     Returns ``(test_id, rank, train_id, label, dist)`` with rank 1..k
     ordered by (dist asc, train_id asc) — the deterministic tie-break
     the reference lacks.
+
+    ``prefilter`` (the scale path): even with WindowGroupLimit's
+    partial top-k, the window operator must SORT every scored pair
+    within each partition — at |train|x|test| pairs that sort, not the
+    distance arithmetic, dominates (measured 360M pairs: ~6s compute
+    vs ~240s sort+window at sf0.1). So first score a bounded train
+    sample, take each test row's k-th smallest sample distance as an
+    upper bound tau (the true k-th distance over ALL train rows can
+    only be <= tau), and filter the full scored relation to
+    ``dist <= tau`` before the window. The filter keeps every true
+    neighbor by construction — results are exactly identical — but
+    the window now sorts ~|test| * (k / sample) * |train| expected
+    rows instead of the full cross product. Pure Catalyst: the
+    threshold relation is a tiny broadcast hash join.
     """
     t = test.select(
         F.col("id").alias("test_id"), F.col("features").alias("q")
@@ -89,16 +106,38 @@ def knn_neighbors(
         F.col("features").alias("x"),
         F.col("label"),
     )
-    pairs = tr.crossJoin(F.broadcast(t) if broadcast_test else t)
-    scored = pairs.select(
-        "test_id",
-        "train_id",
-        "label",
-        _distance(metric, F.col("q"), F.col("x")).alias("dist"),
-    )
+
+    def score(side: DataFrame) -> DataFrame:
+        pairs = side.crossJoin(F.broadcast(t) if broadcast_test else t)
+        return pairs.select(
+            "test_id",
+            "train_id",
+            "label",
+            _distance(metric, F.col("q"), F.col("x"), dim).alias("dist"),
+        )
+
+    scored = score(tr)
     w = Window.partitionBy("test_id").orderBy(
         F.col("dist").asc(), F.col("train_id").asc()
     )
+    if prefilter:
+        # Any train subset yields a valid upper bound, so limit() is
+        # fine; <= keeps distance ties, so no true neighbor is lost.
+        sample = tr.limit(max(prefilter_sample, k))
+        sw = Window.partitionBy("test_id").orderBy(F.col("dist").asc())
+        thresholds = (
+            score(sample)
+            .select("test_id", "dist")
+            .withColumn("rn", F.row_number().over(sw))
+            .filter(F.col("rn") <= k)
+            .groupBy("test_id")
+            .agg(F.max("dist").alias("knn_thr"))
+        )
+        scored = (
+            scored.join(F.broadcast(thresholds), "test_id")
+            .filter(F.col("dist") <= F.col("knn_thr"))
+            .drop("knn_thr")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         # rank <= k right after row_number => InferWindowGroupLimit
@@ -125,13 +164,16 @@ def knn_predict(
     k: int,
     *,
     metric: str = "sqeuclidean",
+    dim: int | None = None,
 ) -> DataFrame:
     """Majority-vote class per test row: ``(test_id, prediction)``.
 
     Tie-break: highest count, then lowest label id (deterministic;
     reference uses HashMap iteration order, ``Hadoop.java:260-268``).
     """
-    votes = knn_vote_histogram(knn_neighbors(train, test, k, metric=metric))
+    votes = knn_vote_histogram(
+        knn_neighbors(train, test, k, metric=metric, dim=dim)
+    )
     return (
         votes.groupBy("test_id")
         .agg(

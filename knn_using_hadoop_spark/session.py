@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # the driver's events.parquet stores TIMESTAMP(NANOS); read the
+        # raw int64 and convert in the loader (Spark has no nanos type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

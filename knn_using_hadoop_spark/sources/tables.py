@@ -36,7 +36,20 @@ def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> D
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     base = base_dir or sf_dir()
-    return spark.read.parquet(f"{base}/{name}.parquet")
+    df = spark.read.parquet(f"{base}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
+        # matching DuckDB's microsecond-truncated Python datetimes.
+        # Integer DIV, not /: ns-since-epoch overflows double's mantissa.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
 
 
 def register_views(spark: SparkSession, base_dir: str | None = None) -> None:
