@@ -1,0 +1,261 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+North-star extensions (SURVEY.md §2.11) for training-data pipelines.
+All are relational compositions (explode / groupBy / self-join) with
+the portable md5 hash so every stage is oracle-checkable in DuckDB.
+
+Scale design notes (100 TB):
+
+* exact dedup groups on a 60-bit content hash, not the full text —
+  the shuffle carries 8-byte keys instead of documents;
+* MinHash/LSH is the classic sub-quadratic near-dup path: the only
+  join is on (band, band-signature) buckets, so cost is driven by
+  bucket occupancy, not |docs|^2;
+* the n-gram Jaccard join includes a shingle-frequency cap
+  (``max_shingle_freq``): ultra-common shingles would otherwise
+  create quadratic hot buckets (classic skew); dropping them bounds
+  each shingle's join fan-out. The cap only prunes candidate
+  GENERATION — verification uses full shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.functions.hashing import (
+    MERSENNE_PRIME,
+    portable_hash64,
+)
+from knn_using_hadoop_spark.operators.text import minhash_permuted, shingles
+
+# Fixed MinHash permutation parameters (odd multipliers, arbitrary
+# offsets — frozen: they are part of the operator contract and are
+# mirrored in the oracle SQL).
+MINHASH_A = (31, 97, 193, 389, 769, 1543, 3079, 6151)
+MINHASH_B = (7, 11, 13, 17, 19, 23, 29, 37)
+NUM_HASHES = len(MINHASH_A)
+BAND_ROWS = 2  # 8 hashes -> 4 bands of 2 (r=2, b=4)
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: (doc_id = min id, n_copies, fp64).
+
+    Hash-groupBy dedup: groups on the 60-bit content hash + text so
+    the aggregation is a plain partial/final HashAggregate.
+    """
+    return (
+        docs.withColumn("fp64", portable_hash64(F.col("text")))
+        .groupBy("fp64")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "fp64", "n_copies")
+    )
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    return docs.select(
+        "doc_id", F.explode(shingles("text", n)).alias("shingle")
+    ).distinct()
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Long-format MinHash signatures: (doc_id, h_idx, minhash).
+
+    h_idx in [0, NUM_HASHES); minhash = min over the doc's shingles of
+    (a*h32(shingle)+b) mod p. Computed as array expressions per doc —
+    no explode, no shuffle: one pass over the documents.
+    """
+    sh = shingles("text", n)
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(sh, lambda s: minhash_permuted(s, a, b))
+        )
+
+    sig = F.array(
+        *[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)]
+    )
+    return docs.select(
+        "doc_id", F.posexplode(sig).alias("h_idx", "minhash")
+    )
+
+
+def minhash_band_buckets(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band, sig0, sig1): LSH banding of long-format sigs."""
+    return (
+        signatures.withColumn(
+            "band", (F.col("h_idx") / BAND_ROWS).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.max(
+                F.when(F.col("h_idx") % BAND_ROWS == 0, F.col("minhash"))
+            ).alias("sig0"),
+            F.max(
+                F.when(F.col("h_idx") % BAND_ROWS == 1, F.col("minhash"))
+            ).alias("sig1"),
+        )
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingle_df: DataFrame
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs.
+
+    ``shingle_df`` = distinct (doc_id, shingle). Returns
+    (doc_a, doc_b, n_common, jaccard).
+    """
+    sizes = shingle_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    sa = shingle_df.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingle")
+    )
+    sb = shingle_df.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingle")
+    )
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_shingles").alias("size_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_shingles").alias("size_b"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH + exact Jaccard verification.
+
+    Candidates: pairs sharing any full band signature (b=4, r=2 —
+    collision prob = 1-(1-j^2)^4). Verification: exact Jaccard over
+    shingle sets, filtered at ``threshold``. Output (doc_a, doc_b,
+    n_common, jaccard) with doc_a < doc_b.
+    """
+    bands = minhash_band_buckets(minhash_signatures(docs, n))
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band", "sig0", "sig1"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", "sig0", "sig1"
+    )
+    candidates = (
+        left.join(right, ["band", "sig0", "sig1"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(candidates, shingle_sets(docs, n)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_shingle_freq: int | None = 50,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (no LSH approximation).
+
+    Candidate generation joins docs on shared shingles; shingles
+    occurring in more than ``max_shingle_freq`` docs are excluded from
+    candidate generation (skew guard — see module docstring), then
+    pairs are verified with exact Jaccard over the FULL shingle sets.
+    A true near-dup pair always shares at least one sub-cap shingle
+    when threshold is high; at web scale you'd tune the cap with the
+    band structure. Output (doc_a, doc_b, n_common, jaccard).
+    """
+    sh = shingle_sets(docs, n)
+    gen = sh
+    if max_shingle_freq is not None:
+        freq_w = Window.partitionBy("shingle")
+        gen = sh.withColumn(
+            "df", F.count(F.lit(1)).over(freq_w)
+        ).filter(F.col("df") <= max_shingle_freq)
+    candidates = (
+        gen.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            gen.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(candidates, sh).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc over whitespace tokens: (doc_id, simhash).
+
+    Bit j of the signature is 1 iff sum over tokens of
+    (+1 if bit j of h32(token) else -1) is positive. Computed via
+    explode over (token x bit) — embarrassingly parallel, one shuffle
+    on (doc_id, bit).
+    """
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    bits = toks.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # F.shiftright only takes a literal shift; the SQL form takes
+        # a column
+        F.when(F.expr("shiftright(h, bit) % 2") == 1, 1)
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bitsums = bits.groupBy("doc_id", "bit").agg(
+        F.sum("vote").alias("s")
+    )
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0,
+                F.pow(F.lit(2.0), F.col("bit")).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,177 @@
+"""Text-analysis operators for LLM-training-data pipelines.
+
+North-star extensions beyond the reference surface (SURVEY.md §2.11):
+language ID, quality scoring, token counting, document
+fingerprinting — all as pure Catalyst expressions over the
+``documents`` table (no Python in the hot path), so they run inside
+whole-stage codegen and scale linearly with input splits. Every
+operator is deterministic and oracle-checkable: no transcendental
+functions (libm results could differ across engines), hashing via the
+portable md5 scheme (functions.hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.functions.hashing import (
+    MERSENNE_PRIME,
+    portable_hash64,
+)
+
+# Small fixed stopword list (deliberately tiny + frozen: it is part of
+# the operator's contract and mirrored in the oracle SQL).
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "that")
+
+# Marker vocabularies for the n-gram/marker-word language-ID heuristic.
+# Tie-break = dict order (en > de > fr > es); no marker hit => 'und'.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+PUNCT_CLASS = "[.,!?;:]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space contract of the corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, n_distinct_tokens, avg_token_len)."""
+    t = tokens("text")
+    n_tokens = F.size(t)
+    total_tok_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct_tokens"),
+        (total_tok_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic doc-quality score in [0, 1].
+
+    Components (all rational arithmetic — no exp/log, so the oracle
+    matches bit-for-bit): length saturation (docs >= 100 tokens get
+    full credit), stopword ratio, punctuation density.
+    """
+    t = tokens("text")
+    n_tokens = F.size(t)
+    n_chars = F.length("text")
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col("text"), PUNCT_CLASS, "")
+    )
+    punct_ratio = n_punct.cast("double") / n_chars
+    score = (
+        F.least(n_tokens, F.lit(100)).cast("double")
+        / 100.0
+        * (1.0 - stop_ratio * 0.5)
+        * (1.0 - punct_ratio)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: (doc_id, pred_lang, lang, is_match).
+
+    Distinct-token overlap with per-language marker lists; argmax with
+    deterministic dict-order tie-break; 'und' when nothing matches.
+    """
+    dt = F.array_distinct(tokens("text"))
+
+    def marker_count(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(dt, lambda x: x.isin(*markers)))
+
+    scores = {
+        lang: marker_count(markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    pred: Column = F.lit("und")
+    # build the CASE chain back-to-front so earlier langs win ties
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+        F.col("lang"),
+    )
+    return out.withColumn(
+        "is_match", (F.col("pred_lang") == F.col("lang")).cast("int")
+    )
+
+
+def doc_fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
+    """(doc_id, fp64, min_shingle_hash): whole-doc + content hashes.
+
+    ``fp64`` = portable 60-bit hash of the raw text (exact-dedup key);
+    ``min_shingle_hash`` = min over word-``shingle_n``-gram hashes — a
+    1-permutation MinHash usable as a cheap near-dup blocking key.
+    """
+    sh = shingles("text", shingle_n)
+    min_h = F.array_min(
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        portable_hash64(F.col("text")).alias("fp64"),
+        min_h.alias("min_shingle_hash"),
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram strings (empty when the doc is too short).
+
+    Spark's ``sequence(1, k)`` counts DOWN when k < 1, so the short-doc
+    case must be guarded explicitly (DuckDB's generate_series just
+    returns empty).
+    """
+    t = tokens(text)
+    size = F.size(t)
+    idx = F.when(
+        size >= n, F.sequence(F.lit(1), size - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+
+
+def minhash_permuted(shingle: Column, a: int, b: int) -> Column:
+    """(a * h32(shingle) + b) mod p — one MinHash permutation."""
+    h = F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("bigint")
+    return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_PRIME)
