@@ -801,3 +801,111 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus, queries = _sim_queries(spark, sf_dir)
     return _sim.lsh_bucket_topk(corpus, queries, 5, _EMB_DIM)
+
+
+# --------------------------------------------------------------------------
+# Sessionization + multimodal plumbing
+# --------------------------------------------------------------------------
+
+from knn_using_hadoop_spark.operators import multimodal as _mm  # noqa: E402
+
+
+@_register(
+    "sessionization",
+    """WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flags AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM e),
+sess AS (
+  SELECT user_id, event_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS session_id
+  FROM flags)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id""",
+)
+def q_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumsum.
+
+    The batch twin of streaming session_window(); one shuffle on
+    user_id serves both window passes and the final aggregate.
+    """
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double")
+                - F.lag("ts").over(w).cast("double")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_register(
+    "multimodal_binary_stats",
+    """SELECT doc_id, length(text)::BIGINT AS n_bytes,
+       list_aggregate(list_transform(string_split_regex(text, ''),
+                                     c -> ascii(c)), 'sum')::BIGINT
+         AS byte_sum,
+       substr(text, 1, 8) AS head8
+FROM documents""",
+)
+def q_multimodal_binary_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary-column plumbing through a real mapInPandas stage.
+
+    The corpus is ASCII, so byte arithmetic on the encoded payload is
+    SQL-expressible — the oracle checks the Arrow batch path end to
+    end (schema, batching, decode) even though the 'media' is text.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return _mm.binary_stats(_mm.attach_binary(docs))
+
+
+@_register(
+    "multimodal_frame_sample",
+    """SELECT doc_id,
+       unnest(generate_series(0, least(length(text) // 100, 5) - 1))::INT
+         AS frame_idx
+FROM documents
+WHERE length(text) // 100 >= 1""",
+)
+def q_multimodal_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-sampling plumbing (mapInPandas row expansion)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _mm.frame_sample(_mm.attach_binary(docs)).select(
+        "doc_id", "frame_idx"
+    )

@@ -1,0 +1,93 @@
+"""ARFF source: header-aware reader for numeric ARFF files.
+
+The reference consumes ARFF two ways (SURVEY.md §2.1): Weka's
+``ArffReader`` for the test set (``Hadoop.java:66-71``) and a naive
+"skip lines starting with '@', split on comma" stream for the train
+set (``Hadoop.java:88-100``). Spark has no ARFF connector, so this
+module parses the ``@attribute`` header into a ``StructType`` and
+delegates the data section to the CSV reader with ``comment='@'`` —
+the header filter (P1) and tokenize/cast projection (P2) happen
+inside the scan, and the file splits/parallelizes like any text
+source (the reference's eager whole-file read does not).
+
+Only NUMERIC attributes are supported — the reference's entire type
+system (SURVEY.md §1.2); nominal/string/date attributes raise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ArffFormatError(ValueError):
+    pass
+
+
+def parse_arff_schema(header_lines: list[str]) -> T.StructType:
+    """StructType from ``@attribute <name> NUMERIC`` declarations."""
+    fields = []
+    for line in header_lines:
+        s = line.strip()
+        if not s.lower().startswith("@attribute"):
+            continue
+        parts = s.split(None, 2)
+        if len(parts) != 3:
+            raise ArffFormatError(f"malformed attribute line: {line!r}")
+        _, name, typ = parts
+        if typ.strip().upper() not in ("NUMERIC", "REAL", "INTEGER"):
+            raise ArffFormatError(
+                f"unsupported ARFF type {typ!r} for {name!r}: the engine "
+                "(like the reference, SURVEY.md §1.2) is numeric-only"
+            )
+        fields.append(T.StructField(name, T.DoubleType(), nullable=False))
+    if not fields:
+        raise ArffFormatError("no @attribute declarations found")
+    return T.StructType(fields)
+
+
+def read_arff(spark: SparkSession, path: str) -> DataFrame:
+    """Read a numeric ARFF file into a typed DataFrame.
+
+    The header scan collects only ``@attribute`` lines (schema
+    metadata, not data) to the driver; the data section streams
+    through the distributed CSV scan.
+    """
+    header = (
+        spark.read.text(path)
+        .filter(F.lower(F.col("value")).startswith("@attribute"))
+        .collect()
+    )
+    schema = parse_arff_schema([r.value for r in header])
+    return spark.read.csv(path, schema=schema, comment="@")
+
+
+def read_arff_features(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """ARFF -> (id, features array<double>, label int).
+
+    The reference's positional contract (``Hadoop.java:123,159,325``):
+    last attribute is the integer-truncated class label, the rest are
+    features. Row ids follow file order (the reference keys its
+    output by test-row position), which is well-defined here because
+    an ARFF file is a single ordered text file — at engine scale you
+    would carry an explicit key column instead.
+    """
+    df = read_arff(spark, path)
+    cols = df.columns
+    feature_cols, label_col = cols[:-1], cols[-1]
+    # single-file ordered source -> a global row_number by file order;
+    # fine for ARFF-sized data, see docstring
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return (
+        df.withColumn("id", F.row_number().over(w) - 1)
+        .select(
+            "id",
+            F.array(*[F.col(c) for c in feature_cols]).alias("features"),
+            F.col(label_col).cast("int").alias("label"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""Structured Streaming over the events table.
+
+The reference has no streaming surface (SURVEY.md §2.10) — this is
+engine completeness for the driver's ``events`` stream table:
+tumbling-window counts with a watermark for late data. The batch twin
+(``contract.q_events_windowed_agg``) is the oracle-checked version;
+the streaming query here produces the same aggregates incrementally
+and is exercised in tests with a file source + memory sink +
+``processAllAvailable`` (the documented pattern for deterministic
+local verification of streaming graphs).
+
+Scale notes: in production the source is Kafka/queue; the watermark
+bounds state (windows older than watermark are finalized + evicted),
+and the shuffle is keyed on (window, event_type) — a bounded-
+cardinality key space, so state size is O(windows x types), not
+O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_event_counts(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream(parquet) -> watermark -> tumbling-window agg.
+
+    Returns the unstarted streaming DataFrame; callers pick the sink.
+    Output: (window_start, event_type, n_events, total_value).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        # file-source streams take directories; point at the parent
+        # and glob the single file
+        import os
+
+        reader = reader.option(
+            "pathGlobFilter", os.path.basename(path)
+        )
+        path = os.path.dirname(path)
+    raw = reader.load(path)
+    events = raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionize(
+    spark: SparkSession,
+    path: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) over the event stream.
+
+    Native ``session_window`` — state is merged per (user, session)
+    and evicted past the watermark. Batch twin: the contract's
+    ``sessionization`` query (lag + cumsum), which produces the same
+    (user_id, session_start, n_events) partitioning of events.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    events = reader.load(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    agg: DataFrame, spark: SparkSession, name: str = "stream_out"
+) -> DataFrame:
+    """Drive a streaming aggregate to completion into a memory sink.
+
+    ``processAllAvailable`` makes the run synchronous and
+    deterministic for a bounded file source; ``complete`` output mode
+    emits final per-window rows.
+    """
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")  # noqa: S608 (temp view name)

@@ -1,0 +1,78 @@
+"""ARFF source + reference golden-output parity (SURVEY.md §5).
+
+The committed golden run (/root/reference/predictions/part-r-00000,
+80 rows, k=3 on datasets/small-*.arff) is reproduced EXACTLY by the
+documented semantics: the reference's vote-count and merge bugs
+(FIXTURES.md divergences 1-3) happen not to change any prediction at
+this scale (single mapper, no single-vote winners), verified offline
+with a NumPy oracle. So this test demands equality on all 80 rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knn_using_hadoop_spark.operators.knn import knn_accuracy, knn_predict
+from knn_using_hadoop_spark.sources.arff import (
+    ArffFormatError,
+    parse_arff_schema,
+    read_arff,
+    read_arff_features,
+)
+
+REF = "/root/reference/datasets"
+GOLDEN = "/root/reference/predictions/part-r-00000"
+
+
+def test_read_arff_schema_and_rows(spark):
+    df = read_arff(spark, f"{REF}/small-train.arff")
+    assert len(df.columns) == 8  # 7 features + class
+    assert df.count() == 592
+    assert all(f.dataType.typeName() == "double" for f in df.schema.fields)
+
+
+def test_read_arff_features_shape(spark):
+    feats = read_arff_features(spark, f"{REF}/small-test.arff")
+    rows = feats.orderBy("id").collect()
+    assert len(rows) == 80
+    assert rows[0].id == 0 and rows[-1].id == 79
+    assert len(rows[0].features) == 7
+
+
+def test_parse_rejects_nominal():
+    with pytest.raises(ArffFormatError, match="numeric-only"):
+        parse_arff_schema(["@attribute cls {a,b}"])
+
+
+def test_parse_rejects_empty():
+    with pytest.raises(ArffFormatError, match="no @attribute"):
+        parse_arff_schema(["@relation foo", "@data"])
+
+
+def test_reference_golden_parity(spark):
+    train = read_arff_features(spark, f"{REF}/small-train.arff")
+    test = read_arff_features(spark, f"{REF}/small-test.arff")
+    preds = {
+        r.test_id: r.prediction
+        for r in knn_predict(train, test, 3, dim=7).collect()
+    }
+    golden = {}
+    with open(GOLDEN) as fh:
+        for line in fh:
+            i, c = line.split()
+            golden[int(i)] = int(c)
+    assert len(preds) == len(golden) == 80
+    assert preds == golden  # exact parity with the committed run
+
+    acc = (
+        knn_accuracy(
+            spark.createDataFrame(
+                [(i, p) for i, p in preds.items()],
+                "test_id int, prediction int",
+            ),
+            test,
+        )
+        .collect()[0]
+        .accuracy
+    )
+    assert acc == pytest.approx(0.85)  # 68/80, BASELINE.md golden accuracy
