@@ -40,6 +40,11 @@ BENCH_QUERIES = [
     "window_analytics",
     "events_windowed_agg",
     "scan_filter_project",
+    "sessionization",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash",
+    "similarity_topk",
+    "doc_quality_score",
 ]
 
 

@@ -585,7 +585,8 @@ sigs AS (
              ({list(_dedup.MINHASH_A)}[j+1] * {_H32.format(x='s')}
               + {list(_dedup.MINHASH_B)}[j+1]) % 2147483647),
            'min') AS minhash
-  FROM shs, generate_series(0, {_dedup.NUM_HASHES - 1}) g(j))
+  FROM shs, generate_series(0, {_dedup.NUM_HASHES - 1}) g(j)
+  WHERE len(sh) >= 1)
 """
 
 
@@ -908,4 +909,143 @@ def q_multimodal_frame_sample(
     docs = load_table(spark, "documents", sf_dir)
     return _mm.frame_sample(_mm.attach_binary(docs)).select(
         "doc_id", "frame_idx"
+    )
+
+
+# --------------------------------------------------------------------------
+# Engine completeness: JSON, pivot, as-of join, percentiles, string/date
+# functions (all absent from the reference, SURVEY.md §2.9 — the new
+# engine provides them as first-class relational ops)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "json_extract_agg",
+    """SELECT event_type,
+       count(*) AS n,
+       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_k,
+       avg(json_extract_string(props, '$.k')::INTEGER) AS avg_k
+FROM events GROUP BY event_type""",
+)
+def q_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (events.props) + aggregation."""
+    events = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.avg(k).alias("avg_k"),
+    )
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@_register(
+    "pivot_event_counts",
+    f"""SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY date_trunc('day', ts)""",
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) on a fixed value list."""
+    events = load_table(spark, "events", sf_dir)
+    piv = (
+        events.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+    )
+    # pivot yields NULL for absent combos; align with the oracle's 0s
+    return piv.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+@_register(
+    "asof_join",
+    """WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_click_ts
+  FROM events WHERE event_type IN ('click', 'purchase'))
+SELECT event_id, user_id, ts, last_click_ts
+FROM ordered WHERE event_type = 'purchase'""",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase -> the user's most recent prior click).
+
+    Spark has no native as-of join; the idiomatic scale formulation is
+    the union-stream + IGNORE NULLS last_value window: one shuffle on
+    user_id, no range explosion — versus pd.merge_asof per group
+    (applyInPandas) which this avoids entirely.
+    """
+    events = load_table(spark, "events", sf_dir)
+    mixed = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_id", "user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lastc = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        mixed.withColumn("last_click_ts", lastc)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+@_register(
+    "percentile_agg",
+    """SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25)::DOUBLE, 6) AS p25,
+       round(quantile_cont(l_quantity, 0.5)::DOUBLE, 6) AS median,
+       round(quantile_cont(l_quantity, 0.75)::DOUBLE, 6) AS p75,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation, matching quantile_cont)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "string_date_funcs",
+    """SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 8)) AS prio_u,
+       concat(o_orderstatus, '-', o_orderpriority) AS tag,
+       length(o_orderpriority) AS prio_len,
+       year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
+FROM orders WHERE o_orderkey % 10 = 0""",
+)
+def q_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String + date scalar function surface (reference has none)."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 8)).alias("prio_u"),
+        F.concat_ws(
+            "-", F.col("o_orderstatus"), F.col("o_orderpriority")
+        ).alias("tag"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
     )

@@ -66,21 +66,51 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     """Long-format MinHash signatures: (doc_id, h_idx, minhash).
 
     h_idx in [0, NUM_HASHES); minhash = min over the doc's shingles of
-    (a*h32(shingle)+b) mod p. Computed as array expressions per doc —
-    no explode, no shuffle: one pass over the documents.
+    (a*h32(shingle)+b) mod p. Docs shorter than the shingle width
+    produce no signature rows.
+
+    Shape: explode shingles -> hash each ONCE -> explode the 8
+    permutation indices -> partial+final min aggregate. An array-
+    expression formulation (8 array_min branches) re-inlines the
+    shingle+md5 subtree into every branch — Catalyst does no common
+    subexpression elimination across lambda branches — and measured
+    7x slower; the explode form hashes each shingle exactly once and
+    the groupBy min combines map-side.
     """
-    sh = shingles("text", n)
-
-    def perm_min(a: int, b: int):
-        return F.array_min(
-            F.transform(sh, lambda s: minhash_permuted(s, a, b))
+    hashed = (
+        docs.select(
+            "doc_id", F.explode(shingles("text", n)).alias("s")
         )
-
-    sig = F.array(
-        *[perm_min(a, b) for a, b in zip(MINHASH_A, MINHASH_B)]
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
     )
-    return docs.select(
-        "doc_id", F.posexplode(sig).alias("h_idx", "minhash")
+    perms = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(NUM_HASHES - 1))).alias(
+            "h_idx"
+        ),
+    )
+    a_map = F.element_at(
+        F.array(*[F.lit(a) for a in MINHASH_A]), F.col("h_idx") + 1
+    )
+    b_map = F.element_at(
+        F.array(*[F.lit(b) for b in MINHASH_B]), F.col("h_idx") + 1
+    )
+    return (
+        perms.select(
+            "doc_id",
+            "h_idx",
+            ((a_map * F.col("h") + b_map) % F.lit(MERSENNE_PRIME)).alias(
+                "p"
+            ),
+        )
+        .groupBy("doc_id", "h_idx")
+        .agg(F.min("p").alias("minhash"))
     )
 
 

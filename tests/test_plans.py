@@ -1,0 +1,85 @@
+"""Physical-plan audits: the scale properties SURVEY.md §4 demands.
+
+Not correctness — these assert that Catalyst produced the plan shapes
+the 100 TB design depends on: pushdown at the scan, broadcasts on the
+small sides, partial top-k below the shuffle, partial aggregation.
+A regression here is a silent 10-100x slowdown at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from knn_using_hadoop_spark import contract
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    # default 100-char metadata truncation hides the filter list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    plan = _plan(contract.q_scan_filter_project(spark, SF))
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_quantity" in plan  # predicate reached parquet
+    # column pruning: unused columns are absent from the read schema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_suppkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_knn_plan_shape(spark):
+    train, test = contract.knn_tables(spark, SF)
+    from knn_using_hadoop_spark.operators.knn import knn_neighbors
+
+    plan = _plan(knn_neighbors(train, test, 3, dim=4))
+    assert "BroadcastNestedLoopJoin" in plan  # test side broadcast (J1)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final top-k
+    assert "Partial" in plan.split("WindowGroupLimit")[2] or "Partial" in plan
+    # threshold prefilter joins broadcast the tiny threshold relation
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_topk_per_group_partial_limit(spark):
+    plan = _plan(contract.q_topk_per_group(spark, SF))
+    assert plan.count("WindowGroupLimit") >= 2  # map-side combine effect
+
+
+def test_join_agg_broadcasts_dims(spark):
+    plan = _plan(contract.q_join_agg(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupby_partial_aggregation(spark):
+    plan = _plan(contract.q_groupby_agg(spark, SF))
+    # partial (map-side) + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_order_by_limit_is_take_ordered(spark):
+    plan = _plan(contract.q_order_by_limit(spark, SF))
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_semi_anti_join_physical(spark):
+    plan = _plan(contract.q_join_anti_semi(spark, SF))
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", sorted(contract.REGISTRY))
+def test_all_queries_plan_without_python_udfs(spark, name):
+    """Hot paths stay JVM-side: no row-wise Python UDF anywhere.
+
+    (mapInPandas/ArrowEvalPython is allowed — that is the documented
+    Arrow-vectorized slow path for the multimodal ops.)
+    """
+    df = contract.REGISTRY[name].spark_fn(spark, SF)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
