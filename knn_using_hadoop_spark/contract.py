@@ -1049,3 +1049,242 @@ def q_string_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("mo"),
         F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
     )
+
+
+# --------------------------------------------------------------------------
+# Skew handling + further text/embedding ops
+# --------------------------------------------------------------------------
+
+from knn_using_hadoop_spark.operators import skew as _skew  # noqa: E402
+
+
+@_register(
+    "skew_salted_agg",
+    """SELECT o_orderpriority, count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (hot) key.
+
+    The oracle is the PLAIN aggregate — salting must not change
+    results, only the shuffle layout (each hot key fans out over 16
+    sub-keys before the final combine).
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    out = _skew.salted_count_sum(
+        orders, ["o_orderpriority"], "o_totalprice", n_salts=16
+    )
+    return out.select(
+        "o_orderpriority", "cnt", F.round("total", 2).alias("total")
+    )
+
+
+@_register(
+    "doc_bpe_token_count",
+    r"""SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_ws_tokens
+FROM documents""",
+)
+def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, whitespace + BPE-ish regex pretokenizer.
+
+    The regex splits letter runs, digit runs, and individual other
+    symbols — the shape of a GPT-style pretokenizer (the real BPE
+    merge table would then apply within each pretoken; that lookup is
+    a dictionary join, not implemented here).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0)
+            )
+        ).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
+@_register(
+    "embedding_neardup_pairs",
+    f"""WITH pe AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS av, b.embedding AS bv
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+sums AS (
+  SELECT vec_a, vec_b,
+         sum(av[i]::DOUBLE * bv[i]::DOUBLE) AS dot,
+         sum(av[i]::DOUBLE * av[i]::DOUBLE) AS aa,
+         sum(bv[i]::DOUBLE * bv[i]::DOUBLE) AS bb
+  FROM pe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY vec_a, vec_b)
+SELECT vec_a, vec_b, round(dot / (sqrt(aa) * sqrt(bb)), 6) AS sim
+FROM sums
+WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= 0.4""",
+)
+def q_embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+
+    O(n^2) by construction — correct at corpus sizes where an exact
+    audit is wanted; the LSH-bucketed variants (similarity_topk_lsh /
+    MLlib) are the sub-quadratic scale path.
+    """
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("av")
+    )
+    b = embs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("bv")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = F.round(
+        _sim._dot_hof(F.col("av"), F.col("bv"))
+        / (
+            F.sqrt(_sim._sqnorm_hof(F.col("av")))
+            * F.sqrt(_sim._sqnorm_hof(F.col("bv")))
+        ),
+        6,
+    )
+    return pairs.select("vec_a", "vec_b", sim.alias("sim")).filter(
+        F.col("sim") >= 0.4
+    )
+
+
+# --------------------------------------------------------------------------
+# Text featurization: hashed TF-IDF + winnowing fingerprints
+# --------------------------------------------------------------------------
+
+_TF_DIM = 64
+
+
+@_register(
+    "text_hashed_tfidf",
+    f"""WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+bucketed AS (
+  SELECT doc_id, {_H32.format(x='tok')} % {_TF_DIM} AS bucket
+  FROM tok),
+tf AS (
+  SELECT doc_id, bucket, count(*) AS tf
+  FROM bucketed GROUP BY doc_id, bucket),
+df AS (
+  SELECT bucket, count(DISTINCT doc_id) AS df FROM bucketed
+  GROUP BY bucket),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.bucket, tf.tf,
+       round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.bucket = df.bucket CROSS JOIN n""",
+)
+def q_text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed TF-IDF (feature hashing into 64 buckets, portable hash).
+
+    The engine twin of MLlib's HashingTF+IDF, but with the md5-based
+    bucket hash so the whole featurization is oracle-checkable.
+    Long format (doc_id, bucket, tf, tfidf) — the sparse-vector form
+    a downstream distance op consumes directly. ln() is the one
+    transcendental in the contract; rounding absorbs libm ulps.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    bucketed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % _TF_DIM
+        ).alias("bucket"),
+    )
+    tf = bucketed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = bucketed.groupBy("bucket").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    return (
+        tf.join(F.broadcast(df_), "bucket")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "bucket",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@_register(
+    "doc_winnow_fingerprints",
+    f"""WITH grams AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 7)) AS i,
+         text
+  FROM documents),
+hashed AS (
+  SELECT doc_id, i,
+         {_H32.format(x="substr(text, i::INT, 8)")} AS h,
+         max(i) OVER (PARTITION BY doc_id) AS max_i
+  FROM grams),
+wins AS (
+  SELECT doc_id, i, max_i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hashed)
+SELECT DISTINCT doc_id, fp FROM wins WHERE i <= max_i - 3""",
+)
+def q_doc_winnow_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash, window-min).
+
+    Schleimer/Wilkerson/Aiken winnowing: hash every char 8-gram, keep
+    the minimum of each sliding window of 4 hashes, dedupe — a
+    compact, position-robust fingerprint set for near-dup and
+    containment detection. Pure relational: posexplode + two windows;
+    the gram hash is computed once per position (an array formulation
+    would re-inline the md5 subtree per window slot).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            # sequence(1, 0) counts DOWN in Spark — guard short docs
+            F.expr(
+                "CASE WHEN length(text) >= 8 THEN "
+                "transform(sequence(1, length(text) - 7),"
+                " i -> substring(text, i, 8)) "
+                "ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("i"),
+        F.conv(F.substring(F.md5("g"), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wroll = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    )
+    wins = hashed.select(
+        "doc_id",
+        "i",
+        F.max("i").over(wdoc).alias("max_i"),
+        F.min("h").over(wroll).alias("fp"),
+    )
+    return (
+        wins.filter(F.col("i") <= F.col("max_i") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
