@@ -1288,3 +1288,65 @@ def q_doc_winnow_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# IVF approximate nearest neighbors (nprobe=1, corpus-point centroids)
+# --------------------------------------------------------------------------
+
+_IVF_NC = 16
+
+_IVF_CELLS_SQL = f"""
+cents AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC}),
+csums AS (
+  SELECT e.vec_id, c.centroid_id,
+         sum(e.embedding[i]::DOUBLE * c.centv[i]::DOUBLE) AS dot,
+         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+         sum(c.centv[i]::DOUBLE * c.centv[i]::DOUBLE) AS cc
+  FROM embeddings e, cents c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.centroid_id),
+cells AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM csums) r
+  WHERE rn = 1)
+"""
+
+
+@_register(
+    "similarity_topk_ivf",
+    f"""WITH {_IVF_CELLS_SQL},
+q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, cl.cell
+      FROM embeddings e JOIN cells cl ON cl.vec_id = e.vec_id
+      WHERE e.vec_id % {_SIM_QUERY_MOD} = 0),
+pe AS (SELECT e.vec_id, q.query_id, e.embedding AS cv, q.qv
+       FROM embeddings e
+       JOIN cells cl ON cl.vec_id = e.vec_id
+       JOIN q ON q.cell = cl.cell
+       WHERE e.vec_id <> q.query_id),
+sums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM pe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+scored AS (SELECT query_id, vec_id,
+                  round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+           FROM sums)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT s.*, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS rank
+  FROM scored s) r
+WHERE rank <= 5""",
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: cell assignment + same-cell rerank."""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    return _sim.ivf_topk(corpus, queries, 5, n_centroids=_IVF_NC)

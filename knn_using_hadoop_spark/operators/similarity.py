@@ -149,6 +149,109 @@ def cosine_classify(
     )
 
 
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantization: nearest centroid (by cosine) per vector.
+
+    ``centroids`` = (centroid_id, embedding). Returns (vec_id, cell).
+    Deterministic: similarity rounded to 6dp, ties to the lowest
+    centroid_id — the same ranking protocol as the top-k operators.
+    One broadcast join; cost O(|vectors| x |centroids| x dim).
+    """
+    c = centroids.select(
+        F.col("centroid_id"), F.col(vec_col).alias("centv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+    )
+    pairs = v.crossJoin(F.broadcast(c))
+    sim = F.round(
+        _dot_hof(F.col("vv"), F.col("centv"))
+        / (
+            F.sqrt(_sqnorm_hof(F.col("vv")))
+            * F.sqrt(_sqnorm_hof(F.col("centv")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.select("vec_id", "centroid_id", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate cosine top-k: (query_id, rank, vec_id, sim).
+
+    Coarse quantizer = the first ``n_centroids`` corpus vectors by id
+    (sampling corpus points is the standard IVF seeding; a k-means
+    refinement would drop in here without changing the dataflow).
+    Search visits only the query's own cell (nprobe=1), then reranks
+    exactly. Sub-quadratic: each corpus vector is scored against
+    centroids once, and queries only meet their own cell's candidates.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    )
+    cells = ivf_assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).join(cells, "vec_id")
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        .join(
+            cells.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cell"),
+            ),
+            "query_id",
+        )
+    )
+    pairs = c.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot_hof(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_sqnorm_hof(F.col("qv"))) * F.sqrt(_sqnorm_hof(F.col("cv")))
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

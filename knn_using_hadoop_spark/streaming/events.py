@@ -109,6 +109,54 @@ def streaming_sessionize(
     )
 
 
+def streaming_user_totals_stateful(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Custom stateful operator: running per-user event totals.
+
+    ``applyInPandasWithState`` — the escape hatch for stateful logic
+    Spark's built-in aggregates can't express (here a simple running
+    (count, sum) so the state protocol itself is testable against the
+    batch aggregate). State is one row per user_id; per micro-batch
+    each updated user emits its new running totals ('update' mode).
+    At scale, state lives in the state store keyed by user_id — add a
+    timeout (ProcessingTimeTimeout) to evict idle users.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    events = reader.load(path)
+
+    def update_totals(key, batches, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, spark: SparkSession, name: str = "stream_out"
 ) -> DataFrame:

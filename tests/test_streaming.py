@@ -44,6 +44,70 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_stateful_user_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources import load_table
+    from knn_using_hadoop_spark.streaming.events import (
+        streaming_user_totals_stateful,
+    )
+
+    agg = streaming_user_totals_stateful(spark, f"{sf_dir}/events.parquet")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # last emitted row per user = final running totals
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM t_stateful").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.v, 4))
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == batch
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    from knn_using_hadoop_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(3)
+    n, dim = 300, 16
+    centers = rng.normal(0, 5, (4, dim))
+    assign = rng.integers(0, 4, n)
+    x = (centers[assign] + rng.normal(0, 1, (n, dim))).astype(np.float32)
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    from pyspark.sql import functions as F
+
+    q = df.filter(F.col("vec_id") % 60 == 0)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in sim.cosine_topk(df, q, 5, dim).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivf_topk(df, q, 5, n_centroids=8).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    # clustered data: same-cell neighbors dominate the true top-k
+    assert recall > 0.6, f"IVF recall too low: {recall}"
+
+
 def test_multimodal_plumbing(spark, sf_dir):
     import pytest
 
