@@ -58,6 +58,10 @@ def _sf_from_dir(d: str) -> float:
 
 def main() -> None:
     spark = get_spark("bench")
+    # untimed warmup: JVM/codegen/parquet-footer init shouldn't be
+    # attributed to the first query
+    for t in ("lineitem", "orders", "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     qs = contract.queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

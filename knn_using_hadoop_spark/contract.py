@@ -1350,3 +1350,44 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: cell assignment + same-cell rerank."""
     corpus, queries = _sim_queries(spark, sf_dir)
     return _sim.ivf_topk(corpus, queries, 5, n_centroids=_IVF_NC)
+
+
+@_register(
+    "knn_predict_manhattan",
+    f"""WITH
+base AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
+                            l_extendedprice, l_discount, l_tax) AS id,
+         l_quantity AS f1, l_extendedprice AS f2,
+         l_discount AS f3, l_tax AS f4,
+         l_linenumber AS label
+  FROM lineitem),
+test AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} = 0),
+train AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} <> 0),
+pairs AS (
+  SELECT te.id AS test_id, tr.id AS train_id, tr.label,
+         abs(te.f1-tr.f1) + abs(te.f2-tr.f2)
+       + abs(te.f3-tr.f3) + abs(te.f4-tr.f4) AS dist
+  FROM test te CROSS JOIN train tr),
+knn AS (
+  SELECT test_id, train_id, label FROM (
+    SELECT p.*, row_number() OVER (PARTITION BY test_id
+                                   ORDER BY dist, train_id) AS rank
+    FROM pairs p) r
+  WHERE rank <= {KNN_K}),
+votes AS (
+  SELECT test_id, label, count(*) AS cnt FROM knn GROUP BY test_id, label)
+SELECT test_id, label AS prediction FROM (
+  SELECT v.*, row_number() OVER (PARTITION BY test_id
+                                 ORDER BY cnt DESC, label ASC) AS rn
+  FROM votes v) q
+WHERE rn = 1""",
+)
+def q_knn_predict_manhattan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same KNN pipeline under the pluggable L1 metric."""
+    train, test = knn_tables(spark, sf_dir)
+    return knn_predict(
+        train, test, KNN_K, metric="manhattan", dim=len(KNN_FEATURES)
+    )
