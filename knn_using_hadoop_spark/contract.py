@@ -1391,3 +1391,81 @@ def q_knn_predict_manhattan(
     return knn_predict(
         train, test, KNN_K, metric="manhattan", dim=len(KNN_FEATURES)
     )
+
+
+# --------------------------------------------------------------------------
+# k-sweep evaluation (SURVEY.md §2.11: majority-vote classifier with a
+# CrossValidator-style hyperparameter sweep, vectorized over k)
+# --------------------------------------------------------------------------
+
+_SWEEP_KS = (1, 3, 5)
+
+
+def _sweep_vote_sql(k: int) -> str:
+    return f"""
+votes_{k} AS (
+  SELECT test_id, label, count(*) AS cnt FROM knn
+  WHERE rank <= {k} GROUP BY test_id, label),
+pred_{k} AS (
+  SELECT test_id, label AS prediction FROM (
+    SELECT v.*, row_number() OVER (PARTITION BY test_id
+                                   ORDER BY cnt DESC, label ASC) AS rn
+    FROM votes_{k} v) q
+  WHERE rn = 1),
+acc_{k} AS (
+  SELECT {k} AS k,
+         avg(CASE WHEN p.prediction = te.label THEN 1.0 ELSE 0.0 END)
+           AS accuracy
+  FROM pred_{k} p JOIN test te ON p.test_id = te.id)"""
+
+
+@_register(
+    "knn_k_sweep",
+    "WITH "
+    + _KNN_CTE.replace(
+        f"rank <= {KNN_K}", f"rank <= {max(_SWEEP_KS)}"
+    ).rstrip()
+    + ","
+    + ",".join(_sweep_vote_sql(k) for k in _SWEEP_KS)
+    + " "
+    + " UNION ALL ".join(f"SELECT k, accuracy FROM acc_{k}" for k in _SWEEP_KS),
+)
+def q_knn_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy as a function of k — one neighbor pass, many votes.
+
+    The top-(max k) neighbor relation is computed ONCE; each k's vote
+    is a filter + aggregate over it (no re-scan, no re-join). The
+    reference would need one full MapReduce job per k.
+    """
+    train, test = knn_tables(spark, sf_dir)
+    nbrs = knn_neighbors(
+        train, test, max(_SWEEP_KS), dim=len(KNN_FEATURES)
+    )
+    truth = test.select(F.col("id").alias("test_id"), "label")
+    parts = []
+    for k in _SWEEP_KS:
+        votes = (
+            nbrs.filter(F.col("rank") <= k)
+            .groupBy("test_id", F.col("label").alias("nbr_label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        pred = votes.groupBy("test_id").agg(
+            F.max_by(
+                F.col("nbr_label"),
+                F.struct(F.col("cnt"), (-F.col("nbr_label")).alias("neg")),
+            ).alias("prediction")
+        )
+        acc = (
+            pred.join(truth, "test_id")
+            .agg(
+                F.avg(
+                    (F.col("prediction") == F.col("label")).cast("double")
+                ).alias("accuracy")
+            )
+            .select(F.lit(k).alias("k"), "accuracy")
+        )
+        parts.append(acc)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -175,3 +175,30 @@ def minhash_permuted(shingle: Column, a: int, b: int) -> Column:
     """(a * h32(shingle) + b) mod p — one MinHash permutation."""
     h = F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("bigint")
     return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_PRIME)
+
+
+def mllib_tfidf(
+    docs: DataFrame, num_features: int = 1 << 10, normalize: bool = True
+) -> DataFrame:
+    """MLlib text featurization: Tokenizer -> HashingTF -> IDF [-> Normalizer].
+
+    The SURVEY.md §2.11 pipeline feeding vector distance ops (the
+    murmur-hashed MLlib twin of the oracle-checkable
+    ``text_hashed_tfidf`` contract query). Returns
+    (doc_id, tfidf vector[, tfidf_norm]); fit state = the IDF
+    statistics, learned with one pass.
+    """
+    from pyspark.ml.feature import IDF, HashingTF, Normalizer, Tokenizer
+
+    tok = Tokenizer(inputCol="text", outputCol="_words")
+    tf = HashingTF(
+        inputCol="_words", outputCol="_tf", numFeatures=num_features
+    )
+    words = tf.transform(tok.transform(docs.select("doc_id", "text")))
+    idf_model = IDF(inputCol="_tf", outputCol="tfidf").fit(words)
+    out = idf_model.transform(words).select("doc_id", "tfidf")
+    if normalize:
+        out = Normalizer(
+            inputCol="tfidf", outputCol="tfidf_norm", p=2.0
+        ).transform(out)
+    return out

@@ -1,0 +1,40 @@
+"""Sinks: the reference's output surface, generalized.
+
+The reference writes predictions as tab-separated ``(test_id \\t
+class)`` text via a single reducer (``Hadoop.java:270,308``; SURVEY.md
+S4) and then re-reads that file from the driver to score it (S5). The
+engine keeps results as DataFrames end-to-end — the driver contract
+consumes DataFrames — but provides the same sink formats for users of
+the reference switching over, plus the columnar sink any 100 TB
+deployment actually uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_tsv(
+    df: DataFrame, path: str, *, single_file: bool = False, header: bool = False
+) -> None:
+    """Tab-separated text sink (reference ``predictions/part-r-00000``).
+
+    ``single_file=True`` reproduces the reference's one-reducer layout
+    (coalesce(1)) — a deliberate serial bottleneck, only for small
+    outputs / golden-file comparison. Default keeps one file per
+    partition like any sane distributed sink.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("sep", "\t").option(
+        "header", str(header).lower()
+    ).csv(path)
+
+
+def write_parquet(
+    df: DataFrame, path: str, *, partition_by: list[str] | None = None
+) -> None:
+    """Columnar sink (the scale default: splittable, pushdown-friendly)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
