@@ -71,18 +71,28 @@ KNN_TEST_MOD = 100
 def knn_tables(
     spark: SparkSession, sf_dir: str, mod: int = KNN_TEST_MOD
 ) -> tuple[DataFrame, DataFrame]:
-    """(train, test) feature tables derived from lineitem."""
+    """(train, test) feature tables derived from lineitem.
+
+    Row ids: the synthetic data has no unique key, but full rows ARE
+    unique (verified at every SF), so the id is the portable 60-bit
+    content hash of the 6 identifying columns — embarrassingly
+    parallel (a global ``row_number()`` window would serialize the
+    whole table through one partition, the 100 TB anti-pattern) and
+    reproduced exactly by the oracle. The hash-mod test split doubles
+    as deterministic ~1/mod sampling. Engines print doubles with the
+    same shortest-repr rules, so the concatenated key matches.
+    """
     li = load_table(spark, "lineitem", sf_dir)
-    w = Window.orderBy(*_KNN_ORDER)
-    base = li.withColumn("id", F.row_number().over(w)).select(
-        "id",
+    key = F.concat_ws(",", *[F.col(c).cast("string") for c in _KNN_ORDER])
+    base = li.select(
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("id"),
         assemble_features(KNN_FEATURES).alias("features"),
         F.col("l_linenumber").cast("int").alias("label"),
     )
-    # The global row_number window (needed only because the synthetic
-    # data lacks a unique key) collapses everything to 1 partition;
-    # re-spread the big (train) side so the cross join parallelizes.
-    # At 100 TB real tables have keys and skip this window entirely.
+    # the single sf0.1 parquet file is ~11MB = one input split; spread
+    # the big (train) side so the cross join parallelizes
     par = spark.sparkContext.defaultParallelism
     return (
         base.filter(F.col("id") % mod != 0).repartition(par),
@@ -94,8 +104,10 @@ def knn_tables(
 # matching functions.distance.sq_euclidean's fold order => bit-exact.
 _KNN_CTE = f"""
 base AS (
-  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
-                            l_extendedprice, l_discount, l_tax) AS id,
+  SELECT ('0x' || substr(md5(l_orderkey || ',' || l_linenumber || ','
+                         || l_quantity || ',' || l_extendedprice || ','
+                         || l_discount || ',' || l_tax), 1, 15))::BIGINT
+           AS id,
          l_quantity AS f1, l_extendedprice AS f2,
          l_discount AS f3, l_tax AS f4,
          l_linenumber AS label
@@ -1356,8 +1368,10 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_predict_manhattan",
     f"""WITH
 base AS (
-  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity,
-                            l_extendedprice, l_discount, l_tax) AS id,
+  SELECT ('0x' || substr(md5(l_orderkey || ',' || l_linenumber || ','
+                         || l_quantity || ',' || l_extendedprice || ','
+                         || l_discount || ',' || l_tax), 1, 15))::BIGINT
+           AS id,
          l_quantity AS f1, l_extendedprice AS f2,
          l_discount AS f3, l_tax AS f4,
          l_linenumber AS label
