@@ -1483,3 +1483,96 @@ def q_knn_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+# --------------------------------------------------------------------------
+# Dedup end-game: components + filtered corpus
+# --------------------------------------------------------------------------
+
+_LSH_PAIRS_CTE = f"""{_DOC_CTE}, {_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, h_idx // {_dedup.BAND_ROWS} AS band,
+         max(CASE WHEN h_idx % {_dedup.BAND_ROWS} = 0 THEN minhash END)
+           AS sig0,
+         max(CASE WHEN h_idx % {_dedup.BAND_ROWS} = 1 THEN minhash END)
+           AS sig1
+  FROM sigs GROUP BY doc_id, h_idx // {_dedup.BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+   AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN ds x ON x.doc_id = c.doc_a
+  JOIN ds y ON y.doc_id = c.doc_b AND y.shingle = x.shingle
+  GROUP BY c.doc_a, c.doc_b),
+neardup AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sz sa ON sa.doc_id = i.doc_a
+  JOIN sz sb ON sb.doc_id = i.doc_b
+  WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5)
+"""
+
+
+@_register(
+    "dedup_components",
+    f"""WITH RECURSIVE {_LSH_PAIRS_CTE},
+edges AS (SELECT doc_a AS s, doc_b AS t FROM neardup
+          UNION ALL SELECT doc_b, doc_a FROM neardup),
+reach AS (
+  SELECT s AS doc, s AS r FROM edges
+  UNION
+  SELECT e.s AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.t)
+SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc""",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over verified LSH pairs.
+
+    Spark side: iterative min-label propagation to fixpoint (an
+    iterative distributed algorithm — driver controls iteration
+    count only). Oracle: recursive-CTE transitive closure. Both
+    converge to component = min reachable doc_id.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return _dedup.neardup_components(pairs)
+
+
+@_register(
+    "dedup_filtered_corpus",
+    f"""WITH RECURSIVE {_LSH_PAIRS_CTE},
+edges AS (SELECT doc_a AS s, doc_b AS t FROM neardup
+          UNION ALL SELECT doc_b, doc_a FROM neardup),
+reach AS (
+  SELECT s AS doc, s AS r FROM edges
+  UNION
+  SELECT e.s AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.t),
+comp AS (SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
+WHERE comp.doc_id IS NULL OR comp.component = d.doc_id""",
+)
+def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline end-product: corpus minus near-duplicates.
+
+    Keeps every document that is either not in any near-dup cluster
+    or is its cluster's representative (min doc_id) — the standard
+    'keep one per cluster' training-data dedup policy.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    comp = _dedup.neardup_components(
+        _dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    )
+    return (
+        docs.join(F.broadcast(comp), "doc_id", "left")
+        .filter(
+            F.col("component").isNull()
+            | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", "lang", "source")
+    )

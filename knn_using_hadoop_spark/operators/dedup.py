@@ -248,6 +248,70 @@ def ngram_jaccard_pairs(
     )
 
 
+def neardup_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component).
+
+    component = min doc_id transitively reachable through the pair
+    graph — the grouping step that turns pairwise near-dup hits into
+    dedup clusters. Iterative min-label propagation to a fixpoint;
+    the driver loop controls ITERATION only (each step is a
+    distributed join+aggregate; no data is collected beyond the
+    single converged-yet? count). Convergence takes O(diameter)
+    rounds; near-dup graphs are overwhelmingly tiny cliques, so this
+    is 1-3 rounds in practice. For planet-scale graphs swap in the
+    large-star/small-star formulation — same contract.
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("s"), F.col("doc_b").alias("t")
+    )
+    edges = edges.union(
+        edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    )
+    labels = (
+        edges.select(F.col("s").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    while True:
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("doc").alias("t"),
+                    F.col("label").alias("t_label"),
+                ),
+                "t",
+            )
+            .groupBy("s")
+            .agg(F.min("t_label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(
+                nbr_min.select(F.col("s").alias("doc"), "nbr_label"),
+                "doc",
+                "left",
+            )
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
 def simhash(docs: DataFrame) -> DataFrame:
     """32-bit SimHash per doc over whitespace tokens: (doc_id, simhash).
 

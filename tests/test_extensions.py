@@ -87,6 +87,34 @@ def test_token_stats(docs):
     )
 
 
+def test_neardup_components_chain(spark):
+    # chain 1-2-3 plus isolated pair 10-11: transitive closure matters
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r.doc_id: r.component
+        for r in dd.neardup_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir):
+    """Approximate aggregates (HLL sketch): error within rsd bound.
+
+    Sketch internals differ per engine, so this is test-verified
+    rather than oracle-checked (the one intentionally non-oracle op).
+    """
+    from knn_using_hadoop_spark.sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")
+    ).collect()[0].a
+    assert abs(approx - exact) / exact < 0.1
+
+
 @pytest.fixture(scope="module")
 def emb_dfs(spark):
     rng = np.random.default_rng(7)
