@@ -1576,3 +1576,67 @@ def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# Range join (absent from the reference, §2.9): time-proximity join
+# via bucketized equi-join + residual predicate
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "range_join_counts",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, count(c.ts) AS clicks_30m_before
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL '30 minutes' AND c.ts < p.ts
+GROUP BY p.event_id, p.user_id""",
+)
+def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within 30 min before each purchase.
+
+    Spark has no native range join. The naive plan is a per-user
+    theta join (quadratic in events-per-user); the scale formulation
+    here buckets time into 30-minute cells and equi-joins on
+    (user_id, cell) for the purchase's cell and its predecessor, then
+    applies the exact range predicate — candidate fan-out is bounded
+    by 2 buckets instead of the whole user history. DuckDB's oracle
+    uses its native inequality join; results are identical.
+    """
+    events = load_table(spark, "events", sf_dir)
+    bucket_s = 1800
+    cell = (F.unix_timestamp("ts") / bucket_s).cast("long")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        cell.alias("cell"),
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), cell.alias("c_cell")
+    )
+    # each purchase probes its own cell and the one before
+    p2 = p.withColumn(
+        "probe_cell", F.explode(F.array(F.col("cell") - 1, F.col("cell")))
+    )
+    joined = p2.join(
+        c,
+        (p2.user_id == c.user_id) & (p2.probe_cell == c.c_cell),
+        "left",
+    ).select(
+        "event_id",
+        p2.user_id.alias("uid"),
+        "p_ts",
+        F.when(
+            (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 minutes"))
+            & (F.col("c_ts") < F.col("p_ts")),
+            1,
+        ).alias("hit"),
+    )
+    return (
+        joined.groupBy("event_id", F.col("uid").alias("user_id"))
+        .agg(F.count("hit").alias("clicks_30m_before"))
+    )

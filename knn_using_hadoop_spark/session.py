@@ -50,6 +50,13 @@ def get_spark(
         # the driver's events.parquet stores TIMESTAMP(NANOS); read the
         # raw int64 and convert in the loader (Spark has no nanos type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # static conf: keep managed/bucketed tables out of the repo dir
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,113 @@
+"""Property-based tests (SURVEY.md §5 strategy: randomized invariants).
+
+hypothesis generates small datasets; one shared SparkSession keeps
+example cost ~100ms. Invariants:
+
+* engine KNN == brute-force NumPy oracle under documented semantics
+* predictions always land in the train-label domain
+* duplicating every train row never changes predictions for the same
+  k-multiplicity (vote ratios preserved: k doubles with copies)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from knn_using_hadoop_spark.operators.knn import knn_neighbors, knn_predict
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk(spark, x, y):
+    return spark.createDataFrame(
+        [
+            (int(i), [float(v) for v in x[i]], int(y[i]))
+            for i in range(len(x))
+        ],
+        "id long, features array<double>, label int",
+    )
+
+
+def _numpy_predict(train_x, train_y, test_x, k):
+    preds = []
+    for q in test_x:
+        d = ((train_x - q) ** 2).sum(axis=1)
+        order = np.lexsort((np.arange(len(d)), d))[:k]
+        vals, cnts = np.unique(train_y[order], return_counts=True)
+        preds.append(int(vals[np.lexsort((vals, -cnts))][0]))
+    return preds
+
+
+@given(seed=st.integers(0, 10_000), k=st.integers(1, 7))
+@settings(**_SETTINGS)
+def test_knn_matches_numpy_oracle(spark, seed, k):
+    rng = np.random.default_rng(seed)
+    n_train = int(rng.integers(k, 40))
+    n_test = int(rng.integers(1, 6))
+    dim = int(rng.integers(1, 5))
+    # quantized values force distance ties -> exercises tie-breaks
+    train_x = np.round(rng.normal(0, 2, (n_train, dim)), 1)
+    test_x = np.round(rng.normal(0, 2, (n_test, dim)), 1)
+    train_y = rng.integers(0, 3, n_train)
+    train = _mk(spark, train_x, train_y)
+    test = _mk(spark, test_x, np.zeros(n_test, dtype=int))
+    got = {
+        r.test_id: r.prediction
+        for r in knn_predict(train, test, k).collect()
+    }
+    expected = _numpy_predict(train_x, train_y, test_x, k)
+    assert got == {i: expected[i] for i in range(n_test)}
+    assert set(got.values()) <= set(int(v) for v in train_y)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_duplicated_train_rows_scale_votes(spark, seed):
+    rng = np.random.default_rng(seed)
+    n, dim, k = 20, 3, 3
+    x = np.round(rng.normal(0, 2, (n, dim)), 1)
+    y = rng.integers(0, 3, n)
+    q = np.round(rng.normal(0, 2, (2, dim)), 1)
+    train = _mk(spark, x, y)
+    test = _mk(spark, q, np.zeros(2, dtype=int))
+    base = {
+        r.test_id: r.prediction
+        for r in knn_predict(train, test, k).collect()
+    }
+    # duplicate every train row (fresh ids), double k: same neighbor
+    # multiset per test row at 2x multiplicity -> same majority vote
+    dup = _mk(spark, np.vstack([x, x]), np.concatenate([y, y]))
+    doubled = {
+        r.test_id: r.prediction
+        for r in knn_predict(dup, test, 2 * k).collect()
+    }
+    assert base == doubled
+
+
+@given(k=st.integers(1, 5))
+@settings(**_SETTINGS)
+def test_neighbors_sorted_and_unique(spark, k):
+    rng = np.random.default_rng(k)
+    x = np.round(rng.normal(0, 1, (15, 2)), 1)
+    y = rng.integers(0, 2, 15)
+    train = _mk(spark, x, y)
+    test = _mk(spark, x[:3], y[:3])
+    rows = knn_neighbors(train, test, k).collect()
+    by_test: dict[int, list] = {}
+    for r in rows:
+        by_test.setdefault(r.test_id, []).append(r)
+    for tid, rs in by_test.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.dist for r in rs]
+        assert dists == sorted(dists)
+        assert len({r.train_id for r in rs}) == len(rs)
+        # test rows are drawn from train -> rank 1 is the row itself
+        assert rs[0].train_id == tid and rs[0].dist == 0.0
