@@ -121,8 +121,8 @@ pairs AS (
   FROM test te CROSS JOIN train tr),
 knn AS (
   SELECT test_id, rank, train_id, label, dist FROM (
-    SELECT p.*, row_number() OVER (PARTITION BY test_id
-                                   ORDER BY dist, train_id) AS rank
+    SELECT p.*, (row_number() OVER (PARTITION BY test_id
+                                    ORDER BY dist, train_id))::INT AS rank
     FROM pairs p) r
   WHERE rank <= {KNN_K}),
 votes AS (
@@ -242,8 +242,8 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "topk_per_group",
     """SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+         (row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey))::INT AS rank
   FROM orders) t WHERE rank <= 3""",
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -384,7 +384,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "window_analytics",
     """SELECT o_custkey, o_orderkey,
-       row_number() OVER w AS seq,
+       (row_number() OVER w)::INT AS seq,
        round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
                                      AND CURRENT ROW), 2)
          AS running_spend,
@@ -499,8 +499,8 @@ _H64 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 @_register(
     "doc_token_stats",
     f"""WITH {_DOC_CTE}
-SELECT doc_id, length(text) AS n_chars, len(t) AS n_tokens,
-       len(list_distinct(t)) AS n_distinct_tokens,
+SELECT doc_id, length(text)::INT AS n_chars, len(t)::INT AS n_tokens,
+       len(list_distinct(t))::INT AS n_distinct_tokens,
        list_aggregate(list_transform(t, x -> length(x)), 'sum')::DOUBLE
          / len(t) AS avg_token_len
 FROM toks""",
@@ -512,7 +512,7 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "doc_quality_score",
     f"""WITH {_DOC_CTE}
-SELECT doc_id, len(t) AS n_tokens,
+SELECT doc_id, len(t)::INT AS n_tokens,
   round(len(list_filter(t, x -> x IN ({_STOP_SQL})))::DOUBLE / len(t), 6)
     AS stop_ratio,
   round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
@@ -535,7 +535,7 @@ def _lang_scores_sql() -> str:
         marks = ", ".join(f"'{m}'" for m in markers)
         parts.append(
             f"len(list_filter(list_distinct(t), x -> x IN ({marks})))"
-            f" AS score_{lang}"
+            f"::INT AS score_{lang}"
         )
     return ", ".join(parts)
 
@@ -591,7 +591,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = f"""
 sigs AS (
-  SELECT doc_id, j AS h_idx,
+  SELECT doc_id, j::INT AS h_idx,
          list_aggregate(
            list_transform(sh, s ->
              ({list(_dedup.MINHASH_A)}[j+1] * {_H32.format(x='s')}
@@ -719,8 +719,8 @@ scored AS (SELECT query_id, vec_id,
            FROM sums),
 ranked AS (
   SELECT query_id, vec_id, sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sim DESC, vec_id) AS rank
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, vec_id))::INT AS rank
   FROM scored)
 """
 
@@ -800,8 +800,8 @@ scored AS (SELECT query_id, vec_id,
                   round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
            FROM sums)
 SELECT query_id, rank, vec_id, sim FROM (
-  SELECT s.*, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, vec_id) AS rank
+  SELECT s.*, (row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id))::INT AS rank
   FROM scored s) r
 WHERE rank <= 5""",
 )
@@ -838,10 +838,10 @@ flags AS (
   FROM e),
 sess AS (
   SELECT user_id, event_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id
-                           ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW) AS session_id
+         (sum(is_new) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW))::BIGINT AS session_id
   FROM flags)
 SELECT user_id, session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
@@ -935,7 +935,7 @@ def q_multimodal_frame_sample(
     "json_extract_agg",
     """SELECT event_type,
        count(*) AS n,
-       sum(json_extract_string(props, '$.k')::INTEGER) AS sum_k,
+       sum(json_extract_string(props, '$.k')::INTEGER)::BIGINT AS sum_k,
        avg(json_extract_string(props, '$.k')::INTEGER) AS avg_k
 FROM events GROUP BY event_type""",
 )
@@ -956,7 +956,7 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 @_register(
     "pivot_event_counts",
     f"""SELECT date_trunc('day', ts)::TIMESTAMP AS day,
-       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in _EVENT_TYPES)}
+       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}" for t in _EVENT_TYPES)}
 FROM events GROUP BY date_trunc('day', ts)""",
 )
 def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1042,8 +1042,8 @@ def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT o_orderkey,
        upper(substr(o_orderpriority, 1, 8)) AS prio_u,
        concat(o_orderstatus, '-', o_orderpriority) AS tag,
-       length(o_orderpriority) AS prio_len,
-       year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       length(o_orderpriority)::INT AS prio_len,
+       year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo,
        date_trunc('month', o_orderdate)::TIMESTAMP AS month_start
 FROM orders WHERE o_orderkey % 10 = 0""",
 )
@@ -1095,8 +1095,8 @@ def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "doc_bpe_token_count",
     r"""SELECT doc_id,
-       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
-       len(string_split(text, ' ')) AS n_ws_tokens
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT AS n_bpe_tokens,
+       len(string_split(text, ' '))::INT AS n_ws_tokens
 FROM documents""",
 )
 def q_doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1353,8 +1353,8 @@ scored AS (SELECT query_id, vec_id,
                   round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
            FROM sums)
 SELECT query_id, rank, vec_id, sim FROM (
-  SELECT s.*, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY sim DESC, vec_id) AS rank
+  SELECT s.*, (row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id))::INT AS rank
   FROM scored s) r
 WHERE rank <= 5""",
 )
@@ -1385,8 +1385,8 @@ pairs AS (
   FROM test te CROSS JOIN train tr),
 knn AS (
   SELECT test_id, train_id, label FROM (
-    SELECT p.*, row_number() OVER (PARTITION BY test_id
-                                   ORDER BY dist, train_id) AS rank
+    SELECT p.*, (row_number() OVER (PARTITION BY test_id
+                                    ORDER BY dist, train_id))::INT AS rank
     FROM pairs p) r
   WHERE rank <= {KNN_K}),
 votes AS (

@@ -107,6 +107,31 @@ def main() -> int:
         problems = []
         if sorted(scols_l) != sorted(dcols):
             problems.append(f"schema {scols_l} vs {dcols}")
+        else:
+            # type strictness: map Spark simple types to DuckDB's and
+            # demand equality, in case the driver's schema check does
+            spark_types = {
+                f.name.lower(): f.dataType.simpleString()
+                for f in sdf.schema.fields
+            }
+            mapping = {
+                "int": "INTEGER",
+                "bigint": "BIGINT",
+                "double": "DOUBLE",
+                "float": "FLOAT",
+                "string": "VARCHAR",
+                "timestamp": "TIMESTAMP",
+                "date": "DATE",
+                "boolean": "BOOLEAN",
+            }
+            dtypes = dict(zip(dcols, [str(t) for t in rel.types]))
+            for cname, stype in spark_types.items():
+                want = mapping.get(stype)
+                got_t = dtypes.get(cname)
+                if want is not None and got_t != want:
+                    problems.append(
+                        f"type[{cname}] spark={stype} duckdb={got_t}"
+                    )
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if not problems:
