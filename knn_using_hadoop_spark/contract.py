@@ -1640,3 +1640,92 @@ def q_range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("event_id", F.col("uid").alias("user_id"))
         .agg(F.count("hit").alias("clicks_30m_before"))
     )
+
+# --------------------------------------------------------------------------
+# Normalized-feature KNN: min-max scaling from train statistics.
+# (z-score would need stddev, whose unordered float sum is not
+# bit-reproducible cross-engine; min/max are exact, and the scaling
+# expression uses one fixed operand order on both sides.)
+# --------------------------------------------------------------------------
+
+_MINMAX_CTE = f"""
+base AS (
+  SELECT ('0x' || substr(md5(l_orderkey || ',' || l_linenumber || ','
+                         || l_quantity || ',' || l_extendedprice || ','
+                         || l_discount || ',' || l_tax), 1, 15))::BIGINT
+           AS id,
+         l_quantity AS f1, l_extendedprice AS f2,
+         l_discount AS f3, l_tax AS f4,
+         l_linenumber AS label
+  FROM lineitem),
+test AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} = 0),
+train AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} <> 0),
+stats AS (
+  SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2,
+         min(f3) AS mn3, max(f3) AS mx3, min(f4) AS mn4, max(f4) AS mx4
+  FROM train),
+pairs AS (
+  SELECT te.id AS test_id, tr.id AS train_id, tr.label,
+         ((te.f1-s.mn1)/(s.mx1-s.mn1) - (tr.f1-s.mn1)/(s.mx1-s.mn1))
+       * ((te.f1-s.mn1)/(s.mx1-s.mn1) - (tr.f1-s.mn1)/(s.mx1-s.mn1))
+       + ((te.f2-s.mn2)/(s.mx2-s.mn2) - (tr.f2-s.mn2)/(s.mx2-s.mn2))
+       * ((te.f2-s.mn2)/(s.mx2-s.mn2) - (tr.f2-s.mn2)/(s.mx2-s.mn2))
+       + ((te.f3-s.mn3)/(s.mx3-s.mn3) - (tr.f3-s.mn3)/(s.mx3-s.mn3))
+       * ((te.f3-s.mn3)/(s.mx3-s.mn3) - (tr.f3-s.mn3)/(s.mx3-s.mn3))
+       + ((te.f4-s.mn4)/(s.mx4-s.mn4) - (tr.f4-s.mn4)/(s.mx4-s.mn4))
+       * ((te.f4-s.mn4)/(s.mx4-s.mn4) - (tr.f4-s.mn4)/(s.mx4-s.mn4))
+           AS dist
+  FROM test te CROSS JOIN train tr CROSS JOIN stats s),
+knn AS (
+  SELECT test_id, train_id, label FROM (
+    SELECT p.*, (row_number() OVER (PARTITION BY test_id
+                                    ORDER BY dist, train_id))::INT AS rank
+    FROM pairs p) r
+  WHERE rank <= {KNN_K}),
+votes AS (
+  SELECT test_id, label, count(*) AS cnt FROM knn GROUP BY test_id, label)
+"""
+
+
+@_register(
+    "knn_predict_minmax",
+    f"""WITH {_MINMAX_CTE}
+SELECT test_id, label AS prediction FROM (
+  SELECT v.*, row_number() OVER (PARTITION BY test_id
+                                 ORDER BY cnt DESC, label ASC) AS rn
+  FROM votes v) q
+WHERE rn = 1""",
+)
+def q_knn_predict_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN on min-max-normalized features (train-statistics scaling).
+
+    Unnormalized squared-Euclidean is dominated by l_extendedprice
+    (range ~1e5 vs l_tax's 0.08); scaling each feature to [0,1] from
+    TRAIN min/max (never test — no leakage) makes all four features
+    contribute. The stats relation is a 1-row broadcast join.
+    """
+    train, test = knn_tables(spark, sf_dir)
+    stats = train.select(
+        *[
+            f(F.element_at("features", i + 1)).alias(f"{n}{i}")
+            for i in range(len(KNN_FEATURES))
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+
+    def scale(side: DataFrame) -> DataFrame:
+        scaled = side.crossJoin(F.broadcast(stats))
+        exprs = [
+            (
+                (F.element_at("features", i + 1) - F.col(f"mn{i}"))
+                / (F.col(f"mx{i}") - F.col(f"mn{i}"))
+            )
+            for i in range(len(KNN_FEATURES))
+        ]
+        return scaled.select(
+            "id", F.array(*exprs).alias("features"), "label"
+        )
+
+    return knn_predict(
+        scale(train), scale(test), KNN_K, dim=len(KNN_FEATURES)
+    )
