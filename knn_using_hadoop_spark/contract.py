@@ -1729,3 +1729,171 @@ def q_knn_predict_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_predict(
         scale(train), scale(test), KNN_K, dim=len(KNN_FEATURES)
     )
+
+# --------------------------------------------------------------------------
+# Approximate Euclidean KNN with a full oracle: random-projection
+# buckets over min-max-scaled features. Projection signs are derived
+# from the portable md5 hash at PLAN-BUILD time (hashlib == Spark md5
+# == DuckDB md5), and the projection is a fixed-order 4-term sum, so
+# the approximate candidate set itself is bit-reproducible — unlike
+# MLlib's RNG-seeded BucketedRandomProjectionLSH (operators/
+# knn_approx.py), which stays test-verified.
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+_BKT_PLANES = 2
+_BKT_WIDTH = 0.5
+
+
+def _bkt_sign(p: int, i: int) -> int:
+    h = int(_hashlib.md5(f"knn:{p}:{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _bkt_proj_sql(prefix: str, p: int) -> str:
+    terms = []
+    for i in range(1, len(KNN_FEATURES) + 1):
+        sgn = "+" if _bkt_sign(p, i) > 0 else "-"
+        terms.append(
+            f"{sgn} ({prefix}.f{i} - s.mn{i}) / (s.mx{i} - s.mn{i})"
+        )
+    return " ".join(terms)
+
+
+@_register(
+    "knn_predict_bucketed",
+    f"""WITH
+base AS (
+  SELECT ('0x' || substr(md5(l_orderkey || ',' || l_linenumber || ','
+                         || l_quantity || ',' || l_extendedprice || ','
+                         || l_discount || ',' || l_tax), 1, 15))::BIGINT
+           AS id,
+         l_quantity AS f1, l_extendedprice AS f2,
+         l_discount AS f3, l_tax AS f4,
+         l_linenumber AS label
+  FROM lineitem),
+test AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} = 0),
+train AS (SELECT * FROM base WHERE id % {KNN_TEST_MOD} <> 0),
+stats AS (
+  SELECT min(f1) AS mn1, max(f1) AS mx1, min(f2) AS mn2, max(f2) AS mx2,
+         min(f3) AS mn3, max(f3) AS mx3, min(f4) AS mn4, max(f4) AS mx4
+  FROM train),
+tr_b AS (
+  SELECT t.id, t.label,
+         (t.f1-s.mn1)/(s.mx1-s.mn1) AS g1, (t.f2-s.mn2)/(s.mx2-s.mn2) AS g2,
+         (t.f3-s.mn3)/(s.mx3-s.mn3) AS g3, (t.f4-s.mn4)/(s.mx4-s.mn4) AS g4,
+         floor(({_bkt_proj_sql('t', 0)}) / {_BKT_WIDTH})::BIGINT AS b0,
+         floor(({_bkt_proj_sql('t', 1)}) / {_BKT_WIDTH})::BIGINT AS b1
+  FROM train t CROSS JOIN stats s),
+te_b AS (
+  SELECT t.id, t.label,
+         (t.f1-s.mn1)/(s.mx1-s.mn1) AS g1, (t.f2-s.mn2)/(s.mx2-s.mn2) AS g2,
+         (t.f3-s.mn3)/(s.mx3-s.mn3) AS g3, (t.f4-s.mn4)/(s.mx4-s.mn4) AS g4,
+         floor(({_bkt_proj_sql('t', 0)}) / {_BKT_WIDTH})::BIGINT AS b0,
+         floor(({_bkt_proj_sql('t', 1)}) / {_BKT_WIDTH})::BIGINT AS b1
+  FROM test t CROSS JOIN stats s),
+pairs AS (
+  SELECT te.id AS test_id, tr.id AS train_id, tr.label,
+         (te.g1-tr.g1)*(te.g1-tr.g1) + (te.g2-tr.g2)*(te.g2-tr.g2)
+       + (te.g3-tr.g3)*(te.g3-tr.g3) + (te.g4-tr.g4)*(te.g4-tr.g4) AS dist
+  FROM te_b te JOIN tr_b tr ON te.b0 = tr.b0 AND te.b1 = tr.b1),
+knn AS (
+  SELECT test_id, train_id, label FROM (
+    SELECT p.*, (row_number() OVER (PARTITION BY test_id
+                                    ORDER BY dist, train_id))::INT AS rank
+    FROM pairs p) r
+  WHERE rank <= {KNN_K}),
+votes AS (
+  SELECT test_id, label, count(*) AS cnt FROM knn GROUP BY test_id, label)
+SELECT test_id, label AS prediction FROM (
+  SELECT v.*, row_number() OVER (PARTITION BY test_id
+                                 ORDER BY cnt DESC, label ASC) AS rn
+  FROM votes v) q
+WHERE rn = 1""",
+)
+def q_knn_predict_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN: random-projection buckets replace the cross join.
+
+    Candidates = train rows sharing BOTH projection buckets with the
+    test row (equi-join on (b0, b1) — sub-quadratic, the scale path
+    for exact-ish KNN). Projections are fixed-order sums over min-max-
+    scaled features, so even this approximate operator is fully
+    oracle-checked. Test rows whose bucket holds no train row get no
+    prediction (standard LSH recall loss).
+    """
+    train, test = knn_tables(spark, sf_dir)
+    nf = len(KNN_FEATURES)
+    stats = train.select(
+        *[
+            f(F.element_at("features", i + 1)).alias(f"{n}{i + 1}")
+            for i in range(nf)
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+
+    def prep(side: DataFrame) -> DataFrame:
+        x = side.crossJoin(F.broadcast(stats))
+        scaled = [
+            (
+                (F.element_at("features", i) - F.col(f"mn{i}"))
+                / (F.col(f"mx{i}") - F.col(f"mn{i}"))
+            ).alias(f"g{i}")
+            for i in range(1, nf + 1)
+        ]
+        x = x.select("id", "label", *scaled)
+        for p in range(_BKT_PLANES):
+            proj: Column | None = None
+            for i in range(1, nf + 1):
+                t = F.lit(float(_bkt_sign(p, i))) * F.col(f"g{i}")
+                proj = t if proj is None else proj + t
+            x = x.withColumn(
+                f"b{p}",
+                F.floor(proj / F.lit(_BKT_WIDTH)).cast("bigint"),
+            )
+        return x
+
+    tr = prep(train)
+    te = prep(test)
+    d: Column | None = None
+    for i in range(1, nf + 1):
+        t = (F.col(f"te.g{i}") - F.col(f"tr.g{i}")) * (
+            F.col(f"te.g{i}") - F.col(f"tr.g{i}")
+        )
+        d = t if d is None else d + t
+    pairs = (
+        te.alias("te")
+        .join(
+            tr.alias("tr"),
+            [
+                F.col(f"te.b{p}") == F.col(f"tr.b{p}")
+                for p in range(_BKT_PLANES)
+            ],
+        )
+        .select(
+            F.col("te.id").alias("test_id"),
+            F.col("tr.id").alias("train_id"),
+            F.col("tr.label").alias("label"),
+            d.alias("dist"),
+        )
+    )
+    w = Window.partitionBy("test_id").orderBy(
+        F.col("dist").asc(), F.col("train_id").asc()
+    )
+    knn = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    votes = knn.groupBy("test_id", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        votes.groupBy("test_id")
+        .agg(
+            F.max_by(
+                F.col("label"),
+                F.struct(F.col("cnt"), (-F.col("label")).alias("neg")),
+            ).alias("prediction")
+        )
+        .orderBy("test_id")
+    )
