@@ -1897,3 +1897,41 @@ def q_knn_predict_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("test_id")
     )
+
+# --------------------------------------------------------------------------
+# Vocabulary analysis
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "vocab_top_terms",
+    """WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+freq AS (
+  SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM tok GROUP BY term)
+SELECT term, tf, df FROM (
+  SELECT f.*, (row_number() OVER (ORDER BY tf DESC, term ASC))::INT AS rk
+  FROM freq f) r
+WHERE rk <= 20""",
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by frequency with doc frequency.
+
+    The exploratory first query of any text pipeline; global top-k via
+    TakeOrderedAndProject after a two-level aggregate.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    freq = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        freq.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("term", "tf", "df")
+    )
