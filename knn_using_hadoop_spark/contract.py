@@ -1935,3 +1935,100 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("term", "tf", "df")
     )
+
+# --------------------------------------------------------------------------
+# Training-data curation: stratified sampling + quality filtering
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "stratified_sample",
+    f"""WITH h AS (
+  SELECT o_orderkey, o_orderpriority,
+         ('0x' || substr(md5(o_orderkey || ':strat'), 1, 8))::BIGINT AS hv
+  FROM orders)
+SELECT o_orderpriority, count(*) AS n_sampled
+FROM h
+WHERE hv % 100 < CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 100
+                   WHEN '2-HIGH' THEN 50
+                   ELSE 20 END
+GROUP BY o_orderpriority""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (class rebalancing).
+
+    The training-pipeline downsampler: per-stratum keep-rates applied
+    via the portable content hash — reproducible across runs/engines
+    (unlike ``df.sampleBy``'s RNG), embarrassingly parallel, and the
+    keep decision can be recomputed row-locally forever after.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":strat"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rate = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 100)
+        .when(F.col("o_orderpriority") == "2-HIGH", 50)
+        .otherwise(20)
+    )
+    return (
+        orders.withColumn("hv", hv)
+        .filter(F.col("hv") % 100 < rate)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@_register(
+    "corpus_quality_filter",
+    f"""WITH q AS (
+  SELECT doc_id, lang, length(text)::INT AS n_chars,
+         round(least(len(string_split(text, ' ')), 100)::DOUBLE / 100.0
+           * (1.0 - len(list_filter(string_split(text, ' '),
+                        x -> x IN ({", ".join(f"'{s}'" for s in ('the', 'a', 'and', 'of', 'to', 'in', 'is', 'on', 'for', 'that'))})))::DOUBLE
+                    / len(string_split(text, ' ')) * 0.5)
+           * (1.0 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                    / length(text)), 6) AS quality
+  FROM documents),
+bounds AS (
+  SELECT quantile_cont(n_chars, 0.05)::DOUBLE AS lo,
+         quantile_cont(n_chars, 0.99)::DOUBLE AS hi
+  FROM q)
+SELECT q.doc_id, q.lang, q.n_chars, q.quality
+FROM q CROSS JOIN bounds
+WHERE q.quality >= 0.3 AND q.n_chars >= bounds.lo AND q.n_chars <= bounds.hi""",
+)
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus curation: quality threshold + length-percentile trim.
+
+    Composes the quality score with exact-percentile outlier bounds
+    (computed over the corpus itself, one broadcast row) — the
+    standard 'drop junk + truncate the length tails' cleaning pass.
+    """
+    from knn_using_hadoop_spark.operators.text import quality_score
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = quality_score(docs).select("doc_id", "quality")
+    enriched = docs.select(
+        "doc_id", "lang", F.length("text").alias("n_chars")
+    ).join(q, "doc_id")
+    bounds = enriched.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.99)").alias("hi"),
+    )
+    return (
+        enriched.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("quality") >= 0.3)
+            & (F.col("n_chars") >= F.col("lo"))
+            & (F.col("n_chars") <= F.col("hi"))
+        )
+        .select("doc_id", "lang", "n_chars", "quality")
+    )

@@ -1,10 +1,40 @@
 """Relational operators composed from DataFrame primitives."""
 
+from knn_using_hadoop_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    neardup_components,
+    ngram_jaccard_pairs,
+    simhash,
+)
 from knn_using_hadoop_spark.operators.knn import (
     knn_accuracy,
     knn_neighbors,
     knn_predict,
     knn_vote_histogram,
+)
+from knn_using_hadoop_spark.operators.knn_approx import (
+    knn_approx_neighbors,
+    knn_approx_predict,
+)
+from knn_using_hadoop_spark.operators.similarity import (
+    cosine_classify,
+    cosine_topk,
+    ivf_topk,
+    lsh_bucket_topk,
+)
+from knn_using_hadoop_spark.operators.skew import (
+    key_skew_profile,
+    salted_count_sum,
+    salted_join_big_to_skewed,
+)
+from knn_using_hadoop_spark.operators.text import (
+    doc_fingerprint,
+    lang_id,
+    mllib_tfidf,
+    quality_score,
+    token_stats,
 )
 from knn_using_hadoop_spark.operators.topk import top_k_per_group
 
@@ -13,5 +43,25 @@ __all__ = [
     "knn_predict",
     "knn_vote_histogram",
     "knn_accuracy",
+    "knn_approx_neighbors",
+    "knn_approx_predict",
     "top_k_per_group",
+    "dedup_exact",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "neardup_components",
+    "simhash",
+    "cosine_topk",
+    "cosine_classify",
+    "lsh_bucket_topk",
+    "ivf_topk",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "mllib_tfidf",
+    "salted_count_sum",
+    "salted_join_big_to_skewed",
+    "key_skew_profile",
 ]
