@@ -85,6 +85,29 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # the reference's own largest committed workload (BASELINE.md: large
+    # ARFF, 30,803 train x 1,718 test, k=3, ~52.9M distance evals) run
+    # end-to-end on this engine — the directly comparable number
+    ref = "/root/reference/datasets"
+    if os.path.isdir(ref):
+        from knn_using_hadoop_spark.sources.arff import read_arff_features
+
+        t0 = time.perf_counter()
+        par = spark.sparkContext.defaultParallelism
+        # the ARFF id-assignment window leaves one partition; spread
+        # the train side so the cross join parallelizes
+        train = read_arff_features(spark, f"{ref}/large-train.arff").repartition(par)
+        test = read_arff_features(spark, f"{ref}/large-test.arff")
+        n = knn_predict(train, test, 3, dim=11).count()
+        timings["knn_reference_large_arff"] = round(
+            time.perf_counter() - t0, 3
+        )
+        print(
+            f"# knn_reference_large_arff: {n} predictions in "
+            f"{timings['knn_reference_large_arff']}s",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
