@@ -2032,3 +2032,52 @@ def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "n_chars", "quality")
     )
+
+
+@_register(
+    "dedup_simhash_pairs",
+    """WITH tok_h AS (
+  SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents) u),
+bs AS (
+  SELECT doc_id, j AS bit,
+         sum(CASE WHEN (h >> j) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok_h, generate_series(0, 31) g(j)
+  GROUP BY doc_id, j),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bs GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""",
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming distance <= 4 over 32-bit sigs.
+
+    All-pairs here (exact audit form); the sub-quadratic scale path
+    joins on signature bands (split the 32 bits into 4 bytes: any
+    pair within Hamming 4 shares at least one exact byte — pigeonhole)
+    before verifying, exactly like the MinHash banding.
+    """
+    sigs = _dedup.simhash(load_table(spark, "documents", sf_dir))
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(
+                F.col("ha").bitwiseXOR(F.col("hb"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+    )
