@@ -2081,3 +2081,36 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 4)
     )
+
+
+@_register(
+    "stats_agg",
+    """SELECT l_returnflag,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev / variance / covariance / corr.
+
+    Both engines use single-pass (Welford/M2-style) accumulation whose
+    merge order is nondeterministic — rounding absorbs the ulps, same
+    protocol as the float sums.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "cov_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
