@@ -38,3 +38,41 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+# Formats beyond the reference's ARFF-only surface (SURVEY.md §2.1:
+# "No Parquet/ORC/JSON/JDBC/Avro"). parquet/orc/json/csv ship with
+# Spark; jdbc needs a driver jar and a database, avro the spark-avro
+# package — neither is in this container, so those two raise with a
+# clear message instead of failing deep in the JVM.
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_format(df: DataFrame, path: str, fmt: str) -> None:
+    if fmt not in SUPPORTED_FORMATS:
+        raise NotImplementedError(
+            f"format {fmt!r}: jdbc/avro need driver jars not present in "
+            f"this environment; supported here: {SUPPORTED_FORMATS}"
+        )
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+
+def read_format(spark, path: str, fmt: str, schema=None) -> DataFrame:
+    if fmt not in SUPPORTED_FORMATS:
+        raise NotImplementedError(
+            f"format {fmt!r}: jdbc/avro need driver jars not present in "
+            f"this environment; supported here: {SUPPORTED_FORMATS}"
+        )
+    r = spark.read.format(fmt)
+    if fmt == "csv":
+        # header must be declared even with an explicit schema, else
+        # the header line parses as a (null-filled) data row
+        r = r.option("header", "true")
+    if schema is not None:
+        r = r.schema(schema)
+    elif fmt == "csv":
+        r = r.option("inferSchema", "true")
+    return r.load(path)

@@ -44,6 +44,29 @@ def test_write_parquet_partitioned(spark, sf_dir):
         assert "PartitionFilters" in plan
 
 
+def test_multi_format_roundtrip(spark, sf_dir):
+    import pytest
+
+    from knn_using_hadoop_spark.sources import load_table
+    from knn_using_hadoop_spark.sources.sinks import (
+        read_format,
+        write_format,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    expected = sorted(map(tuple, orders.collect()))
+    with tempfile.TemporaryDirectory() as d:
+        for fmt in ("parquet", "orc", "json", "csv"):
+            out = os.path.join(d, fmt)
+            write_format(orders, out, fmt)
+            back = read_format(spark, out, fmt, schema=orders.schema)
+            assert sorted(map(tuple, back.collect())) == expected, fmt
+        with pytest.raises(NotImplementedError, match="jdbc"):
+            write_format(orders, os.path.join(d, "x"), "jdbc")
+
+
 def test_mllib_tfidf_pipeline(spark, sf_dir):
     from knn_using_hadoop_spark.operators.text import mllib_tfidf
     from knn_using_hadoop_spark.sources import load_table
