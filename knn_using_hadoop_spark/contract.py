@@ -2114,3 +2114,53 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@_register(
+    "funnel_conversion",
+    """WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT count(*) AS n_users,
+       count(t_signup) AS n_signed_up,
+       sum(CASE WHEN t_click > t_signup THEN 1 ELSE 0 END)::BIGINT
+         AS n_clicked_after_signup,
+       sum(CASE WHEN t_purchase > t_click AND t_click > t_signup
+                THEN 1 ELSE 0 END)::BIGINT AS n_full_funnel
+FROM firsts""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: signup -> first click -> first purchase, in order.
+
+    One conditional-min aggregate per stage (single shuffle on
+    user_id), then ordered-stage counts. NULL first-touch timestamps
+    fall out of the > comparisons naturally (3-valued logic) in both
+    engines.
+    """
+    events = load_table(spark, "events", sf_dir)
+
+    def first_ts(t: str):
+        return F.min(
+            F.when(F.col("event_type") == t, F.col("ts"))
+        ).alias(f"t_{t}")
+
+    firsts = events.groupBy("user_id").agg(
+        first_ts("signup"), first_ts("click"), first_ts("purchase")
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_signup").alias("n_signed_up"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_signup"), 1).otherwise(0)
+        ).alias("n_clicked_after_signup"),
+        F.sum(
+            F.when(
+                (F.col("t_purchase") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_signup")),
+                1,
+            ).otherwise(0)
+        ).alias("n_full_funnel"),
+    )
