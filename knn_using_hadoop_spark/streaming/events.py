@@ -109,6 +109,36 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    spark: SparkSession,
+    path: str,
+    *,
+    key: str = "event_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins.
+
+    ``dropDuplicatesWithinWatermark`` — the streaming twin of
+    ``operators.dedup.dedup_exact``: dedup state for a key is held
+    only until the watermark passes its event time, so state is
+    bounded by (arrival-skew window x key rate) instead of growing
+    with the whole stream — the required shape for an always-on
+    ingestion pipeline that must suppress redelivered events.
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    events = reader.load(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
 def streaming_user_totals_stateful(
     spark: SparkSession, path: str
 ) -> DataFrame:

@@ -78,6 +78,37 @@ def test_stateful_user_totals(spark, sf_dir):
     assert got == batch
 
 
+def test_streaming_dedup(spark, sf_dir, tmp_path):
+    import shutil
+
+    from knn_using_hadoop_spark.sources import load_table
+    from knn_using_hadoop_spark.streaming.events import streaming_dedup
+
+    # source with redelivered events: the same file twice
+    src = tmp_path / "dup_events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+
+    dedup = streaming_dedup(spark, str(src))
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_dedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+        "FROM t_stream_dedup"
+    ).collect()[0]
+    n_events = load_table(spark, "events", sf_dir).count()
+    assert got.n == got.d == n_events  # 2x input, 1x output
+
+
 def test_ivf_topk_recall(spark):
     import numpy as np
 
