@@ -2164,3 +2164,39 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_full_funnel"),
     )
+
+
+@_register(
+    "rolling_window_range",
+    """SELECT event_id, user_id,
+       count(*) OVER w AS n_events_1h,
+       round(sum(value) OVER w, 4) AS value_1h
+FROM (SELECT event_id, user_id, value, epoch_us(ts) AS ts_us FROM events) e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+)
+def q_rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-user rolling 1-hour count and sum.
+
+    A true RANGE frame over event-time (microsecond epoch) — unlike a
+    ROWS frame, the window widens/narrows with event density. The
+    running sum accumulates in frame order, but RANGE frames with
+    duplicate ts_us values make per-row sums order-sensitive only
+    within exact-timestamp ties (none at microsecond resolution);
+    rounding covers the residual.
+    """
+    events = load_table(spark, "events", sf_dir)
+    e = events.select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+    )
