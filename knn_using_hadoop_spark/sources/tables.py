@@ -32,9 +32,24 @@ def sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
 
 
+def ensure_engine_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable confs the engine's semantics need.
+
+    The harness may hand us a SparkSession built without
+    ``session.py`` (the driver creates its own): without these,
+    events.parquet (TIMESTAMP(NANOS)) fails to scan at all, and a
+    non-UTC session timezone shifts every collected timestamp
+    relative to the DuckDB oracle. Both are runtime-settable SQL
+    confs, so pin them at every table load — idempotent and cheap.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_engine_confs(spark)
     base = base_dir or sf_dir()
     df = spark.read.parquet(f"{base}/{name}.parquet")
     if name == "events":
