@@ -632,9 +632,7 @@ WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= {thr}
 """
 
 
-@_register(
-    "dedup_minhash_lsh_pairs",
-    f"""WITH {_DOC_CTE}, {_MINHASH_SQL},
+_LSH_CAND_SQL = f"""
 bands AS (
   SELECT doc_id, h_idx // {_dedup.BAND_ROWS} AS band,
          max(CASE WHEN h_idx % {_dedup.BAND_ROWS} = 0 THEN minhash END)
@@ -646,13 +644,45 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
-   AND a.doc_id < b.doc_id),
+   AND a.doc_id < b.doc_id)
+"""
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""WITH {_DOC_CTE}, {_MINHASH_SQL}, {_LSH_CAND_SQL},
 {_JACCARD_TAIL_SQL.format(thr=0.5)}""",
 )
 def q_dedup_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+
+
+@_register(
+    "dedup_minhash_sigonly_pairs",
+    f"""WITH {_DOC_CTE}, {_MINHASH_SQL}, {_LSH_CAND_SQL},
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.doc_a
+  JOIN sigs y ON y.doc_id = c.doc_b AND y.h_idx = x.h_idx
+  GROUP BY c.doc_a, c.doc_b)
+SELECT doc_a, doc_b, n_agree,
+       n_agree::DOUBLE / {_dedup.NUM_HASHES} AS est_jaccard
+FROM agree
+WHERE n_agree::DOUBLE / {_dedup.NUM_HASHES} >= 0.5""",
+)
+def q_dedup_minhash_sigonly_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Signature-only near-dup pairs: the fixed-width-shuffle scale
+    path (no O(total shingles) verification re-join)."""
+    return _dedup.minhash_sig_est_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.5
     )
 
@@ -1362,6 +1392,103 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: cell assignment + same-cell rerank."""
     corpus, queries = _sim_queries(spark, sf_dir)
     return _sim.ivf_topk(corpus, queries, 5, n_centroids=_IVF_NC)
+
+
+# IVF with one deterministic Lloyd refinement round and nprobe=2.
+# The oracle unrolls the k-means iteration as CTE stages: seed cells
+# (a0), refined centroids = round(avg, 6) per component (cents1),
+# re-assignment (cells), per-query top-2 cell probes, exact rerank.
+# Queries are corpus members, so the probe ranking reuses the a1s
+# similarity sums instead of recomputing them.
+_IVF_KMEANS_SQL = f"""WITH
+cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC}),
+a0s AS (
+  SELECT e.vec_id, c.centroid_id,
+         sum(e.embedding[i]::DOUBLE * c.centv[i]::DOUBLE) AS dot,
+         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+         sum(c.centv[i]::DOUBLE * c.centv[i]::DOUBLE) AS cc
+  FROM embeddings e, cents0 c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.centroid_id),
+a0 AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM a0s) r
+  WHERE rn = 1),
+cents1 AS (
+  SELECT centroid_id, list(av ORDER BY i) AS centv FROM (
+    SELECT a.cell AS centroid_id, g.i,
+           round(avg(e.embedding[g.i]::DOUBLE), 6) AS av
+    FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id,
+         generate_series(1, {_EMB_DIM}) g(i)
+    GROUP BY a.cell, g.i) c
+  GROUP BY centroid_id),
+a1s AS (
+  SELECT e.vec_id, c.centroid_id,
+         sum(e.embedding[i]::DOUBLE * c.centv[i]) AS dot,
+         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+         sum(c.centv[i] * c.centv[i]) AS cc
+  FROM embeddings e, cents1 c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.centroid_id),
+cells AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM a1s) r
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, centroid_id AS cell FROM (
+    SELECT s.vec_id AS query_id, s.centroid_id,
+           row_number() OVER (PARTITION BY s.vec_id
+             ORDER BY round(s.dot / (sqrt(s.vv) * sqrt(s.cc)), 6) DESC,
+                      s.centroid_id ASC) AS rn
+    FROM a1s s WHERE s.vec_id % {_SIM_QUERY_MOD} = 0) r
+  WHERE rn <= 2),
+pe AS (
+  SELECT e.vec_id, p.query_id, e.embedding AS cv, qe.embedding AS qv
+  FROM embeddings e
+  JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN probes p ON p.cell = cl.cell
+  JOIN embeddings qe ON qe.vec_id = p.query_id
+  WHERE e.vec_id <> p.query_id),
+sums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM pe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+scored AS (
+  SELECT query_id, vec_id,
+         round(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+  FROM sums)
+SELECT query_id, rank, vec_id, sim FROM (
+  SELECT s.*, (row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, vec_id))::INT AS rank
+  FROM scored s) r
+WHERE rank <= 5"""
+
+
+@_register("similarity_topk_ivf_probe", _IVF_KMEANS_SQL)
+def q_similarity_topk_ivf_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF ANN, k-means-refined cells + nprobe=2 multi-probe search.
+
+    The real scale path past nprobe=1 (NOTES.md): refined centroids
+    fit the data distribution, and probing the 2 nearest cells
+    recovers neighbors that sit across a Voronoi boundary.
+    """
+    corpus, queries = _sim_queries(spark, sf_dir)
+    return _sim.ivf_probe_topk(
+        corpus, queries, 5, n_centroids=_IVF_NC, iters=1, nprobe=2
+    )
 
 
 @_register(

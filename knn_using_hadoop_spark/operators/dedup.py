@@ -182,31 +182,79 @@ def jaccard_verify(
     )
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
-) -> DataFrame:
-    """Near-dup pairs via MinHash LSH + exact Jaccard verification.
+def _lsh_candidates(signatures: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any full band signature.
 
-    Candidates: pairs sharing any full band signature (b=4, r=2 —
-    collision prob = 1-(1-j^2)^4). Verification: exact Jaccard over
-    shingle sets, filtered at ``threshold``. Output (doc_a, doc_b,
-    n_common, jaccard) with doc_a < doc_b.
+    b=4, r=2 over 8 hashes — collision prob = 1-(1-j^2)^4.
     """
-    bands = minhash_band_buckets(minhash_signatures(docs, n))
+    bands = minhash_band_buckets(signatures)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band", "sig0", "sig1"
     )
     right = bands.select(
         F.col("doc_id").alias("doc_b"), "band", "sig0", "sig1"
     )
-    candidates = (
+    return (
         left.join(right, ["band", "sig0", "sig1"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH + exact Jaccard verification.
+
+    Candidates from ``_lsh_candidates``; verification: exact Jaccard
+    over shingle sets, filtered at ``threshold``. Output (doc_a,
+    doc_b, n_common, jaccard) with doc_a < doc_b.
+    """
+    candidates = _lsh_candidates(minhash_signatures(docs, n))
     return jaccard_verify(candidates, shingle_sets(docs, n)).filter(
         F.col("jaccard") >= threshold
+    )
+
+
+def minhash_sig_est_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs with signature-ESTIMATED Jaccard (no re-join).
+
+    The 100 TB path past ``minhash_lsh_pairs``: verification re-joins
+    full shingle sets, whose shuffle is O(total shingles) — dominated
+    by the longest documents. Here Jaccard is estimated as the
+    agreement fraction of the NUM_HASHES minhashes (the unbiased
+    MinHash estimator), so everything after signature computation
+    shuffles O(|docs| x NUM_HASHES) fixed-width rows regardless of
+    document length. Estimator granularity is 1/NUM_HASHES; use the
+    exact variant when the threshold needs finer resolution.
+    Output (doc_a, doc_b, n_agree, est_jaccard) with doc_a < doc_b.
+    """
+    sigs = minhash_signatures(docs, n)
+    candidates = _lsh_candidates(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), "h_idx",
+        F.col("minhash").alias("ma"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), "h_idx",
+        F.col("minhash").alias("mb"),
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "h_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
+            ).alias("n_agree")
+        )
+        .withColumn(
+            "est_jaccard", F.col("n_agree") / F.lit(NUM_HASHES)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
     )
 
 

@@ -252,6 +252,137 @@ def ivf_topk(
     )
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 1,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd-refined IVF centroids: (centroid_id, centv).
+
+    Seeds = the first ``n_centroids`` corpus vectors by id (standard
+    corpus-point seeding), then ``iters`` rounds of assign → mean.
+    Fully deterministic and oracle-reproducible: assignment ranks on
+    cosine rounded to 6dp with ties to the lowest centroid_id, and the
+    recomputed centroid components are ``round(avg(x), 6)`` — double
+    summation noise across engines/partition orders is ~1e-13, far
+    below the rounding grain. Cells that lose all members drop out
+    (both engines agree). Each round is one broadcast join (assign)
+    plus one (cell, pos) aggregation — no driver-side data movement,
+    so the loop scales to any corpus size; iters is a small constant.
+    """
+    cents = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centv"),
+        )
+    )
+    for _ in range(iters):
+        cells = ivf_assign_cells(
+            corpus,
+            cents.select("centroid_id", F.col("centv").alias(vec_col)),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        comp = (
+            corpus.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+            )
+            .join(cells, "vec_id")
+            .select("cell", F.posexplode("vv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("av"))
+        )
+        cents = (
+            comp.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "av"))),
+                    lambda s: s.getField("av"),
+                ).alias("centv")
+            )
+            .select(F.col("cell").alias("centroid_id"), "centv")
+        )
+    return cents
+
+
+def ivf_probe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_centroids: int = 16,
+    iters: int = 1,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with k-means-refined cells and multi-probe search.
+
+    The scale path past ``ivf_topk``'s nprobe=1: each query visits its
+    ``nprobe`` nearest cells (recall recovers the neighbors that sit
+    just across a Voronoi boundary), candidates are reranked exactly.
+    Cost: |corpus| x C assignment (broadcast join, C tiny), then each
+    query meets ~nprobe/C of the corpus — sub-quadratic, shuffle keyed
+    on cell. Returns (query_id, rank, vec_id, sim).
+    """
+    cents = ivf_kmeans_centroids(
+        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = ivf_assign_cells(
+        corpus,
+        cents.select("centroid_id", F.col("centv").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    # top-nprobe cells per query, ranked on the same rounded cosine
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    qsim = F.round(
+        _dot_hof(F.col("qv"), F.col("centv"))
+        / (
+            F.sqrt(_sqnorm_hof(F.col("qv")))
+            * F.sqrt(_sqnorm_hof(F.col("centv")))
+        ),
+        6,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.select("query_id", "qv", "centroid_id", qsim.alias("psim"))
+        .withColumn("pn", F.row_number().over(wprobe))
+        .filter(F.col("pn") <= nprobe)
+        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).join(cells, "vec_id")
+    pairs = c.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot_hof(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_sqnorm_hof(F.col("qv"))) * F.sqrt(_sqnorm_hof(F.col("cv")))
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

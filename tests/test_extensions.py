@@ -44,6 +44,23 @@ def test_minhash_lsh_finds_near_dups(docs):
         assert 0.5 <= r.jaccard <= 1.0
 
 
+def test_minhash_sigonly_estimates(docs):
+    est = {
+        (r.doc_a, r.doc_b): (r.n_agree, r.est_jaccard)
+        for r in dd.minhash_sig_est_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dup: identical signatures -> estimator exactly 1.0
+    assert est[(0, 1)] == (dd.NUM_HASHES, 1.0)
+    # near dup (true jaccard ~0.55): estimate must land in-band and
+    # above the 0.5 threshold to be emitted at all
+    if (0, 2) in est:
+        assert 0.5 <= est[(0, 2)][1] <= 1.0
+    # never emits pairs below threshold, granularity 1/NUM_HASHES
+    for n_agree, ej in est.values():
+        assert ej == n_agree / dd.NUM_HASHES
+        assert ej >= 0.5
+
+
 def test_ngram_jaccard_exact_pairs(docs):
     pairs = {
         (r.doc_a, r.doc_b): r.jaccard

@@ -138,6 +138,19 @@ def test_ivf_topk_recall(spark):
     # clustered data: same-cell neighbors dominate the true top-k
     assert recall > 0.6, f"IVF recall too low: {recall}"
 
+    # k-means-refined centroids + nprobe=2 must not lose recall vs the
+    # nprobe=1 seed-centroid path, and should clear a higher floor
+    # (boundary neighbors get recovered by the second probe)
+    probed = {
+        (r.query_id, r.vec_id)
+        for r in sim.ivf_probe_topk(
+            df, q, 5, n_centroids=8, iters=1, nprobe=2
+        ).collect()
+    }
+    recall2 = len(exact & probed) / len(exact)
+    assert recall2 >= recall, (recall, recall2)
+    assert recall2 > 0.7, f"multi-probe IVF recall too low: {recall2}"
+
 
 def test_multimodal_plumbing(spark, sf_dir):
     import pytest
