@@ -2327,3 +2327,108 @@ def q_rolling_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.round(F.sum("value").over(w), 4).alias("value_1h"),
     )
+
+
+from knn_using_hadoop_spark.operators import timeseries as _ts  # noqa: E402
+
+
+@_register(
+    "events_gap_fill_daily",
+    """WITH counts AS (
+  SELECT user_id, ts::DATE AS day, count(*) AS n_events
+  FROM events GROUP BY user_id, ts::DATE),
+bounds AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+calendar AS (
+  SELECT unnest(generate_series(d0::TIMESTAMP, d1::TIMESTAMP,
+                                INTERVAL 1 DAY))::DATE AS day
+  FROM bounds),
+grid AS (
+  SELECT u.user_id, c.day
+  FROM (SELECT DISTINCT user_id FROM events) u, calendar c)
+SELECT g.user_id, g.day, coalesce(cn.n_events, 0)::BIGINT AS n_events
+FROM grid g
+LEFT JOIN counts cn ON cn.user_id = g.user_id AND cn.day = g.day""",
+)
+def q_events_gap_fill_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dense per-user daily counts with missing days zero-filled —
+    the calendar gap-fill every time-series pipeline needs (the grid
+    comes from tiny aggregates, never from exploding the fact table).
+    """
+    return _ts.gap_fill_daily(
+        load_table(spark, "events", sf_dir), "user_id", "ts"
+    )
+
+
+@_register(
+    "events_new_users_daily",
+    """SELECT day, count(*) AS n_new
+FROM (SELECT user_id, min(ts::DATE) AS day FROM events GROUP BY user_id) f
+GROUP BY day""",
+)
+def q_events_new_users_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-seen cohort sizes per day (new-vs-returning split)."""
+    return _ts.new_keys_daily(
+        load_table(spark, "events", sf_dir), "user_id", "ts"
+    )
+
+
+@_register(
+    "events_multi_rollup",
+    """SELECT event_type,
+       date_trunc('hour', ts) AS bucket_hour,
+       date_trunc('day', ts)::TIMESTAMP AS bucket_day,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY GROUPING SETS (
+  (event_type, date_trunc('hour', ts)),
+  (event_type, date_trunc('day', ts)::TIMESTAMP))""",
+)
+def q_events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups
+    of the same fact scan in ONE pass via GROUPING SETS.
+
+    At 100 TB this halves the fact-table reads vs two separate
+    rollup jobs: one shared scan feeds an Expand (2 rows per input,
+    one per grouping set) and a single shared partial+final aggregate
+    (verified: 1 parquet scan, Expand, partial HashAggregate).
+    """
+    events = load_table(spark, "events", sf_dir)
+    events.createOrReplaceTempView("events_mr")
+    return spark.sql(
+        """SELECT event_type,
+       date_trunc('hour', ts) AS bucket_hour,
+       date_trunc('day', ts) AS bucket_day,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events_mr
+GROUP BY event_type, GROUPING SETS (
+  (date_trunc('hour', ts)), (date_trunc('day', ts)))"""
+    )
+
+
+@_register(
+    "embedding_label_centroids",
+    f"""WITH comp AS (
+  SELECT label, g.i, round(avg(embedding[g.i]::DOUBLE), 6) AS av
+  FROM embeddings, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY label, g.i),
+cents AS (
+  SELECT label, list(av ORDER BY i) AS centroid FROM comp GROUP BY label),
+sz AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+SELECT c.label, s.n_vecs, c.centroid
+FROM cents c JOIN sz s ON s.label = c.label""",
+)
+def q_embedding_label_centroids(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label mean embedding (class prototypes / quantizer
+    codebook) via the shared mean_vectors operator."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    cents = _sim.mean_vectors(embs, "label", "embedding", out_vec="centroid")
+    sizes = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return cents.join(sizes, "label").select("label", "n_vecs", "centroid")

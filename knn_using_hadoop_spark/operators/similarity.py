@@ -252,6 +252,37 @@ def ivf_topk(
     )
 
 
+def mean_vectors(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    *,
+    out_vec: str = "centv",
+    decimals: int = 6,
+) -> DataFrame:
+    """Component-wise mean vector per group: (group_col, out_vec).
+
+    posexplode -> (group, pos) partial+final avg -> re-assemble in pos
+    order. Components are ``round(avg, decimals)`` so the result is
+    reproducible across engines and partition orders (summation noise
+    ~1e-13 is far below the rounding grain). One shuffle keyed on
+    (group, pos) — scales to any corpus size and dimension.
+    """
+    comp = (
+        df.select(F.col(group_col), F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(group_col, "pos")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), decimals).alias("av")
+        )
+    )
+    return comp.groupBy(group_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))),
+            lambda s: s.getField("av"),
+        ).alias(out_vec)
+    )
+
+
 def ivf_kmeans_centroids(
     corpus: DataFrame,
     n_centroids: int,
@@ -288,24 +319,11 @@ def ivf_kmeans_centroids(
             id_col=id_col,
             vec_col=vec_col,
         )
-        comp = (
-            corpus.select(
-                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
-            )
-            .join(cells, "vec_id")
-            .select("cell", F.posexplode("vv").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("av"))
-        )
-        cents = (
-            comp.groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "av"))),
-                    lambda s: s.getField("av"),
-                ).alias("centv")
-            )
-            .select(F.col("cell").alias("centroid_id"), "centv")
+        assigned = corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+        ).join(cells, "vec_id")
+        cents = mean_vectors(assigned, "cell", "vv").select(
+            F.col("cell").alias("centroid_id"), "centv"
         )
     return cents
 
