@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "groupby_agg",
     "topk_per_group",
     "join_agg",
+    "tpch_q5_revenue",
     "window_analytics",
     "events_windowed_agg",
     "scan_filter_project",

@@ -2432,3 +2432,138 @@ def q_embedding_label_centroids(
     cents = _sim.mean_vectors(embs, "label", "embedding", out_vec="centroid")
     sizes = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return cents.join(sizes, "label").select("label", "n_vecs", "centroid")
+
+
+@_register(
+    "tpch_q5_revenue",
+    """SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
+)
+def q_tpch_q5_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join with a LARGE-LARGE fact join.
+
+    lineitem x orders is the one join here that can't broadcast at
+    scale — it shuffles on the order key (AQE picks sort-merge /
+    shuffled-hash from runtime stats) while supplier/nation/region
+    and the date filter broadcast and push down. The Q5 local-supplier
+    predicate (s_nationkey = c_nationkey) makes it a genuine multi-way
+    constraint, not a star lookup.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "price_histogram",
+    """WITH b AS (
+  SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+  FROM lineitem),
+x AS (
+  SELECT least(floor((l_extendedprice - mn) / ((mx - mn) / 20)),
+               19)::INT AS bucket,
+         mn, mx
+  FROM lineitem, b)
+SELECT bucket,
+       round(mn + bucket * ((mx - mn) / 20), 4) AS lo,
+       round(mn + (bucket + 1) * ((mx - mn) / 20), 4) AS hi,
+       count(*) AS n
+FROM x GROUP BY bucket, mn, mx""",
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 20-bucket histogram of l_extendedprice.
+
+    The binning op behind every profiling/EDA pass: global bounds from
+    one tiny aggregate (broadcast back), bucket = floor((x-mn)/w)
+    clamped to the last bucket — identical float expression order in
+    both engines, so bucket edges are bit-exact. One scan + one
+    partial+final aggregate; no sort.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    w = (F.col("mx") - F.col("mn")) / F.lit(20)
+    bucket = F.least(
+        F.floor((F.col("l_extendedprice") - F.col("mn")) / w), F.lit(19)
+    ).cast("int")
+    return (
+        li.crossJoin(F.broadcast(b))
+        .select(bucket.alias("bucket"), "mn", "mx")
+        .groupBy("bucket", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            F.round(F.col("mn") + F.col("bucket") * w, 4).alias("lo"),
+            F.round(F.col("mn") + (F.col("bucket") + 1) * w, 4).alias("hi"),
+            "n",
+        )
+    )
+
+
+@_register(
+    "feature_zscore",
+    """SELECT o_orderkey, o_orderpriority,
+       round((o_totalprice - avg(o_totalprice) OVER w)
+             / stddev_samp(o_totalprice) OVER w, 6) AS z
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)""",
+)
+def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (feature-pipeline staple).
+
+    Whole-partition analytic window (unbounded frame): one shuffle on
+    the group key computes mean and stddev and standardizes in the
+    same pass — no second scan, no driver-side stats. Rounded to 6dp
+    to absorb cross-engine summation-order noise in the moments.
+    """
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(
+            (F.col("o_totalprice") - F.avg("o_totalprice").over(w))
+            / F.stddev_samp("o_totalprice").over(w),
+            6,
+        ).alias("z"),
+    )
