@@ -2567,3 +2567,39 @@ def q_feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@_register(
+    "events_category_counts",
+    """WITH cat(event_type, category) AS (
+  VALUES ('click', 'engagement'), ('view', 'engagement'),
+         ('purchase', 'conversion'), ('signup', 'conversion'),
+         ('error', 'ops'))
+SELECT date_trunc('hour', ts) AS hour_start, category,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events JOIN cat USING (event_type)
+GROUP BY date_trunc('hour', ts), category""",
+)
+def q_events_category_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dimension-enriched hourly rollup — batch twin of the
+    stream-static join (``streaming.events.streaming_category_counts``):
+    fact join to a broadcast static lookup, then windowed agg."""
+    from knn_using_hadoop_spark.streaming.events import EVENT_CATEGORIES
+
+    events = load_table(spark, "events", sf_dir)
+    cats = spark.createDataFrame(
+        list(EVENT_CATEGORIES), "event_type string, category string"
+    )
+    return (
+        events.join(F.broadcast(cats), "event_type")
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            "category",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )

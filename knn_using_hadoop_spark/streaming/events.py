@@ -34,6 +34,33 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# static event_type -> category lookup for stream-static enrichment
+EVENT_CATEGORIES = (
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+)
+
+
+def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source event stream with ts normalized to timestamp.
+
+    File-source streams take directories; a single-file path is split
+    into (parent, pathGlobFilter).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if path.endswith(".parquet"):
+        import os
+
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.load(path).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
 def streaming_event_counts(
     spark: SparkSession,
     path: str,
@@ -45,20 +72,7 @@ def streaming_event_counts(
     Returns the unstarted streaming DataFrame; callers pick the sink.
     Output: (window_start, event_type, n_events, total_value).
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if path.endswith(".parquet"):
-        # file-source streams take directories; point at the parent
-        # and glob the single file
-        import os
-
-        reader = reader.option(
-            "pathGlobFilter", os.path.basename(path)
-        )
-        path = os.path.dirname(path)
-    raw = reader.load(path)
-    events = raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = _read_events_stream(spark, path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), "event_type")
@@ -88,15 +102,7 @@ def streaming_sessionize(
     ``sessionization`` query (lag + cumsum), which produces the same
     (user_id, session_start, n_events) partitioning of events.
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    events = reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = _read_events_stream(spark, path)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), "user_id")
@@ -125,15 +131,7 @@ def streaming_dedup(
     with the whole stream — the required shape for an always-on
     ingestion pipeline that must suppress redelivered events.
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    events = reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    events = _read_events_stream(spark, path)
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         [key]
     )
@@ -154,13 +152,7 @@ def streaming_user_totals_stateful(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
-    if path.endswith(".parquet"):
-        import os
-
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    events = reader.load(path)
+    events = _read_events_stream(spark, path)
 
     def update_totals(key, batches, state):
         import pandas as pd
@@ -184,6 +176,42 @@ def streaming_user_totals_stateful(
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_category_counts(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed agg per category.
+
+    The canonical ingestion pattern the module lacked: a streaming
+    fact joined to a STATIC dimension (event_type -> category) before
+    aggregation. Spark plans the static side as a broadcast against
+    every micro-batch, so enrichment adds no shuffle and no state;
+    only the downstream windowed agg keeps (bounded) state. Batch
+    twin: ``contract.q_events_category_counts``.
+    """
+    events = _read_events_stream(spark, path)
+    cats = spark.createDataFrame(
+        list(EVENT_CATEGORIES), "event_type string, category string"
+    )
+    return (
+        events.join(F.broadcast(cats), "event_type")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "category",
+            "n_events",
+            "total_value",
+        )
     )
 
 

@@ -44,6 +44,28 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     assert stream_rows == batch_rows
 
 
+def test_streaming_category_counts_match_batch(spark, sf_dir):
+    from knn_using_hadoop_spark.contract import q_events_category_counts
+    from knn_using_hadoop_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_category_counts,
+    )
+
+    agg = streaming_category_counts(spark, f"{sf_dir}/events.parquet")
+    assert agg.isStreaming
+    got = run_stream_to_memory(agg, spark, "t_stream_cats")
+    stream_rows = {
+        (r.hour_start, r.category): (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.hour_start, r.category): (r.n_events, r.total_value)
+        for r in q_events_category_counts(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
+
+
 def test_stateful_user_totals(spark, sf_dir):
     from pyspark.sql import functions as F
 
