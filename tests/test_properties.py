@@ -111,3 +111,36 @@ def test_neighbors_sorted_and_unique(spark, k):
         assert len({r.train_id for r in rs}) == len(rs)
         # test rows are drawn from train -> rank 1 is the row itself
         assert rs[0].train_id == tid and rs[0].dist == 0.0
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_gap_fill_dense_and_count_preserving(spark, seed):
+    """gap_fill_daily: output is always the dense |keys| x |days| grid
+    and the zero-fill never changes total event counts."""
+    import datetime
+
+    from knn_using_hadoop_spark.operators.timeseries import gap_fill_daily
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 40))
+    base = datetime.datetime(2024, 5, 1)
+    rows = [
+        (
+            int(rng.integers(0, 5)),
+            base + datetime.timedelta(
+                days=int(rng.integers(0, 10)),
+                seconds=int(rng.integers(0, 86400)),
+            ),
+        )
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = gap_fill_daily(df, "user_id", "ts").collect()
+
+    days = {r[1].date() for r in rows}
+    span = (max(days) - min(days)).days + 1
+    keys = {r[0] for r in rows}
+    assert len(out) == len(keys) * span
+    assert sum(r.n_events for r in out) == n
+    assert all(r.n_events >= 0 for r in out)
