@@ -2603,3 +2603,73 @@ def q_events_category_counts(
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@_register(
+    "decimal_exact_totals",
+    """SELECT l_returnflag,
+       sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2) AS gross,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS net
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL accounting totals — no float rounding protocol.
+
+    Every other aggregate in the registry rounds doubles to absorb
+    summation-order noise; this one casts each INPUT to decimal once
+    (the source doubles sit on exact 2dp/6dp grids, so the cast is
+    rounding-rule-neutral) and then multiplies and sums entirely in
+    fixed-point — bit-exact in any partitioning/order, the correct
+    pattern for money at any scale. Casting the double PRODUCT
+    per-row instead would diverge: Spark rounds half-up, DuckDB
+    half-even, and 60k rows of cent-rounding drift add up.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(price).cast("decimal(38,2)").alias("gross"),
+        F.sum(price * disc).cast("decimal(38,8)").alias("net"),
+    )
+
+
+@_register(
+    "orders_cohort_retention",
+    """WITH firsts AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)::TIMESTAMP)
+           AS cohort
+  FROM orders GROUP BY o_custkey)
+SELECT f.cohort,
+       date_diff('month', f.cohort,
+                 date_trunc('month', o.o_orderdate)::TIMESTAMP)::INT
+         AS months_since,
+       count(DISTINCT o.o_custkey) AS n_active
+FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort, months_since""",
+)
+def q_orders_cohort_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort retention matrix: customers active N months after their
+    first-order month.
+
+    The standard growth-analytics pivot input: first-seen month per
+    key (one aggregate), re-join to facts, distinct-count per
+    (cohort, month offset). The distinct agg is the expensive step at
+    scale — Spark plans partial distinct aggregation before the final
+    shuffle.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    joined = o.join(firsts, "o_custkey")
+    months_since = (
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), F.col("cohort")
+        )
+    ).cast("int")
+    return joined.groupBy(
+        "cohort", months_since.alias("months_since")
+    ).agg(F.count_distinct(F.col("o_custkey")).alias("n_active"))
