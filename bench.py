@@ -105,8 +105,8 @@ def main() -> None:
         from knn_using_hadoop_spark.sources.arff import read_arff_features
 
         par = spark.sparkContext.defaultParallelism
-        # the ARFF id-assignment window leaves one partition; spread
-        # the train side so the cross join parallelizes
+        # a small single-file ARFF is one input split; spread the
+        # train side so the cross join parallelizes
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

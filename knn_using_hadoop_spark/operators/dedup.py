@@ -319,6 +319,11 @@ def neardup_components(pairs: DataFrame) -> DataFrame:
         edges.select(F.col("s").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
+        # materialize each round: without this the lineage deepens
+        # every iteration and both consumers of `updated` (the
+        # convergence count and the next round's join) recompute the
+        # whole history — O(rounds^2) work and an ever-growing plan
+        .localCheckpoint()
     )
     while True:
         nbr_min = (
@@ -345,6 +350,7 @@ def neardup_components(pairs: DataFrame) -> DataFrame:
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = (
             updated.alias("u")
