@@ -43,10 +43,26 @@ BENCH_QUERIES = [
     "scan_filter_project",
     "sessionization",
     "dedup_minhash_lsh_pairs",
+    # the 100 TB dedup path: fixed-width signature-only estimate, no
+    # exact-Jaccard verify re-join — benched next to the exact variant
+    # so the crossover is recorded (NOTES.md)
+    "dedup_minhash_sigonly_pairs",
     "dedup_simhash",
     "similarity_topk",
     "doc_quality_score",
 ]
+
+
+def _materialize(df) -> None:
+    """Execute a result fully via the noop sink.
+
+    NOT ``df.count()``: under count() Catalyst prunes any computed
+    column nothing references (window_analytics' row_number/lag,
+    scan_filter_project's net_price, ...), so the timing would measure
+    little more than the scan (ADVICE r1). The noop sink consumes
+    every column of every row and discards them — the standard Spark
+    benchmarking sink."""
+    df.write.format("noop").mode("overwrite").save()
 
 
 def _sf_from_dir(d: str) -> float:
@@ -72,25 +88,28 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best, n = float("inf"), -1
+        best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
-            n = df.count()
+            _materialize(df)
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        n = fn(spark, SF_DIR).count()  # untimed, for the report line
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     # flagship KNN (mod=1000 at sf0.1 -> ~600 queries x ~600k train =
     # ~360M distance evals)
-    best = float("inf")
+    best, n = float("inf"), -1
     for _ in range(runs):
         t0 = time.perf_counter()
         train, test = contract.knn_tables(spark, SF_DIR, mod=1000)
-        n = knn_predict(
+        df = knn_predict(
             train, test, contract.KNN_K, dim=len(contract.KNN_FEATURES)
-        ).count()
+        )
+        _materialize(df)
         best = min(best, time.perf_counter() - t0)
+    n = df.count()
     timings["knn_predict_large"] = round(best, 3)
     print(
         f"# knn_predict_large: {n} rows in {timings['knn_predict_large']}s",
@@ -116,10 +135,12 @@ def main() -> None:
             test = read_arff_features(spark, f"{ref}/large-test.arff")
             # sample=512 is the measured prefilter optimum for this
             # workload shape (1718 test x 31k train) — knn.py sizing note
-            n = knn_predict(
+            df = knn_predict(
                 train, test, 3, dim=11, prefilter_sample=512
-            ).count()
+            )
+            _materialize(df)
             best = min(best, time.perf_counter() - t0)
+        n = df.count()
         timings["knn_reference_large_arff"] = round(best, 3)
         print(
             f"# knn_reference_large_arff: {n} predictions in "

@@ -582,8 +582,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_exact",
     f"""SELECT min(doc_id) AS doc_id, fp64, count(*) AS n_copies
-FROM (SELECT doc_id, {_H64.format(x='text')} AS fp64 FROM documents) h
-GROUP BY fp64""",
+FROM (SELECT doc_id, {_H64.format(x='text')} AS fp64,
+             (('0x' || substr(md5(text), 17, 15))::BIGINT) AS fp64b
+      FROM documents) h
+GROUP BY fp64, fp64b""",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.dedup_exact(load_table(spark, "documents", sf_dir))

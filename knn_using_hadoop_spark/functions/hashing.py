@@ -31,14 +31,19 @@ def portable_hash32(c: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("bigint")
 
 
-def portable_hash64(c: Column | str) -> Column:
-    """Unsigned 60-bit hash (first 15 md5 hex chars) as bigint.
+def portable_hash64(c: Column | str, pos: int = 1) -> Column:
+    """Unsigned 60-bit hash (15 md5 hex chars from ``pos``) as bigint.
 
     15 nibbles (not 16) so the value always fits in a signed int64 in
-    both engines without overflow-behavior differences.
+    both engines without overflow-behavior differences. ``pos=17``
+    yields an independent second slice of the same digest — pairing
+    the two gives a 120-bit key whose collision odds are negligible
+    at any real corpus size, while the shuffle key stays 16 bytes.
     """
     c = F.col(c) if isinstance(c, str) else c
-    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
+    return F.conv(
+        F.substring(F.md5(c.cast("string")), pos, 15), 16, 10
+    ).cast("bigint")
 
 
 def sql_hash32(expr: str, dialect: str) -> str:
@@ -48,11 +53,11 @@ def sql_hash32(expr: str, dialect: str) -> str:
     return f"CAST(conv(substr(md5({expr}), 1, 8), 16, 10) AS BIGINT)"
 
 
-def sql_hash64(expr: str, dialect: str) -> str:
+def sql_hash64(expr: str, dialect: str, pos: int = 1) -> str:
     """SQL text for portable_hash64, for building oracle strings."""
     if dialect == "duckdb":
-        return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
-    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+        return f"(('0x' || substr(md5({expr}), {pos}, 15))::BIGINT)"
+    return f"CAST(conv(substr(md5({expr}), {pos}, 15), 16, 10) AS BIGINT)"
 
 
 def minhash_perm(hash_col: Column, a: int, b: int) -> Column:

@@ -41,12 +41,19 @@ BAND_ROWS = 2  # 8 hashes -> 4 bands of 2 (r=2, b=4)
 def dedup_exact(docs: DataFrame) -> DataFrame:
     """One row per distinct text: (doc_id = min id, n_copies, fp64).
 
-    Hash-groupBy dedup: groups on the 60-bit content hash + text so
-    the aggregation is a plain partial/final HashAggregate.
+    Hash-groupBy dedup on a 120-bit content key — two independent
+    60-bit slices of the same md5 digest. Grouping on the hash rather
+    than the text keeps the shuffle key fixed-width (16 bytes/row
+    after partial aggregation) instead of shipping document bodies —
+    the property that makes this the 100 TB path. Two distinct texts
+    merge only on a 120-bit collision (~2^-60 birthday odds at
+    billion-doc scale; adversarial md5 collisions are out of scope
+    for dedup).
     """
     return (
         docs.withColumn("fp64", portable_hash64(F.col("text")))
-        .groupBy("fp64")
+        .withColumn("fp64b", portable_hash64(F.col("text"), pos=17))
+        .groupBy("fp64", "fp64b")
         .agg(
             F.min("doc_id").alias("doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

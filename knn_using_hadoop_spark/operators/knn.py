@@ -52,7 +52,14 @@ _METRICS = {
     "sqeuclidean": sq_euclidean,
     "manhattan": manhattan_distance,
     # Nearest under cosine = highest similarity, so distance = 1 - sim.
-    "cosine": lambda a, b, dim=None: F.lit(1.0) - cosine_similarity(a, b),
+    # A zero-norm vector has no direction: its similarity is NaN, and
+    # NaN would silently break the prefilter (dist <= tau is false for
+    # NaN, so prefiltered and unfiltered paths would diverge — ADVICE
+    # r1). Map it to the maximum cosine distance 2.0 instead: total,
+    # finite ordering, zero vectors rank last, prefilter proof holds.
+    "cosine": lambda a, b, dim=None: F.nanvl(
+        F.lit(1.0) - cosine_similarity(a, b), F.lit(2.0)
+    ),
 }
 
 

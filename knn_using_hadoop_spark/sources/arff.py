@@ -10,8 +10,13 @@ the header filter (P1) and tokenize/cast projection (P2) happen
 inside the scan, and the file splits/parallelizes like any text
 source (the reference's eager whole-file read does not).
 
-Only NUMERIC attributes are supported — the reference's entire type
-system (SURVEY.md §1.2); nominal/string/date attributes raise.
+NUMERIC/REAL/INTEGER attributes map to double columns; nominal
+(``{a,b,c}``) and ``string`` attributes map to string columns,
+matching Weka's ``ArffReader`` on the reference's test-set path
+(``Hadoop.java:66-71``) — though the reference's distance math then
+assumes numeric (``Hadoop.java:155-165``), so the feature projection
+(``read_arff_features``) rejects non-numeric columns with a clear
+error. ``date``/``relational`` attributes raise.
 """
 
 from __future__ import annotations
@@ -26,7 +31,12 @@ class ArffFormatError(ValueError):
 
 
 def parse_arff_schema(header_lines: list[str]) -> T.StructType:
-    """StructType from ``@attribute <name> NUMERIC`` declarations."""
+    """StructType from ``@attribute`` declarations.
+
+    NUMERIC/REAL/INTEGER -> double; ``{a,b,c}`` nominal and
+    ``string`` -> string (Weka's reader parses these too,
+    ``Hadoop.java:66-71``); anything else (date, relational) raises.
+    """
     fields = []
     for line in header_lines:
         s = line.strip()
@@ -36,12 +46,19 @@ def parse_arff_schema(header_lines: list[str]) -> T.StructType:
         if len(parts) != 3:
             raise ArffFormatError(f"malformed attribute line: {line!r}")
         _, name, typ = parts
-        if typ.strip().upper() not in ("NUMERIC", "REAL", "INTEGER"):
+        typ = typ.strip()
+        if typ.upper() in ("NUMERIC", "REAL", "INTEGER"):
+            dtype: T.DataType = T.DoubleType()
+        elif typ.startswith("{") and typ.endswith("}") or (
+            typ.upper() == "STRING"
+        ):
+            dtype = T.StringType()
+        else:
             raise ArffFormatError(
-                f"unsupported ARFF type {typ!r} for {name!r}: the engine "
-                "(like the reference, SURVEY.md §1.2) is numeric-only"
+                f"unsupported ARFF type {typ!r} for {name!r}: numeric, "
+                "nominal {...} and string attributes are supported"
             )
-        fields.append(T.StructField(name, T.DoubleType(), nullable=False))
+        fields.append(T.StructField(name, dtype, nullable=False))
     if not fields:
         raise ArffFormatError("no @attribute declarations found")
     return T.StructType(fields)
@@ -60,7 +77,11 @@ def read_arff(spark: SparkSession, path: str) -> DataFrame:
         .collect()
     )
     schema = parse_arff_schema([r.value for r in header])
-    return spark.read.csv(path, schema=schema, comment="@")
+    # FAILFAST: the schema declares nullable=False, and PERMISSIVE
+    # mode would contradict it by turning malformed/short data lines
+    # into nulls that flow on into distance arithmetic (ADVICE r1) —
+    # error at the scan instead.
+    return spark.read.csv(path, schema=schema, comment="@", mode="FAILFAST")
 
 
 def read_arff_features(
@@ -76,6 +97,18 @@ def read_arff_features(
     would carry an explicit key column instead.
     """
     df = read_arff(spark, path)
+    non_numeric = [
+        f.name
+        for f in df.schema.fields
+        if not isinstance(f.dataType, T.DoubleType)
+    ]
+    if non_numeric:
+        raise ArffFormatError(
+            "feature projection needs numeric attributes, but "
+            f"{non_numeric} are nominal/string — like the reference's "
+            "distance math (Hadoop.java:155-165), KNN is numeric-only; "
+            "index nominal columns upstream first"
+        )
     cols = df.columns
     feature_cols, label_col = cols[:-1], cols[-1]
     return _with_file_order_id(df).select(

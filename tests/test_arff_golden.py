@@ -39,9 +39,44 @@ def test_read_arff_features_shape(spark):
     assert len(rows[0].features) == 7
 
 
-def test_parse_rejects_nominal():
-    with pytest.raises(ArffFormatError, match="numeric-only"):
-        parse_arff_schema(["@attribute cls {a,b}"])
+def test_parse_nominal_and_string_as_string_columns():
+    schema = parse_arff_schema(
+        [
+            "@attribute x NUMERIC",
+            "@attribute cls {a,b}",
+            "@attribute note string",
+        ]
+    )
+    assert [f.dataType.typeName() for f in schema.fields] == [
+        "double",
+        "string",
+        "string",
+    ]
+
+
+def test_parse_rejects_date():
+    with pytest.raises(ArffFormatError, match="unsupported ARFF type"):
+        parse_arff_schema(["@attribute ts date yyyy-MM-dd"])
+
+
+def test_read_nominal_arff_end_to_end(spark, tmp_path):
+    p = tmp_path / "nominal.arff"
+    p.write_text(
+        "@relation toy\n"
+        "@attribute x NUMERIC\n"
+        "@attribute y NUMERIC\n"
+        "@attribute cls {yes,no}\n"
+        "@data\n"
+        "1.0,2.0,yes\n"
+        "3.5,4.5,no\n"
+    )
+    df = read_arff(spark, str(p))
+    rows = df.orderBy("x").collect()
+    assert [r.cls for r in rows] == ["yes", "no"]
+    assert rows[0].y == 2.0
+    # the numeric-only feature projection refuses with a clear error
+    with pytest.raises(ArffFormatError, match="numeric"):
+        read_arff_features(spark, str(p))
 
 
 def test_parse_rejects_empty():

@@ -38,8 +38,11 @@ def _canon(val) -> str:
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        # repr keeps full double precision; bit-identical doubles match
-        return repr(val)
+        # repr keeps full double precision; bit-identical doubles
+        # match. Normalize -0.0 -> 0.0 first: the two compare equal
+        # but repr differently, and rounded tiny negatives can land on
+        # either sign cross-engine (ADVICE r1).
+        return repr(val + 0.0)
     if isinstance(val, datetime.datetime):
         return val.replace(tzinfo=None).isoformat()
     if isinstance(val, list):
