@@ -2682,3 +2682,196 @@ def q_orders_cohort_retention(
     return joined.groupBy(
         "cohort", months_since.alias("months_since")
     ).agg(F.count_distinct(F.col("o_custkey")).alias("n_active"))
+
+
+# --------------------------------------------------------------------------
+# Round 2: training-data pipeline ops (chunking, packing, incremental
+# dedup), oracle-checked sketching, bloom-pruned join, CUBE, bigram LM
+# counts. The reference has none of these (SURVEY.md §2.9/§2.11); they
+# are the ops a pretraining pipeline actually runs.
+# --------------------------------------------------------------------------
+
+from knn_using_hadoop_spark.operators import pipeline as _pipeline  # noqa: E402
+from knn_using_hadoop_spark.operators.joins import (  # noqa: E402
+    bloom_pruned_join,
+)
+from knn_using_hadoop_spark.operators.sketches import (  # noqa: E402
+    kmv_distinct,
+    kmv_distinct_oracle_sql,
+)
+
+
+@_register(
+    "doc_chunk_windows",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nz AS (SELECT * FROM toks WHERE len(t) > 0),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), 40)) AS start FROM nz)
+SELECT doc_id, (start // 40)::INT AS chunk_id,
+       array_to_string(t[start + 1 : start + 50], ' ') AS chunk_text,
+       least(50, len(t) - start)::INT AS n_tokens
+FROM st""",
+)
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding token-window chunking (size=50, overlap=10) — the
+    RAG/embedding-indexing preprocessor. Scan + generate only, no
+    shuffle; see operators/pipeline.py::chunk_windows."""
+    return _pipeline.chunk_windows(
+        load_table(spark, "documents", sf_dir), size=50, overlap=10
+    )
+
+
+@_register(
+    "doc_pack_greedy",
+    """WITH toks AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::INT AS n_tokens
+  FROM documents),
+pref AS (
+  SELECT source, doc_id, n_tokens,
+         (sum(n_tokens) OVER (PARTITION BY source
+                              ORDER BY doc_id))::BIGINT - n_tokens
+           AS start_offset
+  FROM toks)
+SELECT source, doc_id, n_tokens, start_offset,
+       (start_offset // 512)::INT AS pack_id
+FROM pref""",
+)
+def q_doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate per-source token
+    streams in doc_id order, chop every 512 tokens; a doc's pack is
+    where its first token lands. Window sum PARTITIONED BY source —
+    no global order (pipeline.py::pack_greedy)."""
+    return _pipeline.pack_greedy(
+        load_table(spark, "documents", sf_dir), capacity=512
+    )
+
+
+@_register(
+    "dedup_incremental",
+    """WITH inc AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
+SELECT i.doc_id, i.lang, i.source
+FROM inc i
+WHERE NOT EXISTS (
+  SELECT 1 FROM corp c
+  WHERE ('0x' || substr(md5(c.text), 1, 15))::BIGINT
+          = ('0x' || substr(md5(i.text), 1, 15))::BIGINT
+    AND ('0x' || substr(md5(c.text), 17, 15))::BIGINT
+          = ('0x' || substr(md5(i.text), 17, 15))::BIGINT)""",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: incoming batch (doc_id % 10 = 0) anti-
+    joined against the standing corpus on the 120-bit content key —
+    16-byte shuffle keys, never document bodies
+    (pipeline.py::dedup_incremental)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return _pipeline.dedup_incremental(
+        corpus=docs.filter(F.col("doc_id") % 10 != 0),
+        incoming=docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+@_register(
+    "distinct_kmv",
+    kmv_distinct_oracle_sql("events", "event_type", "user_id::VARCHAR", 64),
+)
+def q_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user sketch per event type — the oracle-checkable
+    approximate-distinct (HLL can't cross-engine-match; k smallest
+    md5 hashes can). Planner turns the per-group k-smallest into a
+    partial top-k below the shuffle, i.e. fixed-size sketch merges
+    (operators/sketches.py)."""
+    return kmv_distinct(
+        load_table(spark, "events", sf_dir), "event_type", "user_id", k=64
+    )
+
+
+@_register(
+    "events_cube",
+    """SELECT event_type, dayname(ts) AS dow, count(*) AS n_events,
+       round(sum(value)::DOUBLE, 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, dayname(ts))""",
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping
+    granularities in one shared scan + Expand — completes the
+    rollup/grouping-sets family (events_multi_rollup) with the full
+    lattice."""
+    e = load_table(spark, "events", sf_dir)
+    return e.cube(
+        F.col("event_type"), F.date_format("ts", "EEEE").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@_register(
+    "doc_bigram_counts",
+    """WITH nz AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM nz)
+SELECT bigram, count(*) AS n
+FROM bg GROUP BY bigram HAVING count(*) >= 20""",
+)
+def q_doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (the n-gram LM / contamination-check
+    primitive): per-doc bigram generation is scan-local, one shuffle
+    on the bigram for the count, threshold n >= 20."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.split(F.col("text"), " ")
+    bg = (
+        docs.select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), "
+                    "i -> concat(element_at(t, i), ' ', "
+                    "element_at(t, i + 1)))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@_register(
+    "join_bloom_pruned",
+    """SELECT o.o_orderpriority,
+       round(sum(l.l_extendedprice * (1 - l.l_discount))::DOUBLE, 2)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 450000
+GROUP BY o.o_orderpriority""",
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact⋈dim join behind an explicit Bloom runtime
+    filter (operators/joins.py). Bloom false positives die in the
+    exact join that follows, so the oracle is the PLAIN join SQL —
+    an approximate technique with an exact contract."""
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") > 450000
+    ).select("o_orderkey", "o_orderpriority")
+    joined = bloom_pruned_join(li, o, "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )

@@ -14,10 +14,17 @@ from knn_using_hadoop_spark.operators.knn import (
     knn_predict,
     knn_vote_histogram,
 )
+from knn_using_hadoop_spark.operators.joins import bloom_pruned_join
 from knn_using_hadoop_spark.operators.knn_approx import (
     knn_approx_neighbors,
     knn_approx_predict,
 )
+from knn_using_hadoop_spark.operators.pipeline import (
+    chunk_windows,
+    dedup_incremental,
+    pack_greedy,
+)
+from knn_using_hadoop_spark.operators.sketches import kmv_distinct
 from knn_using_hadoop_spark.operators.similarity import (
     cosine_classify,
     cosine_topk,
@@ -64,4 +71,9 @@ __all__ = [
     "salted_count_sum",
     "salted_join_big_to_skewed",
     "key_skew_profile",
+    "chunk_windows",
+    "pack_greedy",
+    "dedup_incremental",
+    "kmv_distinct",
+    "bloom_pruned_join",
 ]

@@ -1,0 +1,89 @@
+"""Deterministic distinct-count sketching (KMV / k-minimum-values).
+
+Spark's ``approx_count_distinct`` (HLL++) and DuckDB's
+``approx_count_distinct`` (different HLL) can never hash-match, so the
+oracle-checkable sketch here is KMV (Bar-Yossef et al. 2002): keep the
+k smallest DISTINCT hash values per group; if fewer than k distinct
+values exist the count is exact, otherwise estimate
+
+    D ≈ (k - 1) * H / h_(k)
+
+where ``h_(k)`` is the k-th smallest hash and ``H = 2^60`` is the hash
+range (the engine's portable 60-bit md5 slice, functions/hashing.py).
+Everything is deterministic arithmetic over md5, so the DuckDB twin
+reproduces it bit-for-bit — an *oracle-checked* approximate-distinct,
+which HLL can't give you.
+
+Scale shape: the per-group k-smallest is a window top-k, which the
+planner turns into a partial top-k below the shuffle
+(InferWindowGroupLimit) — each map task forwards at most k hashes per
+group, the same fixed-size-sketch merge a real HLL implementation
+does, just expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.functions.hashing import portable_hash64
+
+HASH_RANGE = float(1 << 60)  # exact double (power of two)
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """(group, est_distinct, n_kept) per group.
+
+    ``est_distinct`` is rounded to 4 dp (pure function of md5 — the
+    rounding is only to keep the cross-engine repr stable).
+    """
+    hashes = df.select(
+        F.col(group_col),
+        portable_hash64(F.col(value_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("h").asc())
+    kept = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.max("h").alias("hk"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    est: Column = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_RANGE) / F.col("hk").cast("double")
+    )
+    return kept.select(
+        F.col(group_col),
+        F.round(est, 4).alias("est_distinct"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+    )
+
+
+def kmv_distinct_oracle_sql(
+    table: str, group_col: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of ``kmv_distinct`` (same hash, same arithmetic)."""
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col},
+         (('0x' || substr(md5({value_expr}), 1, 15))::BIGINT) AS h
+  FROM {table}),
+kept AS (
+  SELECT {group_col}, max(h) AS hk, count(*)::BIGINT AS n_kept
+  FROM (SELECT *, row_number() OVER (PARTITION BY {group_col}
+                                     ORDER BY h ASC) AS rn
+        FROM hashes) r
+  WHERE rn <= {k}
+  GROUP BY {group_col})
+SELECT {group_col},
+       round(CASE WHEN n_kept < {k} THEN n_kept::DOUBLE
+                  ELSE {float(k - 1)} * {HASH_RANGE} / hk::DOUBLE END,
+             4) AS est_distinct,
+       n_kept
+FROM kept"""

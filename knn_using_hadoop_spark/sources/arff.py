@@ -138,6 +138,13 @@ def _with_file_order_id(df: DataFrame) -> DataFrame:
     two passes see identical partitioning. The offsets relation is one
     row per partition; it broadcast-joins.
     """
+    if df.rdd.getNumPartitions() == 1:
+        # single input split (the common ARFF case): the per-partition
+        # record counter IS the file-order id — no counting pass, no
+        # join, metadata-only check
+        return df.withColumn(
+            "id", F.monotonically_increasing_id().cast("int")
+        )
     base = df.withColumn("_pid", F.spark_partition_id())
     counts = (
         base.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect()

@@ -84,6 +84,34 @@ def test_parse_rejects_empty():
         parse_arff_schema(["@relation foo", "@data"])
 
 
+def test_file_order_ids_multi_split(spark):
+    """The zipWithIndex id path must agree with single-split reads.
+
+    Shrinking maxPartitionBytes forces the scan into many input
+    splits, exercising the per-partition-offset branch; ids must stay
+    contiguous 0..n-1 and map to the same rows as the (golden-pinned)
+    single-split read.
+    """
+    key = "spark.sql.files.maxPartitionBytes"
+    single = {
+        r.id: (tuple(r.features), r.label)
+        for r in read_arff_features(
+            spark, f"{REF}/large-train.arff"
+        ).collect()
+    }
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(16 * 1024))
+    try:
+        df = read_arff_features(spark, f"{REF}/large-train.arff")
+        multi = {
+            r.id: (tuple(r.features), r.label) for r in df.collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert sorted(multi) == list(range(len(single)))
+    assert multi == single
+
+
 def test_reference_golden_parity(spark):
     train = read_arff_features(spark, f"{REF}/small-train.arff")
     test = read_arff_features(spark, f"{REF}/small-test.arff")

@@ -1,0 +1,107 @@
+"""Unit tests for training-data pipeline ops, sketches, bloom join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators.joins import bloom_pruned_join
+from knn_using_hadoop_spark.operators.pipeline import (
+    chunk_windows,
+    dedup_incremental,
+    pack_greedy,
+)
+from knn_using_hadoop_spark.operators.sketches import kmv_distinct
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+
+
+def test_chunk_windows_exact(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c d e f g", "en", "s"),  # 7 tokens
+            (2, "x", "en", "s"),  # 1 token -> one short chunk
+        ],
+    )
+    out = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+        for r in chunk_windows(docs, size=4, overlap=2).collect()
+    }
+    # step=2: starts 0,2,4,6 for 7 tokens
+    assert out == {
+        (1, 0): ("a b c d", 4),
+        (1, 1): ("c d e f", 4),
+        (1, 2): ("e f g", 3),
+        (1, 3): ("g", 1),
+        (2, 0): ("x", 1),
+    }
+
+
+def test_chunk_windows_validates_overlap(spark):
+    docs = _docs(spark, [(1, "a b", "en", "s")])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_windows(docs, size=4, overlap=4)
+
+
+def test_pack_greedy_offsets_and_straddle(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(["t"] * 6), "en", "s1"),  # 6 tokens
+            (2, " ".join(["t"] * 6), "en", "s1"),  # starts at 6, straddles
+            (3, " ".join(["t"] * 2), "en", "s1"),  # starts at 12 -> pack 1
+            (4, " ".join(["t"] * 3), "en", "s2"),  # separate stream
+        ],
+    )
+    out = {
+        r.doc_id: (r.start_offset, r.pack_id)
+        for r in pack_greedy(docs, capacity=10).collect()
+    }
+    assert out == {1: (0, 0), 2: (6, 0), 3: (12, 1), 4: (0, 0)}
+
+
+def test_dedup_incremental_drops_known_texts(spark):
+    corpus = _docs(spark, [(1, "seen text", "en", "s")])
+    incoming = _docs(
+        spark,
+        [(10, "seen text", "en", "s"), (11, "fresh text", "en", "s")],
+    )
+    kept = dedup_incremental(corpus, incoming).collect()
+    assert [r.doc_id for r in kept] == [11]
+
+
+def test_kmv_exact_below_k_and_close_above(spark):
+    rows = [("small", i) for i in range(10)]
+    rows += [("big", i) for i in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {r.g: (r.est_distinct, r.n_kept) for r in
+           kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"] == (10.0, 10)  # < k distinct -> exact
+    est, kept = out["big"]
+    assert kept == 64
+    assert abs(est - 1000) / 1000 < 0.25  # KMV rel-err ~1/sqrt(k)
+
+
+def test_bloom_pruned_join_equals_plain_join(spark):
+    probe = spark.createDataFrame(
+        [(i, i * 10) for i in range(200)], "k bigint, v bigint"
+    )
+    build = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(0, 200, 20)], "k bigint, name string"
+    )
+    got = sorted(
+        tuple(r) for r in bloom_pruned_join(probe, build, "k").collect()
+    )
+    want = sorted(tuple(r) for r in probe.join(build, "k").collect())
+    assert got == want and len(got) == 10
+
+
+def test_bloom_pruned_join_rejects_unsound_how(spark):
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="sound"):
+        bloom_pruned_join(df, df, "k", how="left")
