@@ -2875,3 +2875,24 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@_register(
+    "dedup_components_star",
+    f"""WITH RECURSIVE {_LSH_PAIRS_CTE},
+edges AS (SELECT doc_a AS s, doc_b AS t FROM neardup
+          UNION ALL SELECT doc_b, doc_a FROM neardup),
+reach AS (
+  SELECT s AS doc, s AS r FROM edges
+  UNION
+  SELECT e.s AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.t)
+SELECT doc AS doc_id, min(r) AS component FROM reach GROUP BY doc""",
+)
+def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star —
+    the O(log n)-round formulation for planet-scale dedup graphs,
+    same contract (and same recursive-CTE oracle) as the min-label
+    propagation in ``dedup_components``."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return _dedup.neardup_components_star(pairs)

@@ -5,6 +5,7 @@ from knn_using_hadoop_spark.operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     neardup_components,
+    neardup_components_star,
     ngram_jaccard_pairs,
     simhash,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "neardup_components",
+    "neardup_components_star",
     "simhash",
     "cosine_topk",
     "cosine_classify",

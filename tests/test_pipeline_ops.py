@@ -105,3 +105,49 @@ def test_bloom_pruned_join_rejects_unsound_how(spark):
     df = spark.createDataFrame([(1,)], "k bigint")
     with pytest.raises(ValueError, match="sound"):
         bloom_pruned_join(df, df, "k", how="left")
+
+
+def test_star_components_match_union_find(spark):
+    import random
+
+    from knn_using_hadoop_spark.operators.dedup import (
+        neardup_components,
+        neardup_components_star,
+    )
+
+    rng = random.Random(7)
+    n = 120
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(90)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    # long chain: forces multi-round convergence (diameter 30)
+    chain_lo = 1000
+    edges += [(chain_lo + i, chain_lo + i + 1) for i in range(30)]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+    star = {
+        r.doc_id: r.component
+        for r in neardup_components_star(pairs).collect()
+    }
+    prop = {
+        r.doc_id: r.component
+        for r in neardup_components(pairs).collect()
+    }
+    assert star == want
+    assert prop == want
