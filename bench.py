@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "similarity_topk",
     "doc_quality_score",
+    # training-data pipeline headliners (round 2)
+    "doc_chunk_windows",
+    "doc_pack_greedy",
 ]
 
 

@@ -68,6 +68,24 @@ KNN_K = 3
 KNN_TEST_MOD = 100
 
 
+def load_docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``documents`` spread across all cores before heavy fan-out.
+
+    The sf0.1 documents parquet is ONE input split, so without this
+    every shingle/token explode (50-200x per row) runs on a single
+    task until the first shuffle. One upfront round-robin shuffle of
+    the small source buys full parallelism for the expensive stage —
+    measured 2.2x end-to-end on dedup_minhash_lsh_pairs at sf0.1.
+    Only used by the explode-heavy queries: for scan-local ops
+    (chunking, per-row stats) the added exchange would cost more than
+    it saves. At real scale a 100 TB source has thousands of splits
+    and needs no such spread.
+    """
+    return load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def knn_tables(
     spark: SparkSession, sf_dir: str, mod: int = KNN_TEST_MOD
 ) -> tuple[DataFrame, DataFrame]:
@@ -613,7 +631,7 @@ def q_dedup_minhash_signatures(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _dedup.minhash_signatures(
-        load_table(spark, "documents", sf_dir)
+        load_docs_wide(spark, sf_dir)
     )
 
 
@@ -659,7 +677,7 @@ def q_dedup_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _dedup.minhash_lsh_pairs(
-        load_table(spark, "documents", sf_dir), threshold=0.5
+        load_docs_wide(spark, sf_dir), threshold=0.5
     )
 
 
@@ -685,7 +703,7 @@ def q_dedup_minhash_sigonly_pairs(
     """Signature-only near-dup pairs: the fixed-width-shuffle scale
     path (no O(total shingles) verification re-join)."""
     return _dedup.minhash_sig_est_pairs(
-        load_table(spark, "documents", sf_dir), threshold=0.5
+        load_docs_wide(spark, sf_dir), threshold=0.5
     )
 
 
@@ -705,7 +723,7 @@ def q_dedup_ngram_jaccard_pairs(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     return _dedup.ngram_jaccard_pairs(
-        load_table(spark, "documents", sf_dir),
+        load_docs_wide(spark, sf_dir),
         threshold=0.5,
         max_shingle_freq=50,
     )
@@ -728,7 +746,7 @@ SELECT doc_id,
 FROM bs GROUP BY doc_id""",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.simhash(load_table(spark, "documents", sf_dir))
+    return _dedup.simhash(load_docs_wide(spark, sf_dir))
 
 
 _EMB_DIM = 64
@@ -1232,7 +1250,7 @@ def q_text_hashed_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream distance op consumes directly. ln() is the one
     transcendental in the contract; rounding absorbs libm ulps.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     )
@@ -1297,7 +1315,7 @@ def q_doc_winnow_fingerprints(
     the gram hash is computed once per position (an array formulation
     would re-inline the md5 subtree per window slot).
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     grams = docs.select(
         "doc_id",
         F.posexplode(
@@ -1666,7 +1684,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     count only). Oracle: recursive-CTE transitive closure. Both
     converge to component = min reachable doc_id.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return _dedup.neardup_components(pairs)
 
@@ -1693,7 +1711,7 @@ def q_dedup_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     or is its cluster's representative (min doc_id) — the standard
     'keep one per cluster' training-data dedup policy.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     comp = _dedup.neardup_components(
         _dedup.minhash_lsh_pairs(docs, threshold=0.5)
     )
@@ -2057,7 +2075,7 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exploratory first query of any text pipeline; global top-k via
     TakeOrderedAndProject after a two-level aggregate.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
     )
@@ -2065,10 +2083,14 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    # orderBy+limit (not a global row_number window): plans as
+    # TakeOrderedAndProject — per-partition partial top-20 merged on
+    # the driver, no single-partition sort. The term tie-break makes
+    # the ordering total, so the row set matches the oracle's
+    # row_number() formulation exactly.
     return (
-        freq.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 20)
+        freq.orderBy(F.col("tf").desc(), F.col("term").asc())
+        .limit(20)
         .select("term", "tf", "df")
     )
 
@@ -2199,7 +2221,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair within Hamming 4 shares at least one exact byte — pigeonhole)
     before verifying, exactly like the MinHash banding.
     """
-    sigs = _dedup.simhash(load_table(spark, "documents", sf_dir))
+    sigs = _dedup.simhash(load_docs_wide(spark, sf_dir))
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
     )
@@ -2893,6 +2915,6 @@ def q_dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(log n)-round formulation for planet-scale dedup graphs,
     same contract (and same recursive-CTE oracle) as the min-label
     propagation in ``dedup_components``."""
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_docs_wide(spark, sf_dir)
     pairs = _dedup.minhash_lsh_pairs(docs, threshold=0.5)
     return _dedup.neardup_components_star(pairs)

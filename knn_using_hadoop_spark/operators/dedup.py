@@ -147,6 +147,12 @@ def jaccard_verify(
     ``shingle_df`` = distinct (doc_id, shingle). Returns
     (doc_a, doc_b, n_common, jaccard).
     """
+    # NOTE: three consumers below (both join sides + the size
+    # aggregate) each recompute the explode+distinct lineage.
+    # Measured at sf0.1: materializing it first (localCheckpoint) is
+    # ~2x SLOWER than the recompute — serializing the wide string
+    # relation costs more than three codegen'd explode passes (same
+    # lesson as the r1 cache-vs-recompute finding, NOTES.md).
     sizes = shingle_df.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles")
     )
@@ -321,7 +327,10 @@ def neardup_components(pairs: DataFrame) -> DataFrame:
     )
     edges = edges.union(
         edges.select(F.col("t").alias("s"), F.col("s").alias("t"))
-    )
+    # materialize once: edges are re-joined EVERY round, and the
+    # upstream pair-generation (LSH band join + Jaccard verify) is far
+    # too expensive to recompute per iteration
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("s").alias("doc"))
         .distinct()

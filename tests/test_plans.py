@@ -83,3 +83,41 @@ def test_all_queries_plan_without_python_udfs(spark, name):
     df = contract.REGISTRY[name].spark_fn(spark, SF)
     plan = _plan(df)
     assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF
+
+
+def test_kmv_sketch_partial_topk(spark):
+    plan = _plan(contract.q_distinct_kmv(spark, SF))
+    # per-group k-smallest must run as partial top-k below the shuffle
+    # (fixed-size sketch merges), not a full per-group sort
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_bloom_pruned_join_shape(spark):
+    plan = _plan(contract.q_join_bloom_pruned(spark, SF))
+    # the bits relation is a 1-row broadcast (nested loop, no shuffle
+    # of the probe side to apply the filter)...
+    assert "BroadcastNestedLoopJoin" in plan
+    # ...and the exact join that follows broadcasts the small build side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_windows_no_shuffle(spark):
+    plan = _plan(contract.q_doc_chunk_windows(spark, SF))
+    # chunking is scan-local: generate over the scan, zero exchanges
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    plan = _plan(contract.q_vocab_top_terms(spark, SF))
+    # global top-20 must be partial-topk-merge, not a 1-partition window
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_pack_greedy_partitioned_window(spark):
+    plan = _plan(contract.q_doc_pack_greedy(spark, SF))
+    # the prefix sum must be keyed by source, never a global window
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
