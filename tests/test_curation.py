@@ -1,0 +1,112 @@
+"""Curation-operator semantics the SQL oracle can't express:
+stability properties, invariants under corpus growth, masking
+round-trips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators import curation
+from knn_using_hadoop_spark.sources.tables import load_table
+
+
+def test_split_stable_under_corpus_growth(spark, sf_dir):
+    """A doc's split must not change when other docs are added —
+    the property that prevents eval contamination on re-snapshot."""
+    docs = load_table(spark, "documents", sf_dir)
+    full = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_assign(docs).select("doc_id", "split").collect()
+    }
+    half = {
+        r["doc_id"]: r["split"]
+        for r in curation.split_assign(docs.filter(F.col("doc_id") % 2 == 0))
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert half  # non-empty subset
+    for doc_id, split in half.items():
+        assert full[doc_id] == split
+
+
+def test_split_covers_and_partitions(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    out = curation.split_assign(docs)
+    assert out.count() == docs.count()
+    splits = {r["split"] for r in out.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"}
+    # 80/10/10 buckets: train must dominate
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    assert counts["train"] > counts.get("val", 0)
+    assert counts["train"] > counts.get("test", 0)
+
+
+def test_reservoir_exact_k_and_deterministic(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    s1 = curation.reservoir_per_group(docs, "source", "doc_id", k=3)
+    s2 = curation.reservoir_per_group(docs, "source", "doc_id", k=3)
+    rows1 = sorted((r["source"], r["doc_id"]) for r in s1.collect())
+    rows2 = sorted((r["source"], r["doc_id"]) for r in s2.collect())
+    assert rows1 == rows2  # hash-ranked, no RNG
+    per_group = s1.groupBy("source").count().collect()
+    group_sizes = dict(
+        docs.groupBy("source").count().rdd.map(lambda r: (r[0], r[1])).collect()
+    )
+    for r in per_group:
+        assert r["count"] == min(3, group_sizes[r["source"]])
+
+
+def test_pii_masking_roundtrip(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.user@site.org or call 5551234 x12"),
+            (2, "no pii here"),
+            (3, "a@b.io and c.d@e.f.com plus 999"),
+        ],
+        ["id", "t"],
+    )
+    out = {r["id"]: r for r in curation.pii_redact(df, "t").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_numbers"] == 1
+    assert "<EMAIL>" in out[1]["masked"] and "<NUM>" in out[1]["masked"]
+    assert "jo.user" not in out[1]["masked"]
+    assert "5551234" not in out[1]["masked"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_numbers"] == 0
+    assert out[2]["masked"] == "no pii here"
+    assert out[3]["n_emails"] == 2 and out[3]["n_numbers"] == 1
+
+
+def test_quantize_errors_bounded_by_grid_step(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    stats = curation.quantize_embeddings_int8(emb)
+    rows = stats.collect()
+    assert len(rows) == 64
+    for r in rows:
+        span = r["vmax"] - r["vmin"]
+        # midpoint reconstruction: |err| <= span / (2*255) + rounding slack
+        assert r["max_abs_err"] <= span / 510.0 + 1e-6
+        assert 0.0 <= r["avg_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def test_repetition_flags_degenerate_doc(spark):
+    rows = [(1, "spam " * 50 + "spam"), (2, " ".join(f"w{i}" for i in range(60)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.repetition_metrics(df).collect()}
+    assert out[1]["keep"] == 0 and out[1]["top_token_frac"] == 1.0
+    assert out[2]["keep"] == 1 and out[2]["dup_bigram_frac"] == 0.0
+
+
+def test_decontaminate_catches_planted_copy(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (10, base),               # benchmark (doc_id % 10 == 0)
+        (11, base + " extra1"),   # near-copy of benchmark -> contaminated
+        (12, " ".join(f"other{i}" for i in range(40))),  # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in curation.decontaminate(df).collect()}
+    assert set(out) == {11, 12}  # benchmark docs excluded from report
+    assert out[11]["contaminated"] == 1 and out[11]["overlap_frac"] > 0.9
+    assert out[12]["contaminated"] == 0 and out[12]["n_overlap"] == 0

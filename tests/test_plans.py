@@ -109,6 +109,34 @@ def test_chunk_windows_no_shuffle(spark):
     assert "Generate" in plan
 
 
+def test_reservoir_partial_topk(spark):
+    plan = _plan(contract.q_sample_reservoir_per_source(spark, SF))
+    # hash-rank sampling must keep local top-k before the shuffle
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = _plan(contract.q_decontaminate_overlap(spark, SF))
+    # the tiny benchmark gram set is broadcast; the corpus never
+    # repartitions to meet it
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_expand(spark):
+    plan = _plan(contract.q_unpivot_source_stats(spark, SF))
+    # melt must be a single-pass Expand, not a self-join per metric
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    plan = _plan(contract.q_embedding_quantize_int8(spark, SF))
+    # 64-row per-dimension stats broadcast back to the exploded values
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_vocab_topk_is_take_ordered(spark):
     plan = _plan(contract.q_vocab_top_terms(spark, SF))
     # global top-20 must be partial-topk-merge, not a 1-partition window
