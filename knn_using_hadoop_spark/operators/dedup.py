@@ -245,7 +245,12 @@ def minhash_sig_est_pairs(
     exact variant when the threshold needs finer resolution.
     Output (doc_a, doc_b, n_agree, est_jaccard) with doc_a < doc_b.
     """
-    sigs = minhash_signatures(docs, n)
+    # materialize the signature relation once: it feeds the band
+    # self-join AND both sides of the agreement join, and it is
+    # fixed-width (|docs| x NUM_HASHES bigint rows) — the cheap-to-
+    # materialize case, unlike the wide string relations where
+    # checkpointing measured slower (jaccard_verify note)
+    sigs = minhash_signatures(docs, n).localCheckpoint(eager=True)
     candidates = _lsh_candidates(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), "h_idx",
