@@ -3184,3 +3184,67 @@ def q_unpivot_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ["source"], ["n_docs", "n_tokens", "n_chars"], "metric", "value"
     )
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer induction (SURVEY.md §2.11 north-star: distributed
+# subword-vocabulary training over the corpus)
+# --------------------------------------------------------------------------
+from knn_using_hadoop_spark.operators import bpe as _bpe  # noqa: E402
+
+_BPE_K = 3
+
+
+@_register("bpe_learn_merges", _bpe.bpe_oracle_sql(_BPE_K, "merges"))
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 3 BPE merge rules from the corpus: per round one
+    distributed pair-count aggregate + a 1-row argmax collect
+    (iteration control only). Oracle = chained recursive-CTE stages
+    implementing the identical left-to-right greedy fold."""
+    merges, _ = _bpe.bpe_learn(
+        spark, load_table(spark, "documents", sf_dir), k=_BPE_K
+    )
+    return merges
+
+
+@_register("bpe_compression_curve", _bpe.bpe_oracle_sql(_BPE_K, "totals"))
+def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus symbol count after each BPE merge round (round 0 =
+    characters) — the compression curve that decides how many merges
+    a vocabulary budget buys."""
+    _, totals = _bpe.bpe_learn(
+        spark, load_table(spark, "documents", sf_dir), k=_BPE_K
+    )
+    return totals
+
+
+@_register(
+    "bpe_segment_counts",
+    _bpe.bpe_oracle_sql(_BPE_K, "merges").replace(
+        "SELECT merge_rank, l AS merge_left, r AS merge_right, freq FROM m1"
+        " UNION ALL "
+        "SELECT merge_rank, l AS merge_left, r AS merge_right, freq FROM m2"
+        " UNION ALL "
+        "SELECT merge_rank, l AS merge_left, r AS merge_right, freq FROM m3",
+        """, tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       FROM documents)
+SELECT tok.doc_id, sum(len(sym3.s))::INT AS n_tokens_bpe
+FROM tok JOIN sym3 ON sym3.w = tok.w
+GROUP BY tok.doc_id""",
+    ),
+)
+def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges (inference
+    path: pure row-local fold chain, map-only — no shuffle) and count
+    tokens per doc. The oracle segments via the vocabulary table the
+    training stages already produced; both sides replay the merges in
+    learning order, so the counts agree exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    merges_df, _ = _bpe.bpe_learn(spark, docs, k=_BPE_K)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    return _bpe.bpe_segment(docs, merges).select(
+        "doc_id", F.col("n_tokens_bpe").cast("int").alias("n_tokens_bpe")
+    )
