@@ -3248,3 +3248,66 @@ def q_bpe_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe.bpe_segment(docs, merges).select(
         "doc_id", F.col("n_tokens_bpe").cast("int").alias("n_tokens_bpe")
     )
+
+
+# --------------------------------------------------------------------------
+# SQL entry path: spark.sql over parquet files (correlated subqueries,
+# EXISTS — the surface the DataFrame queries don't exercise)
+# --------------------------------------------------------------------------
+
+
+@_register(
+    "sql_correlated_subquery",
+    """SELECT c_nationkey, count(*) AS n_above
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey""",
+)
+def q_sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery through the SQL entry path
+    (``spark.sql`` on files). Catalyst decorrelates it to an
+    aggregate + join — same plan a hand-written window/join would
+    give; the point is the SQL surface, which the DataFrame-built
+    registry otherwise doesn't exercise."""
+    from knn_using_hadoop_spark.sources.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    return spark.sql(
+        f"""SELECT c_nationkey, count(*) AS n_above
+FROM parquet.`{sf_dir}/customer.parquet` c
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal)
+                   FROM parquet.`{sf_dir}/customer.parquet` c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+GROUP BY c_nationkey"""
+    )
+
+
+@_register(
+    "sql_exists_scalar",
+    """SELECT n.n_name,
+       (SELECT count(*) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000)
+         AS n_rich
+FROM nation n
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+                AND c.c_acctbal > 5000)""",
+)
+def q_sql_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + correlated scalar COUNT through the SQL
+    entry path: planned as a semi join + aggregate-left-join, both
+    broadcast at dimension scale."""
+    from knn_using_hadoop_spark.sources.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    return spark.sql(
+        f"""SELECT n.n_name,
+       (SELECT count(*) FROM parquet.`{sf_dir}/customer.parquet` c
+        WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 5000)
+         AS n_rich
+FROM parquet.`{sf_dir}/nation.parquet` n
+WHERE EXISTS (SELECT 1 FROM parquet.`{sf_dir}/customer.parquet` c
+              WHERE c.c_nationkey = n.n_nationkey
+                AND c.c_acctbal > 5000)"""
+    )
