@@ -3311,3 +3311,102 @@ WHERE EXISTS (SELECT 1 FROM parquet.`{sf_dir}/customer.parquet` c
               WHERE c.c_nationkey = n.n_nationkey
                 AND c.c_acctbal > 5000)"""
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance + CDC compaction (the ingestion-side ops a
+# continuously-fed training corpus needs)
+# --------------------------------------------------------------------------
+
+_INCR_CUTOFF = "2024-01-20"
+
+
+@_register(
+    "events_incremental_rollup",
+    f"""WITH old_part AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+         count(*)::BIGINT AS n, sum(value) AS sv
+  FROM events WHERE ts < TIMESTAMP '{_INCR_CUTOFF}'
+  GROUP BY 1, 2),
+new_part AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day, event_type,
+         count(*)::BIGINT AS n, sum(value) AS sv
+  FROM events WHERE ts >= TIMESTAMP '{_INCR_CUTOFF}'
+  GROUP BY 1, 2)
+SELECT day, event_type, sum(n)::BIGINT AS n_events,
+       round(sum(sv), 4) AS sum_value
+FROM (SELECT * FROM old_part UNION ALL SELECT * FROM new_part) u
+GROUP BY day, event_type""",
+)
+def q_events_incremental_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental aggregate maintenance: yesterday's materialized
+    partial states merged with the new batch's partials — the
+    lambda-architecture op that keeps a 100 TB rollup fresh without
+    full recompute. count/sum states are mergeable (algebraic aggs);
+    the merged result provably equals the full recompute, which is
+    exactly what the oracle computes via the same two-part split.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        )
+
+    old_part = partial(ev.filter(F.col("ts") < cutoff))
+    new_part = partial(ev.filter(F.col("ts") >= cutoff))
+    return (
+        old_part.unionAll(new_part)
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("sv"), 4).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "events_upsert_latest",
+    """SELECT user_id, event_type AS last_event_type,
+       value AS last_value, n_versions
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         (count(*) OVER (PARTITION BY user_id))::BIGINT AS n_versions
+  FROM events) r
+WHERE rk = 1""",
+)
+def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / latest-wins upsert: collapse an event stream
+    to current state per key (newest row by (ts, event_id)).
+
+    Deliberately NOT one window with an added count-over: a count
+    window needs every row per key, which would disable the partial
+    top-1 pruning. Instead the top-1 window (WindowGroupLimit: each
+    task forwards one candidate per key) joins a separately
+    map-side-combined count aggregate — both shuffles key on user_id,
+    so the join is co-partitioned. This is the merge-on-read shape of
+    a lakehouse MERGE at scale."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+    versions = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_versions")
+    )
+    return latest.join(versions, "user_id")
