@@ -3410,3 +3410,131 @@ def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_versions")
     )
     return latest.join(versions, "user_id")
+
+
+# --------------------------------------------------------------------------
+# Product quantization ANN (compressed scoring; composes with IVF)
+# --------------------------------------------------------------------------
+
+_PQ_CTES = f"""
+cb0 AS (SELECT s.sub, e.vec_id AS code, e.embedding AS v
+        FROM embeddings e, generate_series(0, 31) s(sub)
+        WHERE e.vec_id < 32),
+d0 AS (
+  SELECT v.vec_id, cb0.sub, cb0.code,
+         round(sum((v.embedding[cb0.sub*2+i]::DOUBLE - cb0.v[cb0.sub*2+i]::DOUBLE)
+                 * (v.embedding[cb0.sub*2+i]::DOUBLE - cb0.v[cb0.sub*2+i]::DOUBLE)),
+               6) AS d
+  FROM embeddings v, cb0, generate_series(1, 2) g(i)
+  GROUP BY v.vec_id, cb0.sub, cb0.code),
+a0 AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d, code) AS rn
+    FROM d0) r WHERE rn = 1),
+comp AS (
+  SELECT a0.sub, a0.code, g.i AS pos,
+         round(avg(v.embedding[a0.sub*2+g.i]::DOUBLE), 6) AS a
+  FROM a0 JOIN embeddings v ON v.vec_id = a0.vec_id,
+       generate_series(1, 2) g(i)
+  GROUP BY a0.sub, a0.code, g.i),
+cb AS (SELECT sub, code, list(a ORDER BY pos) AS cv
+       FROM comp GROUP BY sub, code),
+encd AS (
+  SELECT v.vec_id, cb.sub, cb.code,
+         round(sum((v.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])
+                 * (v.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])), 6) AS d
+  FROM embeddings v, cb, generate_series(1, 2) g(i)
+  GROUP BY v.vec_id, cb.sub, cb.code),
+codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub
+                              ORDER BY d, code) AS rn
+    FROM encd) r WHERE rn = 1),
+qadc AS (
+  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         round(sum((q.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])
+                 * (q.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])), 6) AS qd
+  FROM embeddings q, cb, generate_series(1, 2) g(i)
+  WHERE q.vec_id % {_SIM_QUERY_MOD} = 0
+  GROUP BY q.vec_id, cb.sub, cb.code),
+adc AS (
+  SELECT a.query_id, c.vec_id, round(sum(a.qd), 6) AS adc_dist
+  FROM codes c JOIN qadc a ON a.sub = c.sub AND a.code = c.code
+  WHERE c.vec_id <> a.query_id
+  GROUP BY a.query_id, c.vec_id),
+pq_ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist ASC, vec_id ASC))::INT AS rank
+  FROM adc)"""
+
+
+@_register(
+    "similarity_topk_pq",
+    f"""WITH {_PQ_CTES}
+SELECT query_id, rank, vec_id, adc_dist
+FROM pq_ranked WHERE rank <= 10""",
+)
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: corpus compressed to m=8 codes per
+    vector (32x smaller than float32 dim=64), queries scored through
+    per-subspace lookup tables. The compression leg of the ANN family
+    (brute -> LSH -> IVF -> PQ); composes with the IVF cell filter
+    for the full IVFPQ shape."""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    return _sim.pq_topk(corpus, queries, 10, dim=_EMB_DIM, iters=1)
+
+
+@_register(
+    "pq_recall_at_10",
+    f"""WITH {_PQ_CTES},
+pe AS (SELECT e.vec_id, q.vec_id AS query_id, e.embedding AS cv,
+              q.embedding AS qv
+       FROM embeddings e, embeddings q
+       WHERE q.vec_id % {_SIM_QUERY_MOD} = 0 AND e.vec_id <> q.vec_id),
+exd AS (
+  SELECT query_id, vec_id,
+         round(sum((qv[i]::DOUBLE - cv[i]::DOUBLE)
+                 * (qv[i]::DOUBLE - cv[i]::DOUBLE)), 6) AS dist
+  FROM pe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+ex_ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist ASC, vec_id ASC) AS rank
+  FROM exd),
+ov AS (
+  SELECT p.query_id, count(*) AS n_common
+  FROM pq_ranked p JOIN ex_ranked x
+    ON x.query_id = p.query_id AND x.vec_id = p.vec_id
+  WHERE p.rank <= 10 AND x.rank <= 10
+  GROUP BY p.query_id),
+qs AS (SELECT vec_id AS query_id FROM embeddings
+       WHERE vec_id % {_SIM_QUERY_MOD} = 0)
+SELECT round(avg(coalesce(n_common, 0) / 10.0), 6) AS recall_at_10,
+       count(*)::BIGINT AS n_queries
+FROM qs LEFT JOIN ov USING (query_id)""",
+)
+def q_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring PQ quality gate: recall@10 of the ADC ranking
+    against the exact squared-L2 ground truth, averaged over the
+    query set — the number that decides whether m/ks are adequate
+    before an index ships."""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    pq = _sim.pq_topk(corpus, queries, 10, dim=_EMB_DIM, iters=1)
+    ex = _sim.l2_topk(corpus, queries, 10)
+    ov = (
+        pq.join(ex, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    qs = queries.select(F.col("vec_id").alias("query_id"))
+    return qs.join(ov, "query_id", "left").agg(
+        F.round(
+            F.avg(F.coalesce(F.col("n_common"), F.lit(0)) / 10.0), 6
+        ).alias("recall_at_10"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )

@@ -110,3 +110,51 @@ def test_decontaminate_catches_planted_copy(spark):
     assert set(out) == {11, 12}  # benchmark docs excluded from report
     assert out[11]["contaminated"] == 1 and out[11]["overlap_frac"] > 0.9
     assert out[12]["contaminated"] == 0 and out[12]["n_overlap"] == 0
+
+
+def test_pq_recall_beats_unrefined_and_floor(spark, sf_dir):
+    """Lloyd refinement must earn its cost: refined recall@10 >= the
+    seed-codebook recall, and above an absolute floor."""
+    from knn_using_hadoop_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ex = S.l2_topk(emb, queries, 10)
+    ex.cache().count()
+
+    def recall(pq):
+        ov = (
+            pq.join(ex, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        qs = queries.select(F.col("vec_id").alias("query_id"))
+        return (
+            qs.join(ov, "query_id", "left")
+            .agg(F.avg(F.coalesce(F.col("c"), F.lit(0)) / 10.0))
+            .collect()[0][0]
+        )
+
+    r0 = recall(S.pq_topk(emb, queries, 10, dim=64, iters=0))
+    r1 = recall(S.pq_topk(emb, queries, 10, dim=64, iters=1))
+    assert r1 >= r0
+    assert r1 >= 0.5
+
+
+def test_pq_encode_is_total_and_bounded(spark, sf_dir):
+    """Every vector gets exactly m codes, all in [0, ks)."""
+    from knn_using_hadoop_spark.operators import similarity as S
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = S.pq_codebook(emb, dim=64)
+    codes = S.pq_encode(emb, cb, dim=64)
+    n_vecs = emb.count()
+    per_vec = codes.groupBy("vec_id").count()
+    assert per_vec.filter(F.col("count") != S.PQ_M).count() == 0
+    assert per_vec.count() == n_vecs
+    bad = codes.filter(
+        (F.col("code") < 0) | (F.col("code") >= S.PQ_KS)
+    ).count()
+    assert bad == 0
