@@ -65,6 +65,84 @@ def kmv_distinct(
     )
 
 
+def mg_heavy_hitters(
+    items: DataFrame, item_col: str, k: int = 40
+) -> DataFrame:
+    """Exact heavy hitters via a Misra-Gries candidate pass + exact
+    rescue.
+
+    Finds every item whose frequency strictly exceeds n/k, with exact
+    counts, WITHOUT a full-width shuffle of the tail:
+
+    1. Per partition, a Misra-Gries summary with k counters (Arrow-
+       batched ``mapInPandas``; bounded memory, one pass). MG
+       guarantees any item with local count > n_p/k survives locally;
+       since a global count > n/k = Σ n_p/k forces some partition over
+       its local threshold (pigeonhole), the union of per-partition
+       candidates contains every global heavy hitter.
+    2. Exact counts of the candidates only, via a broadcast semi join
+       — the long tail (most of a Zipf distribution's mass) never
+       enters the aggregation shuffle.
+    3. Filter cnt * k > n against the exact global total.
+
+    The candidate SET depends on partitioning, but the OUTPUT doesn't:
+    step 2/3 return exactly the items the plain groupBy-filter would —
+    which is the DuckDB oracle. At 100 TB this is the difference
+    between shuffling |distinct items| rows and shuffling
+    ≤ partitions×k candidate keys plus one small broadcast.
+    """
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[item_col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [key for key in counters if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        import pandas as pd
+
+        yield pd.DataFrame({item_col: list(counters.keys())})
+
+    src = items.select(item_col)
+    candidates = (
+        src.mapInPandas(mg_partition, schema=src.schema)
+        .distinct()
+    )
+    total = src.agg(F.count(F.lit(1)).alias("n_total"))
+    exact = (
+        src.join(F.broadcast(candidates), on=item_col, how="left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k > F.col("n_total"))
+        .select(item_col, "cnt", "n_total")
+    )
+
+
+def mg_heavy_hitters_oracle_sql(
+    items_sql: str, item_col: str, k: int = 40
+) -> str:
+    """DuckDB twin: the plain exact groupBy-filter that the MG
+    candidate pass provably reproduces."""
+    return f"""
+WITH items AS ({items_sql}),
+tot AS (SELECT count(*)::BIGINT AS n_total FROM items)
+SELECT {item_col}, count(*)::BIGINT AS cnt, n_total
+FROM items, tot
+GROUP BY {item_col}, n_total
+HAVING count(*) * {k} > n_total"""
+
+
 def kmv_distinct_oracle_sql(
     table: str, group_col: str, value_expr: str, k: int = 64
 ) -> str:

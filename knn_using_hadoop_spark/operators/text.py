@@ -177,6 +177,42 @@ def minhash_permuted(shingle: Column, a: int, b: int) -> Column:
     return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_PRIME)
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Per-document mean unigram log-probability (perplexity proxy).
+
+    The classic cheap LM-quality filter (used before real-LM scoring
+    in pipelines like CCNet): fit a unigram model on the corpus itself
+    — p(w) = count(w)/total — then score each document by the mean
+    ln p of its tokens. Low scores = rare-token-heavy / off-
+    distribution documents.
+
+    Shape: one explode + groupBy builds the vocab (map-side partial),
+    the vocab re-joins the token stream BROADCAST (a natural-language
+    vocab is millions of rows ~ MBs at 100 TB corpus scale, always
+    broadcastable), and the per-doc agg shuffles (doc_id, double)
+    pairs only. ln(count) − ln(total) per token is bit-exact across
+    engines; only the per-doc mean needs rounding (summation order).
+    """
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("tok_total"))
+    scored = (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (
+                F.log(F.col("tok_cnt").cast("double"))
+                - F.log(F.col("tok_total").cast("double"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 def mllib_tfidf(
     docs: DataFrame, num_features: int = 1 << 10, normalize: bool = True
 ) -> DataFrame:

@@ -1,0 +1,187 @@
+"""Unit + plan tests for the round-2 analytic operators.
+
+Semantics on small synthetic frames (known answers), plus the plan
+shapes the 100 TB design depends on: one Exchange for the rank
+surface's two window specs, equi-join (never cartesian) for the
+interval join, broadcast vocab for the LM scorer, and
+partition-independence for the Misra-Gries heavy hitters.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark import contract
+from knn_using_hadoop_spark.operators import analytics as an
+from knn_using_hadoop_spark.operators.sketches import mg_heavy_hitters
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _ts(day: int, sec: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, 0, 0, sec)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+
+
+def test_rank_surface_single_exchange(spark):
+    """Two window specs (rank family + ntile) share one shuffle."""
+    df = contract.q_orders_rank_surface(spark, SF)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 2
+
+
+def test_rank_surface_tie_semantics(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 30), ("a", 2, 30), ("a", 3, 10)],
+        "part string, id long, v long",
+    )
+    out = {
+        r["id"]: r
+        for r in an.rank_surface(
+            df, "part", F.col("v"), "id", n_tiles=3
+        ).collect()
+    }
+    assert out[1]["rnk"] == out[2]["rnk"] == 1  # tied at the top
+    assert out[3]["rnk"] == 3  # rank skips, dense_rank doesn't
+    assert out[3]["dense_rnk"] == 2
+    assert {out[1]["tile"], out[2]["tile"], out[3]["tile"]} == {1, 2, 3}
+
+
+def test_forward_fill_carries_and_leads_null(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, _ts(1), "view", 9.0),
+            (2, 7, _ts(2), "purchase", 5.0),
+            (3, 7, _ts(3), "view", 9.0),
+            (4, 7, _ts(4), "purchase", 6.0),
+            (5, 7, _ts(5), "error", 9.0),
+        ],
+    )
+    got = {
+        r["event_id"]: r["carried_value"]
+        for r in an.forward_fill(
+            ev, F.when(F.col("event_type") == "purchase", F.col("value"))
+        ).collect()
+    }
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 6.0, 5: 6.0}
+
+
+def test_scd2_intervals_chain(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, _ts(1), "trial", 0.0),
+            (2, 7, _ts(2), "trial", 0.0),  # no change -> absorbed
+            (3, 7, _ts(3), "paid", 0.0),
+            (4, 7, _ts(4), "churned", 0.0),
+        ],
+    )
+    hist = sorted(
+        an.scd2_history(ev).collect(), key=lambda r: r["version"]
+    )
+    assert [r["attr_value"] for r in hist] == ["trial", "paid", "churned"]
+    # each version's valid_to is the next version's valid_from
+    for prev, nxt in zip(hist, hist[1:]):
+        assert prev["valid_to"] == nxt["valid_from"]
+    assert hist[-1]["valid_to"] is None  # current version open-ended
+
+
+def test_rolling_anomaly_flags_planted_outlier(spark):
+    rows = [
+        (i, 7, _ts(1, i), "view", 100.0 + (i % 3)) for i in range(1, 12)
+    ]
+    rows.append((12, 7, _ts(1, 12), "view", 500.0))  # the anomaly
+    flagged = an.rolling_anomaly(_events(spark, rows)).collect()
+    assert [r["event_id"] for r in flagged] == [12]
+    assert abs(flagged[0]["z"]) > 2
+
+
+def test_ols_recovers_planted_line(spark):
+    # y = 2.5 * days + 10, exact: slope/intercept recovered to 1e-6
+    rows = [
+        (i, 7, _ts(1 + i), "m", 10.0 + 2.5 * i) for i in range(10)
+    ]
+    out = an.ols_trend(_events(spark, rows)).collect()[0]
+    assert out["n"] == 10
+    assert abs(out["slope_per_day"] - 2.5) < 1e-6
+    assert abs(out["intercept"] - 10.0) < 1e-3
+
+
+def test_attribution_join_is_equi_not_cartesian(spark):
+    df = contract.q_events_click_purchase_join(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_window_boundaries(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, dt.datetime(2024, 1, 1, 10, 0, 0), "click", 0.0),
+            (2, 7, dt.datetime(2024, 1, 1, 10, 9, 59), "click", 0.0),
+            (3, 7, dt.datetime(2024, 1, 1, 10, 15, 0), "purchase", 1.0),
+            (4, 8, dt.datetime(2024, 1, 1, 10, 14, 0), "click", 0.0),
+        ],
+    )
+    pairs = an.attribution_join(ev).collect()
+    # click 1 is 15 min before the purchase (outside 10-min window),
+    # click 2 is 5:01 before (inside); user 8's click never matches
+    assert [(r["effect_id"], r["cause_id"]) for r in pairs] == [(3, 2)]
+    assert pairs[0]["lag_secs"] == 301.0
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    df = contract.q_doc_unigram_logprob(spark, SF)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_mg_heavy_hitters_partition_independent(spark):
+    # zipf-ish: 'a' x 60, 'b' x 25, tail of 15 singletons; n=100, k=10
+    # threshold n/k = 10 -> exactly {a, b} qualify
+    vals = ["a"] * 60 + ["b"] * 25 + [f"t{i}" for i in range(15)]
+    df = spark.createDataFrame([(v,) for v in vals], "item string")
+    for parts in (1, 7):
+        out = {
+            r["item"]: r["cnt"]
+            for r in mg_heavy_hitters(
+                df.repartition(parts), "item", k=10
+            ).collect()
+        }
+        assert out == {"a": 60, "b": 25}
+
+
+def test_mg_matches_plain_groupby_on_corpus(spark):
+    toks = contract.load_docs_wide(spark, SF).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    k = 40
+    got = {
+        (r["tok"], r["cnt"])
+        for r in mg_heavy_hitters(toks, "tok", k=k).collect()
+    }
+    n = toks.count()
+    want = {
+        (r["tok"], r["cnt"])
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") * k > n)
+        .collect()
+    }
+    assert got == want and len(want) > 0
