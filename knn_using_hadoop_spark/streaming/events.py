@@ -215,6 +215,71 @@ def streaming_category_counts(
     )
 
 
+def streaming_attribution_join(
+    spark: SparkSession,
+    path: str,
+    *,
+    effect_type: str = "purchase",
+    cause_type: str = "click",
+    window_minutes: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (click→purchase
+    attribution).
+
+    The hardest streaming join shape: both sides are unbounded, so
+    Spark must buffer rows in the state store until the time-range
+    condition plus watermarks prove no future match can arrive. The
+    interval predicate (cause_ts in (effect_ts − W, effect_ts]) gives
+    the planner the bound it needs: a cause row is evictable once the
+    effect-side watermark passes cause_ts + W, an effect row once the
+    cause-side watermark passes effect_ts — state is O(rate × (W +
+    watermark)), never O(stream). Batch twin (the oracle-checked
+    semantics): ``operators/analytics.py::attribution_join`` — same
+    predicate, same output columns, verified equal in
+    tests/test_streaming.py.
+    """
+    causes = (
+        _read_events_stream(spark, path)
+        .filter(F.col("event_type") == cause_type)
+        .select(
+            F.col("event_id").alias("cause_id"),
+            F.col("user_id").alias("cause_user"),
+            F.col("ts").alias("cause_ts"),
+        )
+        .withWatermark("cause_ts", watermark)
+    )
+    effects = (
+        _read_events_stream(spark, path)
+        .filter(F.col("event_type") == effect_type)
+        .select(
+            F.col("event_id").alias("effect_id"),
+            "user_id",
+            F.col("ts").alias("effect_ts"),
+        )
+        .withWatermark("effect_ts", watermark)
+    )
+    return effects.join(
+        causes,
+        (F.col("user_id") == F.col("cause_user"))
+        & (F.col("cause_ts") <= F.col("effect_ts"))
+        & (
+            F.col("cause_ts")
+            > F.col("effect_ts")
+            - F.expr(f"INTERVAL {window_minutes} MINUTES")
+        ),
+    ).select(
+        "effect_id",
+        "cause_id",
+        "user_id",
+        F.round(
+            F.col("effect_ts").cast("double")
+            - F.col("cause_ts").cast("double"),
+            3,
+        ).alias("lag_secs"),
+    )
+
+
 def run_stream_to_memory(
     agg: DataFrame, spark: SparkSession, name: str = "stream_out"
 ) -> DataFrame:

@@ -201,3 +201,38 @@ def test_multimodal_plumbing(spark, sf_dir):
 
     with pytest.raises(NotImplementedError, match="codecs"):
         mm.decode_media(wp, "image")
+
+
+def test_streaming_attribution_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream interval join == batch attribution
+    join (inner join: every pair emits regardless of watermark; the
+    watermark only bounds state)."""
+    from knn_using_hadoop_spark.contract import (
+        q_events_click_purchase_join,
+    )
+    from knn_using_hadoop_spark.streaming.events import (
+        streaming_attribution_join,
+    )
+
+    joined = streaming_attribution_join(spark, f"{sf_dir}/events.parquet")
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_stream_attr")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_rows = {
+        (r.effect_id, r.cause_id, r.user_id, r.lag_secs)
+        for r in spark.sql("SELECT * FROM t_stream_attr").collect()
+    }
+    batch_rows = {
+        (r.effect_id, r.cause_id, r.user_id, r.lag_secs)
+        for r in q_events_click_purchase_join(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 0
