@@ -1,0 +1,189 @@
+"""Relational graph analytics: co-occurrence edges, triangles,
+PageRank.
+
+The dedup module already does one graph computation (connected
+components, dedup.py); this module rounds out the graph family the
+way a Spark-first engine should — every algorithm is a composition of
+joins and aggregates over an edge relation, so Catalyst handles
+distribution, AQE handles skew, and there is no vertex-program
+runtime to maintain (the GraphX lesson: for these sizes of iteration
+count, DataFrame joins win on operability).
+
+Scale notes:
+- Edge construction from co-occurrence groups is the quadratic risk
+  point, not the algorithms: a single hot group of g members emits
+  g(g-1)/2 pairs. The explicit ``max_group`` cap (documented,
+  deterministic) is the same skew guard the dedup LSH path uses for
+  hot shingles — at 100 TB you cap or salt, never pray.
+- Triangle counting uses the node-iterator-with-ordering join
+  (i < j < k on edges stored once with src < dst): each triangle is
+  counted exactly once and the join fan-out is bounded by degree,
+  the textbook MapReduce formulation (Suri & Vassilvitskii, WWW'11).
+- PageRank is unrolled a fixed number of rounds; each round is one
+  join + one aggregate on the edge relation partitioned by src. Ranks
+  are rounded to 8 dp per round so the cross-engine oracle (an
+  unrolled CTE chain) sees bit-identical inputs every round — same
+  determinism protocol as the k-means oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    events: DataFrame, max_group: int = 200
+) -> DataFrame:
+    """Undirected user-user edges: both active in the same
+    (event_type, day) group; src < dst, distinct.
+
+    Groups larger than ``max_group`` members are dropped before the
+    pair blow-up (a group of g emits O(g^2) pairs — the cap bounds
+    worst-case fan-out per group, exactly like the shingle-frequency
+    cap in the n-gram dedup path).
+    """
+    membership = events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    sizes = membership.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    small = membership.join(
+        F.broadcast(sizes.filter(F.col("g") <= max_group)),
+        ["event_type", "day"],
+    )
+    a = small.select(
+        "event_type", "day", F.col("user_id").alias("src")
+    )
+    b = small.select(
+        "event_type", "day", F.col("user_id").alias("dst")
+    )
+    return (
+        a.join(b, ["event_type", "day"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an src<dst edge relation.
+
+    Ordered node-iterator join: (i<j) ⋈ (j<k) ⋈ (i<k) — each
+    triangle counted exactly once, join keys are plain equi-columns so
+    the whole thing is two shuffled hash joins (AQE re-plans if the
+    edge relation turns out broadcastable).
+    """
+    e1 = edges.select(F.col("src").alias("i"), F.col("dst").alias("j"))
+    e2 = edges.select(F.col("src").alias("j"), F.col("dst").alias("k"))
+    e3 = edges.select(F.col("src").alias("i"), F.col("dst").alias("k"))
+    wedges = e1.join(e2, "j")
+    tris = wedges.join(e3, ["i", "k"])
+    return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+def degree_counts(edges: DataFrame) -> DataFrame:
+    """(node, degree) from an src<dst edge list (each edge counts for
+    both endpoints)."""
+    ends = edges.select(F.col("src").alias("node")).unionAll(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return ends.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Unrolled PageRank over the undirected edge relation.
+
+    Each round: contribution = rank/degree flows across every edge in
+    both directions, new rank = (1-d)/N + d * sum(contribs), rounded
+    to 8 dp so the DuckDB oracle's unrolled CTE chain stays
+    bit-identical round over round. Isolated handling: every node in
+    the edge relation has degree >= 1 by construction. The per-round
+    plan is join(ranks, directed_edges) -> groupBy(dst) — the rank
+    relation is node-sized (small side, broadcastable); the edge
+    relation never re-shuffles if pre-partitioned by src.
+    """
+    directed = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = directed.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    nodes = deg.select(F.col("src").alias("node"))
+    n_nodes = nodes.count()  # driver-side scalar: iteration setup only
+    base = (1.0 - damping) / n_nodes
+    # round via Spark (HALF_UP, matching DuckDB's round), not Python's
+    # round (half-even) — the 8 dp grid must agree across engines
+    ranks = nodes.select(
+        "node",
+        F.round(F.lit(1.0) / F.lit(float(n_nodes)), 8).alias("rank"),
+    )
+    for _ in range(iters):
+        contribs = (
+            directed.join(
+                F.broadcast(
+                    ranks.join(
+                        deg, ranks.node == deg.src
+                    ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
+                ),
+                directed.src == F.col("node"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    8,
+                ).alias("rank"),
+            )
+        )
+        # materialize each round: keeps lineage flat (constant plan
+        # depth) and reuses the round's result for the next join —
+        # same pattern as dedup.neardup_components
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def pagerank_oracle_sql(
+    edges_sql: str, iters: int = 3, damping: float = 0.85
+) -> str:
+    """DuckDB twin: the same unrolled rounds as CTE stages."""
+    d = damping
+    parts = [
+        f"""edges AS ({edges_sql}),
+directed AS (SELECT src, dst FROM edges
+             UNION ALL SELECT dst AS src, src AS dst FROM edges),
+deg AS (SELECT src, count(*)::DOUBLE AS deg FROM directed GROUP BY src),
+nodes AS (SELECT src AS node FROM deg),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n, 8) AS rank FROM nodes, nn)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""c{i} AS (
+  SELECT d.dst, sum(r.rank / g.deg) AS inflow
+  FROM directed d
+  JOIN r{i} r ON d.src = r.node
+  JOIN deg g ON d.src = g.src
+  GROUP BY d.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         round((1.0 - {d}) / nn.n
+               + {d} * coalesce(c.inflow, 0.0), 8) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst, nn)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
+    )

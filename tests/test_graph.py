@@ -1,0 +1,81 @@
+"""Graph-operator semantics on known graphs + scale-shape checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators import graph as g
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 has 4 triangles; appending a pendant edge adds none
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    assert (
+        g.triangle_count(_edges(spark, k4)).collect()[0]["n_triangles"] == 4
+    )
+    assert (
+        g.triangle_count(_edges(spark, k4 + [(3, 9)]))
+        .collect()[0]["n_triangles"]
+        == 4
+    )
+
+
+def test_degree_counts(spark):
+    deg = {
+        r["node"]: r["degree"]
+        for r in g.degree_counts(
+            _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+        ).collect()
+    }
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
+    # star graph: hub 0 connected to 1..5 — hub must rank highest
+    star = [(0, i) for i in range(1, 6)]
+    ranks = {
+        r["node"]: r["rank"]
+        for r in g.pagerank(_edges(spark, star), iters=5).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4  # rank mass conserved
+    assert ranks[0] == max(ranks.values())
+    leaf_ranks = {v for k, v in ranks.items() if k != 0}
+    assert len(leaf_ranks) == 1  # symmetric leaves tie exactly
+
+
+def test_pagerank_partition_independent(spark):
+    ring = [(i, (i + 1) % 8) for i in range(8)]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in ring], "src long, dst long"
+    )
+    r1 = {
+        (r["node"], r["rank"])
+        for r in g.pagerank(df.repartition(1), iters=3).collect()
+    }
+    r7 = {
+        (r["node"], r["rank"])
+        for r in g.pagerank(df.repartition(7), iters=3).collect()
+    }
+    assert r1 == r7
+
+
+def test_cooccurrence_group_cap(spark):
+    import datetime as dt
+
+    rows = [
+        (i, i % 30, dt.datetime(2024, 1, 1 + (i % 2)), "view", 1.0)
+        for i in range(120)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    # 30 is even, so user u (= i % 30) always lands on day 1 + u % 2:
+    # two disjoint (view, day) groups of 15 users each
+    assert g.cooccurrence_edges(ev, max_group=10).count() == 0
+    assert g.cooccurrence_edges(ev, max_group=200).count() == 2 * 15 * 14 / 2
