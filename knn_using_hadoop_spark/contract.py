@@ -3925,3 +3925,214 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation; 8 dp per-round rounding keeps the cross-engine CTE twin
     bit-identical round over round (operators/graph.py::pagerank)."""
     return _graph.pagerank(_edges(spark, sf_dir), iters=3)
+
+
+# --------------------------------------------------------------------------
+# Round 2 (cont.): sequence matching, rank-with-ties, RFM, fuzzy match
+# --------------------------------------------------------------------------
+
+from knn_using_hadoop_spark.operators.joins import fuzzy_pairs  # noqa: E402
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@_register(
+    "events_sequence_match",
+    f"""WITH e AS (
+  SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS ts_us
+  FROM events),
+scored AS (
+  SELECT event_id, user_id, event_type, ts,  ts_us,
+         min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER w
+           AS next_purchase_us,
+         min(CASE WHEN event_type = 'error' THEN ts_us END) OVER w
+           AS next_error_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 1 FOLLOWING AND {_WEEK_US} FOLLOWING))
+SELECT event_id AS signup_id, user_id, ts AS signup_ts,
+       (next_purchase_us IS NOT NULL
+        AND (next_error_us IS NULL
+             OR next_purchase_us < next_error_us))::INT AS matched,
+       CASE WHEN next_purchase_us IS NOT NULL
+            AND (next_error_us IS NULL
+                 OR next_purchase_us < next_error_us)
+            THEN round((next_purchase_us - ts_us) / 3600000000.0, 4)
+       END AS hours_to_purchase
+FROM scored WHERE event_type = 'signup'""",
+)
+def q_events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-class sequence pattern with a negative
+    condition: signup followed by a purchase within 7 days with NO
+    error in between. One RANGE window over event-time epoch
+    (microseconds) computes both the next-purchase and next-error
+    lookaheads in a single partitioned sort — no self-join, no
+    per-user collect."""
+    e = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(1, _WEEK_US)
+    )
+    nxt_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+    ).over(w)
+    nxt_e = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts_us"))
+    ).over(w)
+    scored = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        "ts_us",
+        nxt_p.alias("next_purchase_us"),
+        nxt_e.alias("next_error_us"),
+    )
+    ok = F.col("next_purchase_us").isNotNull() & (
+        F.col("next_error_us").isNull()
+        | (F.col("next_purchase_us") < F.col("next_error_us"))
+    )
+    return scored.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        ok.cast("int").alias("matched"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("next_purchase_us") - F.col("ts_us"))
+                / 3_600_000_000.0,
+                4,
+            ),
+        ).alias("hours_to_purchase"),
+    )
+
+
+@_register(
+    "topk_with_ties",
+    """WITH r AS (
+  SELECT o_orderpriority, o_orderkey,
+         floor(o_totalprice / 1000)::BIGINT AS price_band,
+         (rank() OVER (PARTITION BY o_orderpriority
+                       ORDER BY floor(o_totalprice / 1000) DESC))::INT
+           AS rnk
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, price_band, rnk
+FROM r WHERE rnk <= 3""",
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group with RANK semantics: every row tied into the
+    top 3 price bands survives (row_number would arbitrarily cut
+    ties). rank() depends only on the ORDER BY values, so ties are
+    deterministic without a tie-break key — and the planner still
+    derives a WindowGroupLimit partial top-k below the shuffle."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.floor(F.col("o_totalprice") / 1000))
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") / 1000).alias("price_band"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@_register(
+    "customer_rfm_quartiles",
+    """WITH rfm AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*)::BIGINT AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+seg AS (
+  SELECT c.c_custkey, c.c_mktsegment, r.last_order, r.frequency,
+         r.monetary
+  FROM rfm r JOIN customer c ON r.o_custkey = c.c_custkey)
+SELECT c_custkey, c_mktsegment, frequency, monetary,
+       (ntile(4) OVER (PARTITION BY c_mktsegment
+                       ORDER BY last_order DESC, c_custkey))::INT AS r_q,
+       (ntile(4) OVER (PARTITION BY c_mktsegment
+                       ORDER BY frequency DESC, c_custkey))::INT AS f_q,
+       (ntile(4) OVER (PARTITION BY c_mktsegment
+                       ORDER BY monetary DESC, c_custkey))::INT AS m_q
+FROM seg""",
+)
+def q_customer_rfm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary,
+    quartiled WITHIN market segment — the partitioned form of the
+    classic scoring (a global ntile would be a single-partition sort,
+    the 100 TB anti-pattern; per-segment windows scale with the
+    segment count). Three orders over one partition key = one
+    Exchange, three local sorts; ntile ordering is made total with
+    the custkey tie-break."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    seg = rfm.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        rfm.o_custkey == F.col("c_custkey"),
+    )
+
+    def q(order_cols):
+        return F.ntile(4).over(
+            Window.partitionBy("c_mktsegment").orderBy(*order_cols)
+        )
+
+    return seg.select(
+        "c_custkey",
+        "c_mktsegment",
+        "frequency",
+        "monetary",
+        q([F.desc("last_order"), F.asc("c_custkey")])
+        .cast("int")
+        .alias("r_q"),
+        q([F.desc("frequency"), F.asc("c_custkey")])
+        .cast("int")
+        .alias("f_q"),
+        q([F.desc("monetary"), F.asc("c_custkey")])
+        .cast("int")
+        .alias("m_q"),
+    )
+
+
+@_register(
+    "part_fuzzy_matches",
+    """WITH keyed AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk
+  FROM part)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name)::INT AS edit_dist
+FROM keyed a JOIN keyed b
+  ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3""",
+)
+def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: part names within Levenshtein 3,
+    candidates limited to the same noun block (second token) — the
+    entity-resolution staple as a per-block self-join; unit-cost edit
+    distance is integer-exact cross-engine
+    (operators/joins.py::fuzzy_pairs)."""
+    parts = load_table(spark, "part", sf_dir)
+    return fuzzy_pairs(
+        parts,
+        "p_partkey",
+        "p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_edit=3,
+    )

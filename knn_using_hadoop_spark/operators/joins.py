@@ -77,3 +77,48 @@ def bloom_pruned_join(
         .drop("bits")
     )
     return pruned.join(build, key, how)
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block_expr,
+    max_edit: int = 3,
+) -> DataFrame:
+    """Blocked fuzzy self-match: name pairs within edit distance
+    ``max_edit``, candidate-limited to a blocking key.
+
+    The entity-resolution staple. All-pairs Levenshtein is O(n^2)
+    string compares — never viable; the blocking key (caller-chosen,
+    e.g. a token, a phonetic code, a length band) turns it into a
+    per-block self-join, so cost is Σ block² like the LSH band joins.
+    Both engines implement standard (unit-cost) Levenshtein, so the
+    distance is integer-exact cross-engine — no rounding protocol
+    needed.
+    """
+    keyed = df.select(
+        F.col(id_col), F.col(name_col), block_expr.alias("blk")
+    )
+    a = keyed.select(
+        F.col("blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(name_col).alias("name_a"),
+    )
+    b = keyed.select(
+        F.col("blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(name_col).alias("name_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_edit)
+    )
