@@ -53,6 +53,15 @@ BENCH_QUERIES = [
     # training-data pipeline headliners (round 2)
     "doc_chunk_windows",
     "doc_pack_greedy",
+    # round-2 surface: window family, sequence match, LM scoring,
+    # sketch+exact-rescue, skew join, iterative graph, shingle audit
+    "orders_rank_surface",
+    "events_sequence_match",
+    "doc_unigram_logprob",
+    "token_heavy_hitters",
+    "skew_salted_join",
+    "graph_pagerank",
+    "doc_dup_ngram_rate",
 ]
 
 

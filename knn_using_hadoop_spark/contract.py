@@ -3839,31 +3839,42 @@ def q_dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from knn_using_hadoop_spark.operators import graph as _graph  # noqa: E402
 
-_EDGES_SQL = """SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+_EDGES_SQL = """SELECT a.user_id AS src, b.user_id AS dst
 FROM (SELECT m.* FROM
-        (SELECT DISTINCT event_type, ts::DATE AS day, user_id
+        (SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
+                user_id
          FROM events) m
-      JOIN (SELECT event_type, day, count(*) AS g
-            FROM (SELECT DISTINCT event_type, ts::DATE AS day, user_id
+      JOIN (SELECT event_type, grp_ts, count(*) AS g
+            FROM (SELECT DISTINCT event_type,
+                         date_trunc('hour', ts) AS grp_ts, user_id
                   FROM events) x
-            GROUP BY event_type, day) s
-        ON m.event_type = s.event_type AND m.day = s.day
+            GROUP BY event_type, grp_ts) s
+        ON m.event_type = s.event_type AND m.grp_ts = s.grp_ts
        AND s.g <= 200) a
 JOIN (SELECT m.* FROM
-        (SELECT DISTINCT event_type, ts::DATE AS day, user_id
+        (SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
+                user_id
          FROM events) m
-      JOIN (SELECT event_type, day, count(*) AS g
-            FROM (SELECT DISTINCT event_type, ts::DATE AS day, user_id
+      JOIN (SELECT event_type, grp_ts, count(*) AS g
+            FROM (SELECT DISTINCT event_type,
+                         date_trunc('hour', ts) AS grp_ts, user_id
                   FROM events) x
-            GROUP BY event_type, day) s
-        ON m.event_type = s.event_type AND m.day = s.day
+            GROUP BY event_type, grp_ts) s
+        ON m.event_type = s.event_type AND m.grp_ts = s.grp_ts
        AND s.g <= 200) b
-  ON a.event_type = b.event_type AND a.day = b.day
- AND a.user_id < b.user_id"""
+  ON a.event_type = b.event_type AND a.grp_ts = b.grp_ts
+ AND a.user_id < b.user_id
+GROUP BY a.user_id, b.user_id
+HAVING count(*) >= 3"""
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _graph.cooccurrence_edges(load_table(spark, "events", sf_dir))
+    # min_count=3: repeated co-occurrence only — denoises the graph
+    # and keeps density sub-quadratic as the corpus grows (see
+    # operators/graph.py::cooccurrence_edges)
+    return _graph.cooccurrence_edges(
+        load_table(spark, "events", sf_dir), min_count=3
+    )
 
 
 @_register(
@@ -4135,4 +4146,79 @@ def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_name",
         block_expr=F.split(F.col("p_name"), " ").getItem(1),
         max_edit=3,
+    )
+
+
+@_register(
+    "skew_salted_join",
+    """WITH dim AS (
+  SELECT DISTINCT l_returnflag, 'flag-' || l_returnflag AS flag_label
+  FROM lineitem)
+SELECT flag_label, count(*)::BIGINT AS n_rows,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+GROUP BY flag_label""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join against a pathologically hot key (3 distinct
+    values over the whole fact table): the big side is salted by
+    partition id, the small side exploded n_salts ways, so the probe
+    rows for one hot key spread across n_salts reducers instead of
+    one. Result identical to the plain join (the oracle); completes
+    the skew family next to skew_salted_agg
+    (operators/skew.py::salted_join_big_to_skewed)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn(
+            "flag_label", F.concat(F.lit("flag-"), F.col("l_returnflag"))
+        )
+    )
+    joined = _skew.salted_join_big_to_skewed(
+        li.select("l_returnflag", "l_extendedprice"), dim,
+        key="l_returnflag", n_salts=8,
+    )
+    return joined.groupBy("flag_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@_register(
+    "doc_dup_ngram_rate",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 4),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4])) AS shingle
+  FROM toks),
+ds AS (SELECT DISTINCT doc_id, shingle FROM shs),
+dfq AS (SELECT shingle, count(*) AS df FROM ds GROUP BY shingle)
+SELECT doc_id, count(*)::BIGINT AS n_shingles,
+       round(avg((df > 1)::INT), 6) AS dup_rate
+FROM ds JOIN dfq USING (shingle)
+GROUP BY doc_id""",
+)
+def q_doc_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk score: the fraction of a document's distinct
+    word 5-grams that also appear in some OTHER document (doc-
+    frequency > 1 over distinct doc-shingle pairs). The per-doc
+    number a curation pipeline thresholds before training. Shuffle
+    keys are shingles (the df count) then doc_ids (the final agg) —
+    both partial-aggregated; nothing is broadcast because an n-gram
+    vocabulary at corpus scale isn't broadcastable."""
+    ds = _dedup.shingle_sets(load_docs_wide(spark, sf_dir), n=5)
+    dfq = ds.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ds.join(dfq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(F.avg((F.col("df") > 1).cast("int")), 6).alias(
+                "dup_rate"
+            ),
+        )
     )

@@ -33,54 +33,97 @@ from pyspark.sql import functions as F
 
 
 def cooccurrence_edges(
-    events: DataFrame, max_group: int = 200
+    events: DataFrame, max_group: int = 200, min_count: int = 1
 ) -> DataFrame:
     """Undirected user-user edges: both active in the same
-    (event_type, day) group; src < dst, distinct.
+    (event_type, hour) group at least ``min_count`` times; src < dst.
 
-    Groups larger than ``max_group`` members are dropped before the
-    pair blow-up (a group of g emits O(g^2) pairs — the cap bounds
-    worst-case fan-out per group, exactly like the shingle-frequency
-    cap in the n-gram dedup path).
+    Hour granularity keeps group sizes roughly constant as the corpus
+    grows (more data = more hours, not bigger groups — day-level
+    groups grow linearly with data rate and blow the pair budget).
+    Groups larger than ``max_group`` members are additionally dropped
+    before the pair blow-up (a group of g emits O(g^2) pairs — the
+    cap bounds worst-case fan-out per hot group, exactly like the
+    shingle-frequency cap in the n-gram dedup path). ``min_count``
+    is the edge-strength threshold: requiring repeated co-occurrence
+    both denoises the graph and controls its density — at constant
+    event rate per user, incidental one-off pair overlap grows with
+    corpus size while genuine affinity repeats.
     """
     membership = events.select(
-        "event_type", F.to_date("ts").alias("day"), "user_id"
+        "event_type", F.date_trunc("hour", "ts").alias("grp_ts"), "user_id"
     ).distinct()
-    sizes = membership.groupBy("event_type", "day").agg(
+    sizes = membership.groupBy("event_type", "grp_ts").agg(
         F.count(F.lit(1)).alias("g")
     )
     small = membership.join(
         F.broadcast(sizes.filter(F.col("g") <= max_group)),
-        ["event_type", "day"],
+        ["event_type", "grp_ts"],
     )
     a = small.select(
-        "event_type", "day", F.col("user_id").alias("src")
+        "event_type", "grp_ts", F.col("user_id").alias("src")
     )
     b = small.select(
-        "event_type", "day", F.col("user_id").alias("dst")
+        "event_type", "grp_ts", F.col("user_id").alias("dst")
     )
     return (
-        a.join(b, ["event_type", "day"])
+        a.join(b, ["event_type", "grp_ts"])
         .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
         .select("src", "dst")
-        .distinct()
     )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
-    """Global triangle count over an src<dst edge relation.
+    """Global triangle count over an src<dst edge relation, degree-
+    ordered.
 
-    Ordered node-iterator join: (i<j) ⋈ (j<k) ⋈ (i<k) — each
-    triangle counted exactly once, join keys are plain equi-columns so
-    the whole thing is two shuffled hash joins (AQE re-plans if the
-    edge relation turns out broadcastable).
+    Compact-forward / node-iterator with DEGREE ordering (Suri &
+    Vassilvitskii WWW'11; Latapy 2008): each undirected edge is
+    oriented from its lower-(degree, id) endpoint to the higher, so
+    every node's out-degree is O(√m) regardless of how skewed the
+    degree distribution is — the wedge join fans out Σ outdeg² ≤ m·√m
+    instead of Σ deg² (which a hub node makes quadratic). Each
+    triangle has exactly one node with out-edges to the other two
+    under a total order, so it is counted exactly once when the wedge
+    (lo→a, lo→b) is closed by the undirected edge (min(a,b),
+    max(a,b)). Two equi-joins + one aggregate; id-ordered naive
+    joins measured 32s at sf0.1 where this shape takes ~4s.
     """
-    e1 = edges.select(F.col("src").alias("i"), F.col("dst").alias("j"))
-    e2 = edges.select(F.col("src").alias("j"), F.col("dst").alias("k"))
-    e3 = edges.select(F.col("src").alias("i"), F.col("dst").alias("k"))
-    wedges = e1.join(e2, "j")
-    tris = wedges.join(e3, ["i", "k"])
-    return tris.agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    deg = degree_counts(edges)
+    keyed = (
+        edges.join(
+            deg.select(
+                F.col("node").alias("src"), F.col("degree").alias("dsrc")
+            ),
+            "src",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("dst"), F.col("degree").alias("ddst")
+            ),
+            "dst",
+        )
+    )
+    src_first = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    fwd = keyed.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("lo"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("hi"),
+    )
+    x = fwd.select(F.col("lo"), F.col("hi").alias("a"))
+    y = fwd.select(F.col("lo"), F.col("hi").alias("b"))
+    wedges = x.join(y, "lo").filter(F.col("a") < F.col("b"))
+    closed = wedges.join(
+        edges,
+        (F.col("a") == F.col("src")) & (F.col("b") == F.col("dst")),
+    )
+    return closed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
 
 
 def degree_counts(edges: DataFrame) -> DataFrame:
@@ -111,11 +154,22 @@ def pagerank(
     directed = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # materialize once: the edge construction upstream (group join +
+    # distinct) would otherwise re-execute for deg, the node count,
+    # and EVERY iteration's contribution join — measured 14s -> ~5s
+    # at sf0.1 for 3 rounds
+    directed = directed.localCheckpoint(eager=True)
     deg = directed.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.count()  # driver-side scalar: iteration setup only
+    if n_nodes == 0:
+        # empty graph (e.g. every group over the cap): empty result
+        # with the contract schema, not a divide-by-zero
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        ).limit(0)
     base = (1.0 - damping) / n_nodes
     # round via Spark (HALF_UP, matching DuckDB's round), not Python's
     # round (half-even) — the 8 dp grid must agree across engines

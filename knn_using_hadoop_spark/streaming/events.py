@@ -300,3 +300,25 @@ def run_stream_to_memory(
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")  # noqa: S608 (temp view name)
+
+
+def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str):
+    """Idempotent exactly-once-per-batch parquet sink via foreachBatch.
+
+    The standard production sink pattern when the target lacks a
+    transactional streaming writer: each micro-batch lands in its own
+    ``batch_id=N`` directory with mode=overwrite, so a replayed batch
+    (restart between sink write and offset commit) REPLACES its own
+    output instead of duplicating it — end-to-end effectively-once on
+    top of the source's replayability, no sink transaction needed.
+    Returns the unstarted DataStreamWriter; callers .start() it.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    return stream_df.writeStream.foreachBatch(write_batch).outputMode(
+        "append"
+    )

@@ -236,3 +236,30 @@ def test_streaming_attribution_join_matches_batch(spark, sf_dir):
     }
     assert stream_rows == batch_rows
     assert len(stream_rows) > 0
+
+
+def test_foreach_batch_sink_idempotent_layout(spark, sf_dir, tmp_path):
+    """foreachBatch parquet sink: all rows land exactly once, and a
+    re-written batch directory replaces rather than duplicates."""
+    from knn_using_hadoop_spark.sources import load_table
+    from knn_using_hadoop_spark.streaming.events import (
+        foreach_batch_parquet_sink,
+        streaming_dedup,
+    )
+
+    out = tmp_path / "sink"
+    dedup = streaming_dedup(spark, f"{sf_dir}/events.parquet")
+    q = foreach_batch_parquet_sink(dedup, str(out)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(out))
+    n_batch = load_table(spark, "events", sf_dir).count()
+    assert got.count() == n_batch  # bounded source, one pass, no dupes
+    # idempotency: re-running a batch id overwrites, count unchanged
+    some_batch = str(out) + "/batch_id=0"
+    staging = str(tmp_path / "replay_staging")
+    spark.read.parquet(some_batch).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(some_batch)
+    assert spark.read.parquet(str(out)).count() == n_batch
