@@ -4222,3 +4222,231 @@ def q_doc_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "dedup_jaccard_prefix_pairs",
+    f"""WITH {_DOC_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ds a JOIN ds b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+{_JACCARD_TAIL_SQL.format(thr=0.5)}""",
+)
+def q_dedup_jaccard_prefix_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs /
+    PPJoin): candidates share a rarest-first PREFIX shingle, then
+    exact verify — provably equal to the all-pairs join, so the
+    oracle is the plain exact SQL (no cap, no probabilistic recall).
+    The lossless sub-quadratic leg of the dedup family next to
+    freq-capped ngram and MinHash-LSH
+    (operators/dedup.py::jaccard_prefix_pairs)."""
+    return _dedup.jaccard_prefix_pairs(
+        load_docs_wide(spark, sf_dir), threshold=0.5
+    )
+
+
+@_register(
+    "data_quality_report",
+    """SELECT 'orders_dangling_custkey' AS check_name,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))::BIGINT
+         AS n_violations
+UNION ALL
+SELECT 'documents_dup_doc_id',
+       (SELECT count(*) FROM (SELECT doc_id FROM documents
+                              GROUP BY doc_id HAVING count(*) > 1) t)
+         ::BIGINT
+UNION ALL
+SELECT 'lineitem_qty_nonpositive',
+       (SELECT count(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity <= 0)::BIGINT
+UNION ALL
+SELECT 'lineitem_discount_out_of_range',
+       (SELECT count(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+UNION ALL
+SELECT 'events_value_null_or_negative',
+       (SELECT count(*) FROM events
+        WHERE value IS NULL OR value < 0)::BIGINT
+UNION ALL
+SELECT 'events_ts_out_of_range',
+       (SELECT count(*) FROM events
+        WHERE ts < TIMESTAMP '2020-01-01'
+           OR ts >= TIMESTAMP '2030-01-01')::BIGINT""",
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality assertion suite (the dbt-test / Deequ shape):
+    referential integrity via LEFT ANTI join, uniqueness via
+    groupBy-HAVING, domain/range checks via conditional counts — one
+    (check_name, n_violations) row per constraint. Each check is a
+    column-pruned scan-aggregate or a broadcast anti join; violation
+    counts, not violating rows, so the result is driver-safe at any
+    scale."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    ev = load_table(spark, "events", sf_dir)
+
+    dangling = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("orders_dangling_custkey").alias("check_name"),
+            "n_violations",
+        )
+    )
+    dup_docs = (
+        docs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_violations"))
+        .select(
+            F.lit("documents_dup_doc_id").alias("check_name"),
+            "n_violations",
+        )
+    )
+
+    def cond_count(name: str, df: DataFrame, cond) -> DataFrame:
+        return df.agg(
+            F.sum(cond.cast("bigint")).cast("bigint").alias("n_violations")
+        ).select(F.lit(name).alias("check_name"), "n_violations")
+
+    qty = cond_count(
+        "lineitem_qty_nonpositive",
+        li.select("l_quantity"),
+        F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0),
+    )
+    disc = cond_count(
+        "lineitem_discount_out_of_range",
+        li.select("l_discount"),
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+    )
+    val = cond_count(
+        "events_value_null_or_negative",
+        ev.select("value"),
+        F.col("value").isNull() | (F.col("value") < 0),
+    )
+    ts = cond_count(
+        "events_ts_out_of_range",
+        ev.select("ts"),
+        (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+        | (F.col("ts") >= F.lit("2030-01-01").cast("timestamp")),
+    )
+    return dangling.unionAll(dup_docs).unionAll(qty).unionAll(
+        disc
+    ).unionAll(val).unionAll(ts)
+
+
+@_register(
+    "doc_bigram_logprob",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM toks),
+c2 AS (SELECT bg, count(*)::BIGINT AS cnt2 FROM bi GROUP BY bg),
+c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*)::BIGINT AS cnt1
+       FROM bi GROUP BY 1),
+vv AS (SELECT count(DISTINCT tok)::BIGINT AS v
+       FROM (SELECT unnest(string_split(text, ' ')) AS tok
+             FROM documents) u)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(avg(ln((cnt2 + 1)::DOUBLE / (cnt1 + v)::DOUBLE)), 6)
+         AS avg_logprob
+FROM bi JOIN c2 USING (bg)
+JOIN c1 ON string_split(bi.bg, ' ')[1] = c1.w1, vv
+GROUP BY doc_id""",
+)
+def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM scoring per document: p(w2|w1) =
+    (c(w1 w2)+1)/(c(w1·)+V), fit on the corpus itself — the next rung
+    of the perplexity-proxy ladder above doc_unigram_logprob.
+    Shuffle join on the bigram vocabulary (NOT broadcastable at
+    corpus scale), broadcast join on the unigram context counts
+    (vocab-sized, always broadcastable)."""
+    docs = load_docs_wide(spark, sf_dir)
+    bi = docs.select(
+        "doc_id", F.explode(_text.shingles("text", 2)).alias("bg")
+    )
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = (
+        bi.select(F.split("bg", " ").getItem(0).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    vv = (
+        docs.select(F.explode(_text.tokens("text")).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    scored = (
+        bi.join(c2, "bg")
+        .join(F.broadcast(c1), F.split("bg", " ").getItem(0) == F.col("w1"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.log(
+                (F.col("cnt2") + 1).cast("double")
+                / (F.col("cnt1") + F.col("v")).cast("double")
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+@_register(
+    "part_entity_resolution",
+    """WITH RECURSIVE keyed AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[2] AS blk
+  FROM part),
+fp AS (
+  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+  FROM keyed a JOIN keyed b
+    ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+edges AS (SELECT id_a AS s, id_b AS t FROM fp
+          UNION ALL SELECT id_b, id_a FROM fp),
+reach AS (
+  SELECT s AS doc, s AS r FROM edges
+  UNION
+  SELECT e.s AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.t),
+comp AS (SELECT doc, min(r) AS entity_id FROM reach GROUP BY doc)
+SELECT p.p_partkey, coalesce(c.entity_id, p.p_partkey) AS entity_id
+FROM part p LEFT JOIN comp c ON p.p_partkey = c.doc""",
+)
+def q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: blocked fuzzy matching
+    (joins.py::fuzzy_pairs) -> O(log n) connected components
+    (dedup.py::neardup_components_star) -> canonical entity id per
+    part (singletons map to themselves). The match-then-cluster
+    composition every MDM/record-linkage pipeline runs."""
+    parts = load_table(spark, "part", sf_dir)
+    pairs = fuzzy_pairs(
+        parts,
+        "p_partkey",
+        "p_name",
+        block_expr=F.split(F.col("p_name"), " ").getItem(1),
+        max_edit=3,
+    ).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = _dedup.neardup_components_star(pairs)
+    return parts.select("p_partkey").join(
+        comp, parts.p_partkey == comp.doc_id, "left"
+    ).select(
+        "p_partkey",
+        F.coalesce("component", "p_partkey").alias("entity_id"),
+    )

@@ -523,3 +523,62 @@ def simhash(docs: DataFrame) -> DataFrame:
             ).otherwise(F.lit(0).cast("bigint"))
         ).alias("simhash")
     )
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """EXACT Jaccard-similar pairs via prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07) — the lossless sub-quadratic
+    set-similarity join.
+
+    Under any global total order on shingles, two sets with
+    |A∩B| >= ceil(t*|A|) must share an element of A's
+    (|A| - ceil(t*|A|) + 1)-prefix (pigeonhole), and Jaccard >= t
+    implies overlap >= t*max(|A|,|B|) >= ceil(t*|A|) for BOTH sides'
+    prefixes. So candidates = pairs sharing a PREFIX shingle under
+    the (document-frequency ASC, shingle) order — rarest-first, which
+    minimizes bucket occupancy — and exact verification restores
+    precision. Unlike the freq-capped ``ngram_jaccard_pairs`` (which
+    changes semantics by dropping hot shingles) or MinHash-LSH
+    (probabilistic recall), the result here provably EQUALS the
+    all-pairs join, so the oracle is the plain exact SQL.
+
+    Scale shape: the self-join key set shrinks from every
+    (doc, shingle) to every (doc, prefix shingle) — at t=0.5 that
+    halves the join input, and because prefixes hold the RAREST
+    shingles, bucket sizes collapse (the hot shingle that makes the
+    naive join quadratic is in nobody's prefix).
+    """
+    shingle_df = shingle_sets(docs, n)
+    freq = shingle_df.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    sizes = shingle_df.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ranked = (
+        shingle_df.join(freq, "shingle")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(cands, shingle_df).filter(
+        F.col("jaccard") >= threshold
+    )

@@ -180,3 +180,77 @@ def test_lsh_topk_recall(emb_dfs):
     assert len(approx) > 0
     # every approx hit at rank 1 that is also in exact confirms overlap
     assert len(exact & approx) > 0
+
+
+def test_jaccard_prefix_pairs_equal_bruteforce(spark):
+    """Prefix filtering is lossless: result == all-candidates verify."""
+    from knn_using_hadoop_spark import contract
+    from knn_using_hadoop_spark.operators import dedup
+
+    docs = contract.load_docs_wide(spark, "/root/testdata/sf0.001")
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in dedup.jaccard_prefix_pairs(docs, threshold=0.5).collect()
+    }
+    sh = dedup.shingle_sets(docs, 3)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    all_cands = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["n_common"])
+        for r in dedup.jaccard_verify(all_cands, sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_data_quality_report_flags_planted_violations(spark, monkeypatch):
+    import datetime as dt
+
+    from knn_using_hadoop_spark import contract as c
+
+    tables = {
+        "orders": spark.createDataFrame(
+            [(1, 10, 5.0), (2, 99, 6.0)],  # custkey 99 dangles
+            "o_orderkey long, o_custkey long, o_totalprice double",
+        ),
+        "customer": spark.createDataFrame(
+            [(10,)], "c_custkey long"
+        ),
+        "documents": spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c")], "doc_id long, text string"
+        ),
+        "lineitem": spark.createDataFrame(
+            [(1.0, 0.5), (0.0, 1.5), (-2.0, 0.1)],
+            "l_quantity double, l_discount double",
+        ),
+        "events": spark.createDataFrame(
+            [
+                (1.0, dt.datetime(2024, 1, 1)),
+                (-1.0, dt.datetime(2035, 1, 1)),
+                (None, dt.datetime(2019, 1, 1)),
+            ],
+            "value double, ts timestamp",
+        ),
+    }
+    monkeypatch.setattr(
+        c, "load_table", lambda spark, name, sf_dir: tables[name]
+    )
+    got = {
+        r["check_name"]: r["n_violations"]
+        for r in c.q_data_quality_report(spark, "unused").collect()
+    }
+    assert got == {
+        "orders_dangling_custkey": 1,
+        "documents_dup_doc_id": 1,
+        "lineitem_qty_nonpositive": 2,
+        "lineitem_discount_out_of_range": 1,
+        "events_value_null_or_negative": 2,
+        "events_ts_out_of_range": 2,
+    }
