@@ -4450,3 +4450,84 @@ def q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.coalesce("component", "p_partkey").alias("entity_id"),
     )
+
+
+@_register(
+    "orders_equidepth_bins",
+    """WITH bs AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS b
+  FROM orders)
+SELECT len(list_filter((SELECT b FROM bs),
+                       x -> o_totalprice > round(x::DOUBLE, 6)))::INT
+         AS bin,
+       count(*)::BIGINT AS n_orders,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY bin""",
+)
+def q_orders_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning: one percentile aggregate produces
+    the 9 boundaries (a single tiny row, broadcast), then every row's
+    bin is a fold over the boundary array — completes the histogram
+    family next to the fixed-width price_histogram. Boundaries are
+    rounded to the same 6 dp grid on both engines BEFORE comparison
+    so binning decisions agree exactly."""
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.agg(
+        F.expr(
+            "percentile(o_totalprice,"
+            " array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("bs")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_totalprice",
+        F.aggregate(
+            F.transform("bs", lambda x: F.round(x, 6)),
+            F.lit(0),
+            lambda acc, x: acc
+            + (F.col("o_totalprice") > x).cast("int"),
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@_register(
+    "embedding_vector_stats",
+    """SELECT vec_id,
+       len(embedding)::INT AS dim,
+       round(sqrt(list_sum(list_transform(embedding,
+                                          x -> x::DOUBLE * x::DOUBLE))), 6)
+         AS l2_norm,
+       round(list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                            'min'), 6) AS min_c,
+       round(list_aggregate(list_transform(embedding, x -> x::DOUBLE),
+                            'max'), 6) AS max_c,
+       round(list_sum(list_transform(embedding, x -> x::DOUBLE))
+             / len(embedding), 6) AS mean_c
+FROM embeddings""",
+)
+def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface: per-vector L2 norm, min /
+    max / mean component — all computed inside whole-stage codegen
+    (transform + aggregate + array_min/max), zero shuffles, zero
+    Python. Both engines fold the array left-to-right, so the sums
+    are bit-exact before the cosmetic rounding."""
+    e = load_table(spark, "embeddings", sf_dir)
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    sq_sum = F.aggregate(
+        arr, F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.array_min(arr), 6).alias("min_c"),
+        F.round(F.array_max(arr), 6).alias("max_c"),
+        F.round(total / F.size("embedding"), 6).alias("mean_c"),
+    )
