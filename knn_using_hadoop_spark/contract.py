@@ -3545,6 +3545,9 @@ def q_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 from knn_using_hadoop_spark.operators import analytics as _an  # noqa: E402
+from knn_using_hadoop_spark.functions.hashing import (  # noqa: E402
+    portable_hash64,
+)
 from knn_using_hadoop_spark.operators.sketches import (  # noqa: E402
     mg_heavy_hitters,
     mg_heavy_hitters_oracle_sql,
@@ -4530,4 +4533,88 @@ def q_embedding_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min(arr), 6).alias("min_c"),
         F.round(F.array_max(arr), 6).alias("max_c"),
         F.round(total / F.size("embedding"), 6).alias("mean_c"),
+    )
+
+
+@_register(
+    "events_scd2_lookup",
+    """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_attr
+  FROM events),
+chg AS (
+  SELECT user_id, event_type, ts, event_id FROM ordered
+  WHERE prev_attr IS NULL OR event_type <> prev_attr),
+dim AS (
+  SELECT user_id, event_type AS attr_value, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS valid_to
+  FROM chg),
+facts AS (
+  SELECT event_id, user_id, ts, round(value, 2) AS value
+  FROM events WHERE event_type = 'purchase')
+SELECT f.event_id, f.user_id, f.ts, f.value, d.attr_value,
+       d.valid_from
+FROM facts f JOIN dim d
+  ON f.user_id = d.user_id
+ AND d.valid_from <= f.ts
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)""",
+)
+def q_events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: each purchase fact joined to the
+    SCD2 version valid AT the fact's event time (valid_from <= ts <
+    valid_to) — the point-in-time join every warehouse runs against
+    versioned dimensions. Equi-join on the natural key with the
+    validity range as join filter; composes the scd2_history
+    operator with the interval-join machinery."""
+    ev = load_table(spark, "events", sf_dir)
+    dim = _an.scd2_history(ev).select(
+        F.col("user_id").alias("d_user"),
+        "attr_value",
+        "valid_from",
+        "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.round("value", 2).alias("value")
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("valid_from") <= F.col("ts"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    ).select(
+        "event_id", "user_id", "ts", "value", "attr_value", "valid_from"
+    )
+
+
+@_register(
+    "orders_weighted_sample",
+    f"""WITH mx AS (SELECT max(o_totalprice) AS m FROM orders)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders, mx
+WHERE (('0x' || substr(md5(o_orderkey::VARCHAR), 1, 15))::BIGINT)
+        ::DOUBLE / {float(1 << 60)}
+      < o_totalprice / m""",
+)
+def q_orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling WITHOUT an RNG:
+    keep each row iff hash(key)/2^60 < weight/max_weight — inclusion
+    probability proportional to o_totalprice, yet fully reproducible
+    across engines, retries, and partitionings (the property
+    rand()-based sampling loses on every recompute). The same
+    hash-threshold trick as the KMV sketch, pointed at sampling."""
+    o = load_table(spark, "orders", sf_dir)
+    mx = o.agg(F.max("o_totalprice").alias("m"))
+    u = portable_hash64(
+        F.col("o_orderkey").cast("string")
+    ).cast("double") / F.lit(float(1 << 60))
+    return (
+        o.crossJoin(F.broadcast(mx))
+        .filter(u < F.col("o_totalprice") / F.col("m"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
     )

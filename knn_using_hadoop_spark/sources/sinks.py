@@ -76,3 +76,34 @@ def read_format(spark, path: str, fmt: str, schema=None) -> DataFrame:
     elif fmt == "csv":
         r = r.option("inferSchema", "true")
     return r.load(path)
+
+
+def read_parquet_evolved(spark, path: str) -> DataFrame:
+    """Read a parquet directory whose files have EVOLVED schemas.
+
+    ``mergeSchema=true``: the footer schemas of every file are merged
+    into the superset (new columns backfill as null in old files) —
+    the standard posture for long-lived ingestion directories where
+    producers add columns over time. Merge is a planning-time footer
+    scan; the data read stays columnar and pruned.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def compact_parquet(
+    spark, path: str, target_files: int, out_path: str
+) -> None:
+    """Rewrite a small-files parquet directory into ``target_files``
+    larger files.
+
+    The small-file problem is the silent killer of 100 TB table
+    health: a directory of 10k tiny files costs 10k task launches and
+    footer reads per scan. Compaction = read + coalesce(n) + write;
+    ``coalesce`` (not ``repartition``) merges partitions WITHOUT a
+    shuffle — each output task just concatenates input splits.
+    Run per-partition-directory in production so the rewrite
+    parallelizes across partitions.
+    """
+    spark.read.parquet(path).coalesce(target_files).write.mode(
+        "overwrite"
+    ).parquet(out_path)

@@ -79,3 +79,43 @@ def test_mllib_tfidf_pipeline(spark, sf_dir):
     # L2 normalization: unit norm (where the vector is nonzero)
     norm = sum(v * v for v in r.tfidf_norm.values) ** 0.5
     assert abs(norm - 1.0) < 1e-9
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources.sinks import read_parquet_evolved
+
+    base = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id"), F.lit("a").alias("source"))
+    v1.write.parquet(base + "/batch=1")
+    v2 = spark.range(3, 6).select(
+        F.col("id"),
+        F.lit("b").alias("source"),
+        F.lit(1.5).alias("quality"),  # column added later
+    )
+    v2.write.parquet(base + "/batch=2")
+    got = read_parquet_evolved(spark, base)
+    assert set(got.columns) >= {"id", "source", "quality"}
+    rows = {r["id"]: r["quality"] for r in got.collect()}
+    assert rows[0] is None  # old files backfill the new column as null
+    assert rows[5] == 1.5
+    assert got.count() == 6
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    import glob
+
+    from knn_using_hadoop_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.range(1000).repartition(64).write.parquet(src)
+    assert len(glob.glob(src + "/part-*")) == 64
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark, src, target_files=4, out_path=out)
+    assert len(glob.glob(out + "/part-*")) == 4
+    # content preserved exactly
+    assert (
+        spark.read.parquet(out).selectExpr("sum(id)").collect()[0][0]
+        == 1000 * 999 / 2
+    )
