@@ -4618,3 +4618,34 @@ def q_orders_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
     )
+
+
+@_register(
+    "similarity_topk_ivfpq",
+    f"""WITH {_IVF_CELLS_SQL},
+{_PQ_CTES},
+qc AS (SELECT vec_id AS query_id, cell AS qcell FROM cells
+       WHERE vec_id % {_SIM_QUERY_MOD} = 0),
+ivfadc AS (
+  SELECT a.query_id, a.vec_id, a.adc_dist
+  FROM adc a
+  JOIN cells cv ON cv.vec_id = a.vec_id
+  JOIN qc ON qc.query_id = a.query_id AND qc.qcell = cv.cell),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist ASC, vec_id ASC))::INT
+           AS rank
+  FROM ivfadc)
+SELECT query_id, rank, vec_id, adc_dist FROM ranked WHERE rank <= 10""",
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVFPQ (FAISS's billion-scale index shape): IVF coarse
+    cells prune candidates to the query's cell, PQ/ADC scores the
+    survivors through m-byte codes — completing the ANN ladder
+    (brute -> LSH -> IVF -> IVF+kmeans -> PQ -> IVFPQ) as one
+    relational composition (operators/similarity.py::ivfpq_topk)."""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    return _sim.ivfpq_topk(
+        corpus, queries, 10, n_centroids=_IVF_NC, dim=_EMB_DIM, iters=1
+    )

@@ -758,3 +758,97 @@ def pq_refine_codebook(
             ).alias("cv")
         )
     return cb
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    n_centroids: int = 16,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVFPQ: coarse cell filter upstream of ADC scoring —
+    (query_id, rank, vec_id, adc_dist).
+
+    The index shape production ANN systems (FAISS IVFPQ) run at
+    billion-vector scale, as a relational composition of the two
+    registered legs: the IVF coarse quantizer restricts each query to
+    its own cell's candidates (candidate count = cell occupancy, not
+    |corpus|), and PQ/ADC scores those candidates through m-byte
+    codes (8x less arithmetic, 32x less candidate data). Codebooks
+    here are GLOBAL (shared across cells) — the simpler variant;
+    per-cell residual codebooks drop in by re-centering subvectors on
+    the cell centroid before encode, without changing the dataflow.
+    Every stage is deterministic (rounded distances, id tie-breaks),
+    so the DuckDB twin reproduces the ranking exactly.
+    """
+    centroids = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
+    )
+    cells = ivf_assign_cells(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint(eager=True)  # feeds corpus AND query sides
+    cb = pq_codebook(
+        corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    if iters > 0:
+        cb = pq_refine_codebook(
+            corpus, cb, m=m, dim=dim, iters=iters,
+            id_col=id_col, vec_col=vec_col,
+        ).localCheckpoint(eager=True)
+    codes = pq_encode(
+        corpus, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+    ).join(cells, "vec_id")
+    sub_w = dim // m
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "query_id",
+        "sub",
+        F.slice(
+            F.col("v"), F.col("sub") * sub_w + 1, F.lit(sub_w)
+        ).alias("qsv"),
+    )
+    adc = (
+        qsubs.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            F.col("sub").alias("qsub"),
+            F.col("code").alias("qcode"),
+            _sub_sqdist(F.col("qsv"), F.col("cv")).alias("qd"),
+        )
+        .join(
+            cells.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cell").alias("qcell"),
+            ),
+            "query_id",
+        )
+    )
+    pairs = codes.join(
+        F.broadcast(adc),
+        (F.col("sub") == F.col("qsub"))
+        & (F.col("code") == F.col("qcode"))
+        & (F.col("cell") == F.col("qcell")),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    approx = pairs.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("qd"), 6).alias("adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+    )
