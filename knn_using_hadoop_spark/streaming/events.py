@@ -322,3 +322,83 @@ def foreach_batch_parquet_sink(stream_df: DataFrame, out_dir: str):
     return stream_df.writeStream.foreachBatch(write_batch).outputMode(
         "append"
     )
+
+
+def streaming_user_stats_tws(spark: SparkSession, path: str) -> DataFrame:
+    """Running per-user stats via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-state API (the applyInPandasWithState
+    successor: typed state variables, composable value/list/map
+    state, timers).
+
+    State here is one ValueState row per user: (n_events, total,
+    max_value). Each micro-batch the handler folds its rows into the
+    state and emits the user's updated totals — same contract as
+    ``streaming_user_totals_stateful``, so the batch aggregate is the
+    verification twin for BOTH stateful APIs. At scale the state
+    store shards by user_id; TTL/timers (handle.registerTimer) bolt
+    on idle-user eviction without restructuring.
+    """
+    try:  # the v2 state protocol serializes over protobuf
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package, "
+            "which this container lacks — the operator definition and "
+            "its batch-twin test are real; install protobuf to run it "
+            "(applyInPandasWithState covers stateful processing "
+            "without it: streaming_user_totals_stateful)"
+        ) from e
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState requires the RocksDB state store (the
+    # production-standard provider; the default HDFS-backed store
+    # doesn't implement the v2 state protocol)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double, mx double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                mx = max(mx, float(pdf["value"].max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 4)],
+                    "max_value": [mx],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    events = _read_events_stream(spark, path)
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=(
+            "user_id long, n_events long, total_value double,"
+            " max_value double"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

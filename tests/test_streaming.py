@@ -263,3 +263,68 @@ def test_foreach_batch_sink_idempotent_layout(spark, sf_dir, tmp_path):
     spark.read.parquet(some_batch).write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(some_batch)
     assert spark.read.parquet(str(out)).count() == n_batch
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """transformWithStateInPandas running totals == batch aggregate
+    (same twin as the applyInPandasWithState op — both stateful APIs
+    verified against one oracle-checked contract). Skips where the
+    protobuf dependency (required by the v2 state protocol) is
+    absent, as in this container."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState v2 state protocol needs protobuf",
+    )
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources import load_table
+    from knn_using_hadoop_spark.streaming.events import (
+        streaming_user_stats_tws,
+    )
+
+    agg = streaming_user_stats_tws(spark, f"{sf_dir}/events.parquet")
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_tws")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r.user_id: (r.n_events, r.total_value, r.max_value)
+        for r in spark.sql("SELECT * FROM t_tws").collect()
+    }
+    batch = {
+        r.user_id: (r.n, round(r.v, 4), r.m)
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+            F.max("value").alias("m"),
+        )
+        .collect()
+    }
+    assert got == batch and len(got) > 0
+
+
+def test_tws_guard_raises_clearly_without_protobuf(spark, sf_dir):
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; guard not reachable")
+    except ImportError:
+        pass
+    from knn_using_hadoop_spark.streaming.events import (
+        streaming_user_stats_tws,
+    )
+
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        streaming_user_stats_tws(spark, f"{sf_dir}/events.parquet")
