@@ -4757,3 +4757,116 @@ def q_knn_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@_register(
+    "events_user_journey",
+    """SELECT user_id,
+       array_to_string(list(event_type ORDER BY ts, event_id), '>')
+         AS journey,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id""",
+)
+def q_events_user_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered per-user event sequences (the sequence-modeling /
+    journey-analysis prep): collect_list is order-nondeterministic in
+    a plain groupBy, so the struct-sort idiom pins it — collect
+    (ts, event_id, event_type) structs, sort_array (structs compare
+    field-by-field, so (ts, event_id) totally orders), then project
+    the types. All inside one aggregate; no window, no second
+    shuffle."""
+    e = load_table(spark, "events", sf_dir)
+    seq = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(seq, lambda s: s["event_type"]), ">"
+        ).alias("journey"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@_register(
+    "events_markov_transitions",
+    """WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+trans AS (
+  SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type)
+SELECT prev_type, next_type, n,
+       round(n::DOUBLE / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM trans""",
+)
+def q_events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: lag() pairs consecutive events, the transition counts
+    row-normalize via a window sum over the (tiny) prev_type
+    partition — the user-behavior model a ranking/anomaly system
+    bootstraps from. One partitioned sort + one partial-aggregated
+    shuffle."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(wnorm), 6
+        ).alias("p"),
+    )
+
+
+from knn_using_hadoop_spark.functions.zorder import (  # noqa: E402
+    morton_code,
+    morton_sql,
+)
+
+_Z_A = "floor(l_quantity)::BIGINT"
+_Z_B = "floor(l_extendedprice / 100)::BIGINT"
+
+
+@_register(
+    "lineitem_zorder_profile",
+    f"""WITH z AS (
+  SELECT {morton_sql(_Z_A, _Z_B)} AS zcode FROM lineitem)
+SELECT (zcode >> 16)::BIGINT AS zprefix, count(*)::BIGINT AS n_rows,
+       min(zcode) AS z_lo, max(zcode) AS z_hi
+FROM z GROUP BY zprefix""",
+)
+def q_lineitem_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering codes over (quantity, price
+    bucket): the OPTIMIZE ZORDER layout key, profiled by 16-bit curve
+    segment. Pure shift/mask arithmetic in codegen — the code column
+    an ingest job would sort by so parquet min/max stats prune on
+    BOTH dimensions (functions/zorder.py; write_zordered is the
+    layout writer, pytest-verified for bounding-box tightness)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    z = li.select(
+        morton_code(
+            F.floor(F.col("l_quantity")),
+            F.floor(F.col("l_extendedprice") / 100),
+        ).alias("zcode")
+    )
+    return z.groupBy(
+        F.shiftright(F.col("zcode"), 16).alias("zprefix")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("zcode").alias("z_lo"),
+        F.max("zcode").alias("z_hi"),
+    )
