@@ -4870,3 +4870,226 @@ def q_lineitem_zorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zcode").alias("z_lo"),
         F.max("zcode").alias("z_hi"),
     )
+
+
+@_register(
+    "events_incremental_days",
+    """WITH processed AS (
+  SELECT DISTINCT ts::DATE AS day FROM events
+  WHERE ts < TIMESTAMP '2024-01-20'),
+new_days AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n_events,
+         round(sum(value), 2) AS total_value
+  FROM events
+  GROUP BY ts::DATE)
+SELECT n.day, n.n_events, n.total_value
+FROM new_days n
+WHERE NOT EXISTS (SELECT 1 FROM processed p WHERE p.day = n.day)""",
+)
+def q_events_incremental_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch orchestration: aggregate ONLY the day
+    partitions not yet in the processed-watermark relation (here: the
+    days before Jan 20 stand in for the checkpoint table). The
+    anti-join on day keys is tiny and broadcast; at 100 TB this is
+    the difference between a nightly full recompute and touching one
+    day of partitions — partition pruning does the rest when the
+    source is day-partitioned."""
+    ev = load_table(spark, "events", sf_dir)
+    processed = (
+        ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp"))
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    new_days = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return new_days.join(F.broadcast(processed), "day", "left_anti")
+
+
+@_register(
+    "orders_null_semantics",
+    """WITH o AS (
+  SELECT o_orderkey, o_orderpriority,
+         nullif(o_orderstatus, 'O') AS status_n
+  FROM orders)
+SELECT o_orderpriority, status_n,
+       count(*)::BIGINT AS n,
+       sum((status_n IS NOT DISTINCT FROM NULL)::INT)::BIGINT
+         AS n_null_safe_eq,
+       min(o_orderkey) FILTER (WHERE status_n IS NULL) AS first_null_key
+FROM o
+GROUP BY o_orderpriority, status_n""",
+)
+def q_orders_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics surface: nullif-derived nulls grouped AS KEYS
+    (both engines group nulls together), null-safe equality (Spark
+    <=> == SQL IS NOT DISTINCT FROM), and FILTERed aggregation over
+    the null stratum. The cross-engine traps this pins: default null
+    SORT order differs between engines (Spark ASC = NULLS FIRST,
+    DuckDB = NULLS LAST) so no bare ORDER BY on nullable keys ever
+    reaches a contract result — aggregation keys, which agree, do."""
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.expr("nullif(o_orderstatus, 'O')").alias("status_n"),
+    )
+    return o.groupBy("o_orderpriority", "status_n").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.expr("cast(status_n <=> NULL as int)")
+        ).cast("bigint").alias("n_null_safe_eq"),
+        F.min(F.when(F.col("status_n").isNull(), F.col("o_orderkey"))).alias(
+            "first_null_key"
+        ),
+    )
+
+
+@_register(
+    "table_fingerprints",
+    f"""SELECT 'orders' AS table_name, count(*)::BIGINT AS n_rows,
+       bit_xor(('0x' || substr(md5(o_orderkey || '|' || o_custkey || '|'
+               || o_orderstatus || '|' || o_totalprice || '|'
+               || o_orderpriority), 1, 15))::BIGINT) AS fingerprint
+FROM orders
+UNION ALL
+SELECT 'customer', count(*)::BIGINT,
+       bit_xor(('0x' || substr(md5(c_custkey || '|' || c_name || '|'
+               || c_nationkey || '|' || c_acctbal || '|'
+               || c_mktsegment), 1, 15))::BIGINT)
+FROM customer""",
+)
+def q_table_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints: XOR of per-row 60-bit
+    content hashes — one 8-byte digest per table that any engine can
+    reproduce (this repo's own oracle gate, distilled into a single
+    number). XOR is commutative/associative with no overflow, so the
+    aggregate is partial-combinable and partitioning-independent; a
+    migration validates by comparing fingerprints, not rows."""
+
+    def fp(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
+        key = F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in cols]
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(portable_hash64(key)).alias("fingerprint"),
+        ).select(
+            F.lit(name).alias("table_name"), "n_rows", "fingerprint"
+        )
+
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return fp(
+        orders,
+        "orders",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderpriority"],
+    ).unionAll(
+        fp(
+            cust,
+            "customer",
+            ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+             "c_mktsegment"],
+        )
+    )
+
+
+@_register(
+    "orders_snapshot_diff",
+    """WITH s1 AS (
+  SELECT o_orderkey, round(o_totalprice, 0) AS val
+  FROM orders WHERE o_orderkey % 7 <> 0),
+s2 AS (
+  SELECT o_orderkey, round(o_totalprice, 2) AS val
+  FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT coalesce(s1.o_orderkey, s2.o_orderkey) AS o_orderkey,
+       CASE WHEN s1.o_orderkey IS NULL THEN 'added'
+            WHEN s2.o_orderkey IS NULL THEN 'removed'
+            WHEN s1.val <> s2.val THEN 'changed' END AS status,
+       s1.val AS v1, s2.val AS v2
+FROM s1 FULL OUTER JOIN s2 ON s1.o_orderkey = s2.o_orderkey
+WHERE (CASE WHEN s1.o_orderkey IS NULL THEN 'added'
+            WHEN s2.o_orderkey IS NULL THEN 'removed'
+            WHEN s1.val <> s2.val THEN 'changed' END) IS NOT NULL""",
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (added / removed / changed by key) between two
+    derived order snapshots — the table-comparison primitive behind
+    migration validation and CDC synthesis; only differing keys
+    survive the full outer join
+    (operators/pipeline.py::table_diff)."""
+    o = load_table(spark, "orders", sf_dir)
+    s1 = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 0).alias("val")
+    )
+    s2 = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("val")
+    )
+    return _pipeline.table_diff(s1, s2, "o_orderkey", "val")
+
+
+@_register(
+    "events_holt_forecast",
+    """WITH daily AS (
+  SELECT event_type, ts::DATE AS day, round(sum(value), 2) AS y
+  FROM events GROUP BY event_type, ts::DATE),
+ser AS (
+  SELECT event_type, list(y ORDER BY day) AS ys
+  FROM daily GROUP BY event_type),
+fold AS (
+  SELECT event_type, len(ys)::INT AS n_days,
+         list_reduce(
+           list_transform(ys, y -> [y::DOUBLE, 0.0::DOUBLE]),
+           (acc, x) -> [
+             round(0.5*x[1] + 0.5*(acc[1]+acc[2]), 6),
+             round(0.3*(round(0.5*x[1] + 0.5*(acc[1]+acc[2]), 6)
+                        - acc[1]) + 0.7*acc[2], 6)]) AS lt
+  FROM ser)
+SELECT event_type, n_days, lt[1] AS level, lt[2] AS trend,
+       round(lt[1] + lt[2], 6) AS forecast_next
+FROM fold""",
+)
+def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (double-exponential) smoothing per event type over
+    the daily-total series, one-step-ahead forecast. The sequential
+    recurrence runs as an array fold (collect the ~30-point rounded
+    daily series per group, F.aggregate the tail with (level, trend)
+    as the accumulator) — per-key state stays inside one task, no
+    cross-row dependency leaks into the shuffle. Per-step 6dp
+    rounding keeps the fold bit-identical to DuckDB's list_reduce
+    twin (same protocol as the iterative-algorithm oracles)."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.sum("value"), 2).alias("y"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "y"))),
+            lambda s: s["y"],
+        ).alias("ys")
+    )
+    ys = F.col("ys")
+    rest = F.slice(ys, F.lit(2), F.greatest(F.size(ys) - 1, F.lit(0)))
+
+    def step(acc, x):
+        level = F.round(
+            0.5 * x + 0.5 * (acc.getItem(0) + acc.getItem(1)), 6
+        )
+        trend = F.round(
+            0.3 * (level - acc.getItem(0)) + 0.7 * acc.getItem(1), 6
+        )
+        return F.array(level, trend)
+
+    lt = F.aggregate(
+        rest,
+        F.array(F.element_at(ys, 1), F.lit(0.0)),
+        step,
+    )
+    return ser.select(
+        "event_type",
+        F.size(ys).alias("n_days"),
+        lt.getItem(0).alias("level"),
+        lt.getItem(1).alias("trend"),
+        F.round(lt.getItem(0) + lt.getItem(1), 6).alias("forecast_next"),
+    )

@@ -114,3 +114,37 @@ def dedup_incremental(
         .join(seen, ["fp64", "fp64b"], "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+def table_diff(
+    s1: DataFrame,
+    s2: DataFrame,
+    key: str,
+    value: str,
+) -> DataFrame:
+    """Snapshot diff by key: added / removed / changed rows.
+
+    The migration-validation primitive (and the semantic core of CDC
+    generation): full outer join on the key, classify each key by
+    presence and value equality. One shuffle on the key; output is
+    only the differing keys, so it stays small when the snapshots
+    mostly agree — exactly the property a 100 TB table comparison
+    needs (the identical majority never leaves the join).
+    """
+    a = s1.select(F.col(key).alias("k"), F.col(value).alias("v1"))
+    b = s2.select(F.col(key).alias("k2"), F.col(value).alias("v2"))
+    j = a.join(b, a.k == b.k2, "full_outer")
+    status = (
+        F.when(F.col("k").isNull(), F.lit("added"))
+        .when(F.col("k2").isNull(), F.lit("removed"))
+        .when(F.col("v1") != F.col("v2"), F.lit("changed"))
+    )
+    return (
+        j.select(
+            F.coalesce("k", "k2").alias(key),
+            status.alias("status"),
+            "v1",
+            "v2",
+        )
+        .filter(F.col("status").isNotNull())
+    )

@@ -107,3 +107,25 @@ def compact_parquet(
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def write_globally_sorted(
+    df: DataFrame, path: str, sort_col: str, n_files: int = 8
+) -> None:
+    """Totally-ordered parquet output WITHOUT a single-partition sort.
+
+    ``repartitionByRange`` samples the sort key to build range
+    boundaries, so file i's keys all precede file i+1's, and
+    ``sortWithinPartitions`` orders inside each file — a global total
+    order across n_files files with per-partition sorts only. This is
+    the terasort shape, and the only way a 100 TB sorted export can
+    exist (a global ``orderBy`` into one writer is the anti-pattern
+    the repo bans; TakeOrderedAndProject only covers top-k).
+    Lexicographic file naming preserves the order for readers.
+    """
+    (
+        df.repartitionByRange(n_files, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -119,3 +119,40 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         spark.read.parquet(out).selectExpr("sum(id)").collect()[0][0]
         == 1000 * 999 / 2
     )
+
+
+def test_write_globally_sorted_total_order(spark, tmp_path):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources.sinks import write_globally_sorted
+
+    random.seed(11)
+    vals = [(random.randrange(10**9),) for _ in range(20_000)]
+    df = spark.createDataFrame(vals, "k long")
+    out = str(tmp_path / "sorted")
+    write_globally_sorted(df, out, "k", n_files=8)
+
+    # per-file ranges are disjoint and ordered by file name...
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .orderBy("f")
+        .collect()
+    )
+    assert len(per_file) == 8
+    for prev, nxt in zip(per_file, per_file[1:]):
+        assert prev["hi"] <= nxt["lo"]
+    # ...and rows inside each file are sorted, so reading files in
+    # name order yields the fully sorted dataset
+    pdf = (
+        spark.read.parquet(out)
+        .select("k", F.input_file_name().alias("f"))
+        .toPandas()
+    )
+    for _, grp in pdf.groupby("f", sort=True):
+        ks = grp["k"].tolist()
+        assert ks == sorted(ks)
+    assert sorted(v[0] for v in vals) == sorted(pdf["k"].tolist())

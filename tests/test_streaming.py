@@ -328,3 +328,64 @@ def test_tws_guard_raises_clearly_without_protobuf(spark, sf_dir):
 
     with pytest.raises(NotImplementedError, match="protobuf"):
         streaming_user_stats_tws(spark, f"{sf_dir}/events.parquet")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """A row older than (max event time - watermark) arriving in a
+    LATER micro-batch is dropped from the windowed aggregate in
+    append mode — the state-bounding contract watermarks exist for.
+    maxFilesPerTrigger=1 forces the two files into separate batches
+    so the watermark has advanced before the late row arrives."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    on_time = [
+        (1, base, 1.0),
+        (2, base + dt.timedelta(hours=10), 1.0),  # watermark -> 09:00
+    ]
+    late = [(3, base + dt.timedelta(minutes=30), 1.0)]  # < 09:00: late
+    ok = [(4, base + dt.timedelta(hours=10, minutes=5), 1.0)]
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(
+        str(src / "a.parquet")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_late")
+        .start()
+    )
+    try:
+        # batch 1: on-time rows only; watermark advances to 09:00 at
+        # its end. THEN the late row lands, guaranteed a later batch.
+        q.processAllAvailable()
+        spark.createDataFrame(late + ok, schema).coalesce(1).write.parquet(
+            str(src / "b.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["w"]: r["n"] for r in spark.sql("SELECT * FROM t_late").collect()}
+    # the 00:00 window closed when the watermark passed 01:00 after
+    # batch 1 — it must contain ONLY event 1; late event 3 was dropped
+    assert got.get(base) == 1
