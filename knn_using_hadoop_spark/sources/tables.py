@@ -52,17 +52,29 @@ def load_table(spark: SparkSession, name: str, base_dir: str | None = None) -> D
     ensure_engine_confs(spark)
     base = base_dir or sf_dir()
     df = spark.read.parquet(f"{base}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) -> read as int64 nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to micros,
-        # matching DuckDB's microsecond-truncated Python datetimes.
-        # Integer DIV, not /: ns-since-epoch overflows double's mantissa.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    # Normalize timestamp physical encodings to TimestampType. The
+    # driver's generator has shipped events.ts as TIMESTAMP(NANOS)
+    # (reads as int64 under nanosAsLong) and as plain micros with
+    # isAdjustedToUTC=false (reads as TIMESTAMP_NTZ). Both are naive
+    # wall-clock instants that DuckDB treats as UTC; with the session
+    # timezone pinned to UTC above, casting to TimestampType is
+    # bit-identical to the oracle's epoch semantics — and NTZ would
+    # otherwise reject the cast-to-double the time-series operators
+    # use. Integer DIV, not /: ns-since-epoch overflows double's
+    # 53-bit mantissa.
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+    for field in df.schema.fields:
+        if name == "events" and field.name == "ts" and isinstance(
+            field.dataType, T.LongType
+        ):
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
             )
     return df
 

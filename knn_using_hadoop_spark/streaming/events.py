@@ -25,7 +25,12 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (parquet TIMESTAMP(NANOS))
+        # ts physical encoding varies by generator version: parquet
+        # TIMESTAMP(NANOS) reads as int64 under nanosAsLong, plain
+        # micros (isAdjustedToUTC=false) reads as TIMESTAMP_NTZ.
+        # _read_events_stream derives the real schema from the footer
+        # and normalizes; this struct documents the logical shape.
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -48,17 +53,29 @@ def _read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source event stream with ts normalized to timestamp.
 
     File-source streams take directories; a single-file path is split
-    into (parent, pathGlobFilter).
+    into (parent, pathGlobFilter). Streaming readers require an
+    explicit schema, so the footer schema is probed with a metadata-
+    only batch read (no data scan) — hardcoding it would silently
+    misread when the generator's timestamp encoding changes (it has:
+    TIMESTAMP(NANOS) -> int64, then plain micros -> TIMESTAMP_NTZ).
     """
-    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    from knn_using_hadoop_spark.sources.tables import ensure_engine_confs
+
+    ensure_engine_confs(spark)
+    physical = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(physical).format("parquet")
     if path.endswith(".parquet"):
         import os
 
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    return reader.load(path).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    df = reader.load(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # nanos-as-long
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def streaming_event_counts(
