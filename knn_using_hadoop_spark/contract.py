@@ -5093,3 +5093,302 @@ def q_events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         lt.getItem(1).alias("trend"),
         F.round(lt.getItem(0) + lt.getItem(1), 6).alias("forecast_next"),
     )
+
+
+from knn_using_hadoop_spark.operators import linalg as _linalg  # noqa: E402
+from knn_using_hadoop_spark.operators.timeseries import (  # noqa: E402
+    rolling_distinct_daily,
+)
+
+
+@_register(
+    "tpch_q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::DECIMAL(12,2))::DECIMAL(38,2) AS sum_qty,
+       sum(l_extendedprice::DECIMAL(18,2))::DECIMAL(38,2)
+         AS sum_base_price,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8)
+         AS sum_disc_price,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * ((1 - l_discount) * (1 + l_tax))::DECIMAL(12,8))
+         ::DECIMAL(38,6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6)
+         AS avg_price,
+       round(sum(l_discount::DECIMAL(9,6))::DOUBLE / count(*), 6)
+         AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the pricing summary report — one full scan,
+    grouped on two low-cardinality flags, eight aggregates.
+
+    The canonical partial-aggregation showcase: map-side combine
+    collapses every partition to <= 6 groups before a 6-row shuffle,
+    so the plan's cost is the scan regardless of cluster size. Money
+    sums use the decimal-exact protocol (cast each INPUT once — the
+    sources sit on 2dp/2dp/2dp grids, so products are exact on a 6dp
+    grid and the final scale-6/scale-2 casts never round); averages
+    divide an exact decimal sum (as double) by the group count — one
+    float op, bit-identical in both engines. avg(l_quantity) needs no
+    protocol at all: integer-valued doubles sum exactly in any order.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    # (1-d)(1+t) sits on an exact 4dp grid, so one scale-8 cast of the
+    # double product is exact — and keeps DuckDB's decimal multiply
+    # inside int128 (a 3-factor decimal chain overflows its rescaler).
+    n = F.count(F.lit(1))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)")
+            .alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(price * disc1).cast("decimal(38,8)").alias(
+                "sum_disc_price"
+            ),
+            F.sum(
+                price
+                * (
+                    (F.lit(1) - F.col("l_discount"))
+                    * (F.lit(1) + F.col("l_tax"))
+                ).cast("decimal(12,8)")
+            )
+            .cast("decimal(38,6)")
+            .alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.sum(price).cast("double") / n, 6).alias("avg_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(9,6)")).cast(
+                    "double"
+                )
+                / n,
+                6,
+            ).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "tpch_q3_topn_revenue",
+    """SELECT l_orderkey,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+)
+def q_tpch_q3_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped orders by revenue.
+
+    Both predicates push to the parquet scans; customer broadcasts
+    into orders; the surviving orders x lineitem join shuffles on the
+    order key. The global top-10 runs as TakeOrderedAndProject
+    (per-partition heaps, no global sort). LIMIT makes the result SET
+    order-sensitive, so ordering must be cross-engine deterministic:
+    revenue is decimal-exact (no float summation noise) and ties
+    break on the unique order key.
+    """
+    c = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(price * disc1).cast("decimal(38,8)").alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q6_promo_revenue",
+    """SELECT sum(l_extendedprice::DECIMAL(18,2)
+           * l_discount::DECIMAL(9,6))::DECIMAL(38,8) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24""",
+)
+def q_tpch_q6_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast-revenue-change — a pure scan query.
+
+    Every predicate (date range, discount band, quantity cap) reaches
+    the parquet reader as a pushed filter over exactly four read
+    columns; the aggregate is a single map-side-combined row per
+    partition. At 100 TB with date-partitioned lineitem the date range
+    also prunes partitions — the I/O, not the CPU, is the whole query.
+    The discount band compares doubles against the same literals in
+    both engines (the source grid is exact-representable 0.01 steps,
+    so the comparison is unambiguous).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(9,6)")
+        )
+        .cast("decimal(38,8)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@_register(
+    "tpch_q18_large_orders",
+    """WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       total_qty
+FROM big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20""",
+)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (the HAVING-filtered
+    aggregate as a join input).
+
+    The lineitem aggregate runs first and its HAVING clause slashes
+    the relation before either join — so the orders join is shuffled
+    only on the survivors, and customer broadcasts. total_qty sums
+    integer-valued doubles (exact in any order); the top-20 ordering
+    is on 2dp o_totalprice with the order key as tiebreak.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(o, o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "events_rolling_distinct_users",
+    """WITH pairs AS (
+  SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT d.day AS day, count(DISTINCT p.user_id) AS users_7d
+FROM days d
+JOIN pairs p ON p.day <= d.day AND p.day >= d.day - 6
+GROUP BY d.day""",
+)
+def q_events_rolling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the rolling-
+    actives KPI that COUNT(DISTINCT) over a window frame cannot
+    express.
+
+    The oracle states the semantics as a range join; the engine runs
+    the scale formulation instead (operators/timeseries.py::
+    rolling_distinct_daily): dedup to (day, user) pairs, explode each
+    pair into the <= 7 later days it counts toward (bounded fan-out),
+    broadcast-semi filter to observed days, one distinct-agg keyed by
+    day. Pure equi-shuffles — no nested-loop join at any scale.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return rolling_distinct_daily(ev, key="user_id", window_days=7).select(
+        "day", F.col("user_ids_7d").alias("users_7d")
+    )
+
+
+@_register(
+    "embedding_covariance",
+    f"""WITH flat AS (
+  SELECT vec_id, g.i::INT AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings, generate_series(1, {_EMB_DIM}) g(i)),
+m AS (SELECT i, round(avg(x), 6) AS m FROM flat GROUP BY i),
+c AS (SELECT vec_id, f.i, x - m.m AS cx
+      FROM flat f JOIN m ON m.i = f.i)
+SELECT a.i AS i, b.i AS j, round(avg(a.cx * b.cx), 6) AS cov
+FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY a.i, b.i""",
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding corpus — the
+    single-pass distributed Gram/covariance primitive behind PCA and
+    whitening (operators/linalg.py::covariance_upper).
+
+    The oracle self-joins the exploded relation (fine for DuckDB);
+    the engine instead emits each row's d(d+1)/2 centered pair
+    products through nested HOF transforms and lets partial
+    aggregation collapse every partition to d(d+1)/2 sums — the
+    shuffle is O(d^2) per partition, independent of corpus size.
+    """
+    embs = load_table(spark, "embeddings", sf_dir)
+    return _linalg.covariance_upper(embs, "embedding", _EMB_DIM)
+
+
+@_register(
+    "embedding_power_iteration_pc1",
+    _linalg.power_iteration_oracle_sql(_EMB_DIM, rounds=3),
+)
+def q_embedding_power_iteration_pc1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First principal component of the embedding corpus by 3 rounds
+    of power iteration on the (single-pass, 6dp-rounded) covariance
+    matrix — distributed iterative linear algebra with the PageRank
+    cross-engine protocol: round the renormalized vector to 8 dp every
+    round so both engines re-enter each round bit-identical, 6 dp at
+    output, sign pinned so v[1] >= 0
+    (operators/linalg.py::power_iteration_pc1)."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    return _linalg.power_iteration_pc1(embs, "embedding", _EMB_DIM, rounds=3)

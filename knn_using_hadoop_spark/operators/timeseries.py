@@ -66,3 +66,37 @@ def new_keys_daily(
     return first.groupBy("day").agg(
         F.count(F.lit(1)).alias(out_col)
     )
+
+
+def rolling_distinct_daily(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing N-day distinct-key count per day (rolling actives).
+
+    COUNT(DISTINCT) over a sliding window has no window-function form,
+    and the naive range self-join (days x pairs) is a nested-loop join.
+    The scale formulation is pure equi-shuffle: dedup to (day, key)
+    pairs, then each pair EMITS the <= N days it contributes to via
+    explode(sequence(day, day+N-1)) — bounded fan-out N — followed by
+    a broadcast-semi filter to observed days and one distinct-agg
+    shuffle keyed by day. No nested-loop join, no O(days x pairs)
+    intermediate; every shuffle key is a calendar day.
+    """
+    pairs = events.select(
+        F.to_date(ts_col).alias("day"), F.col(key).alias("k")
+    ).distinct()
+    days = pairs.select("day").distinct()
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add("day", window_days - 1))
+        ).alias("day"),
+        "k",
+    )
+    return (
+        contrib.join(F.broadcast(days), "day", "semi")
+        .groupBy("day")
+        .agg(F.countDistinct("k").alias(f"{key}s_{window_days}d"))
+    )
