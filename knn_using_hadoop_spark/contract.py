@@ -5392,3 +5392,86 @@ def q_embedding_power_iteration_pc1(
     (operators/linalg.py::power_iteration_pc1)."""
     embs = load_table(spark, "embeddings", sf_dir)
     return _linalg.power_iteration_pc1(embs, "embedding", _EMB_DIM, rounds=3)
+
+
+@_register(
+    "events_mad_outliers",
+    """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+wm AS (
+  SELECT e.event_id, e.event_type, e.value, med.med
+  FROM events e JOIN med ON med.event_type = e.event_type),
+mad AS (
+  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+  FROM wm GROUP BY event_type),
+scored AS (
+  SELECT wm.event_id, wm.event_type, wm.value,
+         round(wm.med, 6) AS med, round(mad.mad, 6) AS mad,
+         CASE WHEN mad.mad > 0
+              THEN round(0.6745 * (wm.value - wm.med) / mad.mad, 6)
+         END AS mz
+  FROM wm JOIN mad ON mad.event_type = wm.event_type)
+SELECT event_id, event_type, value, med, mad, mz
+FROM scored WHERE abs(mz) > 3.5""",
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier detection (modified z-score > 3.5) per event
+    type — the median-based alternative to `events_rolling_anomaly`'s
+    mean/stddev scoring, immune to the outliers it is hunting
+    (operators/analytics.py::mad_outliers). Two exact-percentile
+    aggregates + broadcast joins back; no window, no sort of the full
+    relation."""
+    ev = load_table(spark, "events", sf_dir)
+    return _an.mad_outliers(ev)
+
+
+@_register(
+    "events_chi2_dayofweek",
+    """WITH obs AS (
+  SELECT event_type, dayofweek(ts)::INT AS dow,
+         count(*)::DOUBLE AS o
+  FROM events GROUP BY event_type, dayofweek(ts)),
+tot AS (SELECT sum(o) AS n FROM obs),
+rows_ AS (SELECT event_type, sum(o) AS rt FROM obs GROUP BY event_type),
+cols_ AS (SELECT dow, sum(o) AS ct FROM obs GROUP BY dow)
+SELECT obs.event_type, obs.dow, obs.o::BIGINT AS observed,
+       round(rows_.rt * cols_.ct / tot.n, 6) AS expected,
+       round((obs.o - rows_.rt * cols_.ct / tot.n)
+             / sqrt(rows_.rt * cols_.ct / tot.n), 6) AS std_resid
+FROM obs
+JOIN rows_ ON rows_.event_type = obs.event_type
+JOIN cols_ ON cols_.dow = obs.dow
+CROSS JOIN tot""",
+)
+def q_events_chi2_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence surface: the event_type x day-of-week
+    contingency table with expected counts and standardized residuals
+    (the per-cell chi-square contributions) — seasonality testing as
+    pure relational algebra. One grouped count, two marginal rollups
+    of THAT tiny relation (not rescans), broadcast-joined back; every
+    input to the float math is an exact integer count, so only output
+    rounding is needed. DuckDB's dayofweek == Spark's dayofweek - 1
+    (Sunday = 0 vs 1) — aligned explicitly."""
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    rows_ = obs.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = obs.groupBy("dow").agg(F.sum("o").alias("ct"))
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    return (
+        obs.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            F.col("o").cast("bigint").alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round((F.col("o") - exp) / F.sqrt(exp), 6).alias(
+                "std_resid"
+            ),
+        )
+    )

@@ -254,3 +254,46 @@ def ols_trend(
         F.round(slope, 6).alias("slope_per_day"),
         F.round(intercept, 4).alias("intercept"),
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    mz_thr: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection via median absolute deviation.
+
+    The modified z-score 0.6745*(x - median)/MAD (Iglewicz & Hoaglin)
+    is the standard robust alternative to mean/stddev z-scores — a
+    single wild value cannot shift the threshold the way it inflates
+    a standard deviation. Two grouped exact-percentile aggregates
+    (median, then median of |x - median|) and a broadcast join back;
+    both engines compute interpolated percentiles identically, so the
+    scores need only output rounding. Groups with MAD = 0 (over half
+    the values identical) are unscored rather than divided by zero.
+    """
+    med = events.groupBy(group).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("med")
+    )
+    with_med = events.join(F.broadcast(med), group)
+    mad = with_med.groupBy(group).agg(
+        F.expr(f"percentile(abs({value} - med), 0.5)").alias("mad")
+    )
+    scored = with_med.join(F.broadcast(mad), group).withColumn(
+        "mz",
+        F.when(
+            F.col("mad") > 0,
+            F.round(
+                0.6745 * (F.col(value) - F.col("med")) / F.col("mad"), 6
+            ),
+        ),
+    )
+    return scored.filter(F.abs(F.col("mz")) > mz_thr).select(
+        "event_id",
+        group,
+        value,
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "mz",
+    )

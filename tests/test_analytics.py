@@ -185,3 +185,22 @@ def test_mg_matches_plain_groupby_on_corpus(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_mad_outliers_flags_planted_point_not_inliers(spark):
+    # 40 values tightly around 100 plus one wild point; a mean/stddev
+    # z-score would be dragged by the outlier, MAD must not be
+    rows = [
+        (i, 7, _ts(1, i % 20 + 1), "view", 100.0 + (i % 5) * 0.5)
+        for i in range(40)
+    ]
+    rows.append((99, 7, _ts(2, 1), "view", 10_000.0))
+    out = an.mad_outliers(_events(spark, rows)).collect()
+    assert [r["event_id"] for r in out] == [99]
+    assert abs(out[0]["mz"]) > 100
+
+
+def test_mad_outliers_zero_mad_group_unscored(spark):
+    # all-identical group: MAD = 0 -> no rows flagged, no div-by-zero
+    rows = [(i, 7, _ts(1, i + 1), "click", 5.0) for i in range(10)]
+    assert an.mad_outliers(_events(spark, rows)).count() == 0
