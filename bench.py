@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "skew_salted_join",
     "graph_pagerank",
     "doc_dup_ngram_rate",
+    # session-4 surface: decimal-exact wide-agg scan, single-pass
+    # covariance (O(d^2) shuffle), bounded-fanout rolling distinct
+    "tpch_q1_pricing_summary",
+    "embedding_covariance",
+    "events_rolling_distinct_users",
 ]
 
 

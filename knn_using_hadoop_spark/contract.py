@@ -5475,3 +5475,262 @@ def q_events_chi2_dayofweek(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@_register(
+    "nation_revenue_share",
+    """WITH rev AS (
+  SELECT n_name,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name)
+SELECT n_name, revenue,
+       round(revenue::DOUBLE
+             / (sum(revenue) OVER ())::DOUBLE, 6) AS share,
+       rank() OVER (ORDER BY revenue DESC)::INT AS rnk
+FROM rev""",
+)
+def q_nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report / contribution analysis: each nation's share of
+    total revenue plus its rank — the percent-of-total window pattern.
+
+    The unpartitioned window runs over the ALREADY-AGGREGATED 25-row
+    relation, not the fact table — the distinction that makes a
+    global window acceptable at any scale (contract.py's own global-
+    window warning applies to pre-aggregation relations). Revenue is
+    decimal-exact; share divides two exact decimals as doubles — one
+    float op, then rounding. rank() on exact decimals needs no
+    tiebreak (and inherits determinism from exact revenue).
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    rev = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+            )
+            .cast("decimal(38,8)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        "revenue",
+        F.round(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w).cast("double"),
+            6,
+        ).alias("share"),
+        F.rank().over(Window.orderBy(F.col("revenue").desc())).alias(
+            "rnk"
+        ),
+    )
+
+
+@_register(
+    "orders_status_listagg",
+    """SELECT o_custkey,
+       count(*) AS n_orders,
+       string_agg(o_orderstatus || ':' || o_orderkey, ','
+                  ORDER BY o_orderkey) AS order_log
+FROM orders WHERE o_custkey % 100 = 0
+GROUP BY o_custkey""",
+)
+def q_orders_status_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg) — the audit-
+    log rollup. collect_list order is nondeterministic under parallel
+    aggregation, so the engine collects (key, text) structs and
+    array_sorts BEFORE joining — same protocol as events_user_journey;
+    the oracle's string_agg(... ORDER BY) is its SQL-native twin."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") % 100 == 0
+    )
+    entry = F.struct(
+        F.col("o_orderkey").alias("k"),
+        F.concat_ws(":", "o_orderstatus", "o_orderkey").alias("s"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)),
+                lambda e: e.getField("s"),
+            ),
+            ",",
+        ).alias("order_log"),
+    )
+
+
+@_register(
+    "customer_name_parse",
+    """SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)$', 1) AS id_str,
+       try_cast(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+         AS id_num,
+       (try_cast(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+        = c_custkey) AS id_matches,
+       regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed
+FROM customer WHERE c_custkey % 7 = 0""",
+)
+def q_customer_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + validation surface (regexp_extract with a
+    capture group, anchored regexp match, try_cast) — the schema-on-
+    read parsing every ingest pipeline does. The regex dialect subset
+    here (anchors, classes, quantifiers, groups) behaves identically
+    in Spark's Java regex and DuckDB's RE2."""
+    c = load_table(spark, "customer", sf_dir).filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    id_str = F.regexp_extract("c_name", r"([0-9]+)$", 1)
+    id_num = id_str.try_cast("bigint")
+    return c.select(
+        "c_custkey",
+        id_str.alias("id_str"),
+        id_num.alias("id_num"),
+        (id_num == F.col("c_custkey")).alias("id_matches"),
+        F.col("c_name").rlike(r"^Customer#[0-9]{9}$").alias(
+            "well_formed"
+        ),
+    )
+
+
+@_register(
+    "orders_conditional_agg",
+    """SELECT o_orderpriority,
+       count(*) AS n,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+       sum(o_totalprice::DECIMAL(18,2))
+         FILTER (WHERE o_orderstatus = 'F')::DECIMAL(38,2)
+         AS finished_value,
+       round(count(*) FILTER (WHERE o_orderstatus = 'F')
+             / count(*)::DOUBLE, 6) AS finished_rate
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_orders_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (SQL FILTER clause) — pivot-lite KPI
+    rollups in one scan. Spark expresses FILTER as count/sum over
+    CASE; both collapse to the same partial-aggregated single pass.
+    The decimal sum FILTER returns NULL (not 0) for empty groups in
+    both engines."""
+    o = load_table(spark, "orders", sf_dir)
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(fin, 1)).alias("n_finished"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).alias(
+            "n_big"
+        ),
+        F.sum(
+            F.when(fin, F.col("o_totalprice").cast("decimal(18,2)"))
+        )
+        .cast("decimal(38,2)")
+        .alias("finished_value"),
+        F.round(
+            F.count(F.when(fin, 1))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("finished_rate"),
+    )
+
+
+@_register(
+    "events_session_running_spend",
+    """WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id))
+              > 1800 OR lag(ts) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sess AS (
+  SELECT *, sum(is_start) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+  FROM marked)
+SELECT user_id, session_no, event_id, ts,
+       round(sum(value) OVER
+         (PARTITION BY user_id, session_no ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING), 6) AS running_spend
+FROM sess WHERE user_id % 50 = 0""",
+)
+def q_events_session_running_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional-reset cumulative sum: a running total that resets
+    at every session boundary (30-min gap) — the classic 'cumulative
+    sum with reset' that needs session numbering first (gap flag →
+    running count of flags → cumsum within (user, session)).
+
+    All three windows share ONE partitioning ancestry (user_id, then
+    user_id+session_no which Catalyst satisfies with a local re-sort,
+    no second Exchange). The user filter pushes below every window to
+    the scan because it is on the partition key — pruning-compatible
+    analytics."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 50 == 0
+    )
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag("ts").over(wu).cast(
+        "double"
+    )
+    is_start = F.when(
+        gap.isNull() | (gap > 1800), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = ev.select(
+        "user_id", "event_id", "ts", "value", is_start.alias("is_start")
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("is_start").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = (
+        Window.partitionBy("user_id", "session_no")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return sess.select(
+        "user_id",
+        "session_no",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(ws), 6).alias("running_spend"),
+    )
+
+
+from knn_using_hadoop_spark.operators.sketches import (  # noqa: E402
+    kmv_jaccard_oracle_sql,
+    kmv_jaccard_pairs,
+)
+
+
+@_register(
+    "events_user_jaccard_kmv",
+    kmv_jaccard_oracle_sql("events", "event_type", "user_id::VARCHAR", 64),
+)
+def q_events_user_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience-overlap (Jaccard) estimates between event
+    types from mergeable KMV sketches — deterministic sketch algebra
+    with a bit-exact oracle (operators/sketches.py::
+    kmv_jaccard_pairs). The only corpus-sized pass is the per-group
+    k-smallest (partial top-k below the shuffle); the pairwise stage
+    touches <= k rows per group, so adding groups scales as
+    O(pairs * k), never as set sizes."""
+    return kmv_jaccard_pairs(
+        load_table(spark, "events", sf_dir), "event_type", "user_id", k=64
+    )

@@ -165,3 +165,120 @@ SELECT {group_col},
              4) AS est_distinct,
        n_kept
 FROM kept"""
+
+
+def kmv_jaccard_pairs(
+    df: DataFrame, group_col: str, value_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise Jaccard similarity ESTIMATES between every pair of
+    groups' value sets, from mergeable KMV sketches — set-overlap
+    analytics without ever materializing a set intersection.
+
+    Union sketch property (Beyer et al., SIGMOD'07): the k smallest
+    hashes of A ∪ B are computable from KMV(A) ∪ KMV(B); for any h in
+    that union sketch, h ∈ KMV(A) ⟺ h ∈ A (fewer than k union hashes
+    precede it, a fortiori fewer than k of A's). So
+    rho = |{union sketch} ∩ A ∩ B| / |union sketch| is an unbiased
+    Jaccard estimator and est_intersection = rho * est_union. The
+    big-data pass is the per-group k-smallest (WindowGroupLimit
+    partial top-k, fixed-size merges); everything after operates on
+    <= k rows per group — sketch algebra, never set algebra. All
+    arithmetic is deterministic md5 — the oracle reproduces every
+    estimate bit-for-bit, which no RNG-seeded or HLL-based sketch
+    allows.
+    """
+    hashes = df.select(
+        F.col(group_col).alias("g"),
+        portable_hash64(F.col(value_col)).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("g").orderBy(F.col("h").asc())
+    kmv = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h")
+    )
+    groups = kmv.select("g").distinct()
+    pairs = (
+        groups.alias("a")
+        .join(groups.alias("b"), F.col("a.g") < F.col("b.g"))
+        .select(F.col("a.g").alias("t1"), F.col("b.g").alias("t2"))
+    )
+    tagged = pairs.join(
+        F.broadcast(kmv),
+        (F.col("g") == F.col("t1")) | (F.col("g") == F.col("t2")),
+    )
+    u = tagged.groupBy("t1", "t2", "h").agg(
+        F.max(F.when(F.col("g") == F.col("t1"), 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("g") == F.col("t2"), 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    wu = Window.partitionBy("t1", "t2").orderBy(F.col("h").asc())
+    top = u.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= k
+    )
+    agg = top.groupBy("t1", "t2").agg(
+        F.max("h").alias("hk"),
+        F.count(F.lit(1)).alias("nk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("nk") < k, F.col("nk").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_RANGE) / F.col("hk").cast("double")
+    )
+    jac = F.col("n_both") / F.col("nk").cast("double")
+    return agg.select(
+        "t1",
+        "t2",
+        F.round(est_union, 4).alias("est_union"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * est_union, 4).alias("est_intersection"),
+    )
+
+
+def kmv_jaccard_oracle_sql(
+    table: str, group_col: str, value_expr: str, k: int = 64
+) -> str:
+    """DuckDB twin of ``kmv_jaccard_pairs``."""
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {group_col} AS g,
+         (('0x' || substr(md5({value_expr}), 1, 15))::BIGINT) AS h
+  FROM {table}),
+kmv AS (
+  SELECT g, h
+  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY h ASC)
+               AS rn FROM hashes) r
+  WHERE rn <= {k}),
+pairs AS (
+  SELECT a.g AS t1, b.g AS t2
+  FROM (SELECT DISTINCT g FROM kmv) a
+  JOIN (SELECT DISTINCT g FROM kmv) b ON a.g < b.g),
+u AS (
+  SELECT p.t1, p.t2, kmv.h,
+         max(CASE WHEN kmv.g = p.t1 THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN kmv.g = p.t2 THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN kmv ON kmv.g IN (p.t1, p.t2)
+  GROUP BY p.t1, p.t2, kmv.h),
+top AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY t1, t2 ORDER BY h ASC)
+           AS rn FROM u) r
+  WHERE rn <= {k}),
+agg AS (
+  SELECT t1, t2, max(h) AS hk, count(*)::BIGINT AS nk,
+         sum(in_a * in_b) AS n_both
+  FROM top GROUP BY t1, t2)
+SELECT t1, t2,
+       round(CASE WHEN nk < {k} THEN nk::DOUBLE
+                  ELSE {float(k - 1)} * {HASH_RANGE} / hk::DOUBLE END,
+             4) AS est_union,
+       round(n_both / nk::DOUBLE, 6) AS jaccard_est,
+       round((n_both / nk::DOUBLE)
+             * CASE WHEN nk < {k} THEN nk::DOUBLE
+                    ELSE {float(k - 1)} * {HASH_RANGE} / hk::DOUBLE END,
+             4) AS est_intersection
+FROM agg"""

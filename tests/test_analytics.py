@@ -204,3 +204,31 @@ def test_mad_outliers_zero_mad_group_unscored(spark):
     # all-identical group: MAD = 0 -> no rows flagged, no div-by-zero
     rows = [(i, 7, _ts(1, i + 1), "click", 5.0) for i in range(10)]
     assert an.mad_outliers(_events(spark, rows)).count() == 0
+
+
+def test_kmv_jaccard_estimates_close_to_truth(spark):
+    from knn_using_hadoop_spark.operators.sketches import (
+        kmv_jaccard_pairs,
+    )
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", SF)
+    est = {
+        (r["t1"], r["t2"]): (r["jaccard_est"], r["est_intersection"])
+        for r in kmv_jaccard_pairs(
+            ev, "event_type", "user_id", k=64
+        ).collect()
+    }
+    sets = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert len(est) == len(sets) * (len(sets) - 1) // 2
+    for (t1, t2), (jac_e, int_e) in est.items():
+        a, b = sets[t1], sets[t2]
+        true_j = len(a & b) / len(a | b)
+        # k=64 -> typical sketch error ~1/sqrt(64); allow 3 sigma
+        assert abs(jac_e - true_j) < 0.40, (t1, t2, jac_e, true_j)
+        if len(a & b):
+            assert abs(int_e - len(a & b)) < 0.75 * len(a & b) + 5, (
+                t1, t2,
+            )
