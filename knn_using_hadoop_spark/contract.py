@@ -5734,3 +5734,471 @@ def q_events_user_jaccard_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_jaccard_pairs(
         load_table(spark, "events", sf_dir), "event_type", "user_id", k=64
     )
+
+
+@_register(
+    "tpch_q10_returned_items",
+    """SELECT c_custkey, c_name,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20""",
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by lost revenue on returned
+    items in a two-quarter window.
+
+    The returnflag and date-range predicates push to the lineitem and
+    orders scans before the fact-fact shuffle join on the order key;
+    nation broadcasts. The per-customer aggregate then ranks via
+    TakeOrderedAndProject (decimal-exact revenue ordering, unique
+    custkey tiebreak) — never a global sort of all customers.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag") == "R"
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(price * disc1).cast("decimal(38,8)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "tpch_q14_promo_share",
+    """SELECT (year(l_shipdate) * 100 + month(l_shipdate))::INT AS ym,
+       coalesce(sum(CASE WHEN p_type = 'PROMO'
+             THEN l_extendedprice::DECIMAL(18,2)
+                  * (1 - l_discount)::DECIMAL(9,6) END),
+           0)::DECIMAL(38,8) AS promo_revenue,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue,
+       round(coalesce(sum(CASE WHEN p_type = 'PROMO'
+                   THEN l_extendedprice::DECIMAL(18,2)
+                        * (1 - l_discount)::DECIMAL(9,6) END),
+                 0)::DOUBLE
+             / sum(l_extendedprice::DECIMAL(18,2)
+                   * (1 - l_discount)::DECIMAL(9,6))::DOUBLE,
+             6) AS promo_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY ym""",
+)
+def q_tpch_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO parts.
+
+    part broadcasts into the lineitem scan (dimension ~1/300 of the
+    fact at any SF — at 100 TB the part side is still MBs after
+    projecting (p_partkey, p_type)); the month rollup partially
+    aggregates map-side. Both revenue columns are decimal-exact; the
+    share is the one float op, then rounded. The conditional-agg CASE
+    collapses to a single pass — no second join or self-union.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_type")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    promo = F.when(F.col("p_type") == "PROMO", price * disc1)
+    zero = F.lit(0).cast("decimal(38,8)")
+    promo_rev = F.coalesce(F.sum(promo).cast("decimal(38,8)"), zero)
+    rev = F.sum(price * disc1).cast("decimal(38,8)")
+    ym = (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(ym)
+        .agg(
+            promo_rev.alias("promo_revenue"),
+            rev.alias("revenue"),
+            F.round(
+                promo_rev.cast("double") / rev.cast("double"), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+@_register(
+    "tpch_q16_supplier_counts",
+    """SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size""",
+)
+def q_tpch_q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    bucket, excluding a supplier denylist (negative balance stands in
+    for the reference's complaint-comment filter; the synthetic
+    supplier table has no comment column).
+
+    The denylist is a broadcast ANTI join (NOT IN with guaranteed
+    non-null keys = anti semantics); part attribute predicates push
+    to the broadcast-side scan. COUNT(DISTINCT) expands to the
+    two-phase partial-distinct aggregate: dedup on (bucket, suppkey)
+    shuffles first, so the wide shuffle carries already-deduped rows.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(bad),
+            li.l_suppkey == bad.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q19_disjunctive_revenue",
+    """SELECT sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 25
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 26 AND 50
+       AND l_quantity BETWEEN 20 AND 35)""",
+)
+def q_tpch_q19_disjunctive_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 shape: discounted revenue under an OR-of-ANDs
+    predicate mixing join-side columns.
+
+    The canonical disjunctive-pushdown test: Catalyst factors the
+    lineitem-only disjunction l_quantity BETWEEN 1 AND 35 out of the
+    OR and pushes it to the fact scan (so the join never sees rows no
+    branch can accept), and p_size BETWEEN 1 AND 50 likewise to the
+    part side; the residual mixed OR evaluates post-join. part
+    broadcasts — the whole query is one fact scan, zero shuffles.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & sz.between(1, 10)
+            & q.between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & sz.between(11, 25)
+            & q.between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & sz.between(26, 50)
+            & q.between(20, 35)
+        )
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(price * disc1).cast("decimal(38,8)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "tpch_q22_dormant_customers",
+    """WITH thr AS (
+  SELECT round(avg(c_acctbal), 2) AS avg_bal
+  FROM customer
+  WHERE c_acctbal > 0 AND c_custkey % 10 IN (1, 3, 5, 7, 9))
+SELECT (c_custkey % 10)::INT AS bucket,
+       count(*) AS n_custs,
+       round(sum(c_acctbal), 4) AS total_bal
+FROM customer, thr
+WHERE c_custkey % 10 IN (1, 3, 5, 7, 9)
+  AND c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY bucket""",
+)
+def q_tpch_q22_dormant_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers who never ordered
+    (custkey bucket stands in for the reference's phone-prefix
+    country code — the synthetic customer table has no phone).
+
+    The scalar threshold is a 1-row aggregate broadcast-cross-joined
+    into the filter (Catalyst plans DuckDB's correlated-free scalar
+    subquery the same way). The no-orders test is a shuffle-free
+    broadcast... no — orders is the BIG side, so the anti join
+    shuffles on custkey; at 100 TB you'd pre-project orders to its
+    distinct custkeys (already grouped by the same key) to shrink the
+    anti build. avg threshold is rounded to 2dp in BOTH engines
+    before comparing, so float summation-order ulp can never flip a
+    row across the threshold. sum(c_acctbal) adds 2dp-grid doubles —
+    noise ~1e-10 around a grid point, absorbed by round(...,4).
+    """
+    c = load_table(spark, "customer", sf_dir).filter(
+        (F.col("c_custkey") % 10).isin(1, 3, 5, 7, 9)
+    )
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    o = load_table(spark, "orders", sf_dir).select("o_custkey").distinct()
+    return (
+        c.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )
+
+
+@_register(
+    "tpch_q4_late_orders",
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+)
+def q_tpch_q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority counts for orders with at least
+    one late lineitem (shipped >60 days after the order; the
+    synthetic lineitem has no commit/receipt dates, so lateness is
+    ship-vs-order-date — same EXISTS-decorrelation shape).
+
+    The correlated EXISTS becomes a LEFT SEMI join on the order key
+    with the lateness comparison as a join-side predicate; the date
+    range pushes to the orders scan first, so the semi join probes
+    only the quarter's orders. Semi stops at first match per order —
+    no dedup pass, no row multiplication.
+    """
+    o = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_shipdate"
+    )
+    return (
+        o.join(
+            li,
+            (li.l_orderkey == o.o_orderkey)
+            & (
+                li.l_shipdate
+                > o.o_orderdate + F.expr("INTERVAL 60 DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "events_time_weighted_avg",
+    """WITH seq AS (
+  SELECT user_id, value, epoch(ts) AS t,
+         lead(epoch(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+  FROM events)
+SELECT user_id,
+       count(*) AS n_intervals,
+       round(sum(value * (t_next - t)) / sum(t_next - t), 6) AS twap,
+       round(avg(value), 6) AS plain_avg
+FROM seq WHERE t_next IS NOT NULL
+GROUP BY user_id""",
+)
+def q_events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP): each reading holds until the next
+    one, so its weight is the interval length — the correct mean for
+    irregularly-sampled series (plain_avg is emitted alongside to show
+    the sampling bias). Financial OHLC/TWAP and sensor-rollup shape.
+
+    One user-partitioned window (lead) feeding one partial-agg
+    groupBy on the same key — Catalyst reuses the window's Exchange
+    for the aggregate, so the whole query is a single shuffle.
+    epoch seconds are bit-identical cross-engine (micros/1e6 in
+    both); the weighted sums are order-nondeterministic doubles, so
+    only the final ratio is compared, rounded to 6dp (relative ulp
+    noise ~1e-15 cannot survive into 1e-6).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("double")
+    seq = ev.select(
+        "user_id",
+        "value",
+        t.alias("t"),
+        F.lead(t).over(wu).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(F.sum(F.col("value") * dt) / F.sum(dt), 6).alias("twap"),
+        F.round(F.avg("value"), 6).alias("plain_avg"),
+    )
+
+
+@_register(
+    "events_max_concurrency",
+    """WITH marked AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id)
+                > 1800000000
+         THEN 1 ELSE 0 END AS is_start
+  FROM events),
+sess AS (
+  SELECT user_id, t,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked),
+iv AS (
+  SELECT user_id, session_no, min(t) AS t0, max(t) AS t1
+  FROM sess GROUP BY user_id, session_no),
+clipped AS (
+  SELECT greatest(t0, day_idx * 86400000000) AS lo,
+         least(t1, (day_idx + 1) * 86400000000) AS hi,
+         day_idx
+  FROM (SELECT *, unnest(generate_series(t0 // 86400000000,
+                                         t1 // 86400000000)) AS day_idx
+        FROM iv) d),
+b AS (
+  SELECT day_idx, lo AS t, 1 AS delta FROM clipped
+  UNION ALL
+  SELECT day_idx, hi AS t, -1 AS delta FROM clipped),
+run AS (
+  SELECT day_idx,
+         sum(delta) OVER (PARTITION BY day_idx
+                          ORDER BY t ASC, delta DESC
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cur
+  FROM b)
+SELECT make_timestamp(day_idx * 86400000000) AS day,
+       max(cur) AS max_concurrent
+FROM run GROUP BY day""",
+)
+def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the interval-overlap sweep
+    (capacity planning / peak-load shape): sessionize per user
+    (30-min gap), clip each session interval to the days it spans
+    (bounded fan-out, same trick as the rolling-distinct explode),
+    then a +1/-1 boundary sweep with a running sum per day; the
+    day's max prefix sum is its peak concurrency.
+
+    All arithmetic is INTEGER microseconds (`unix_micros` /
+    `epoch_us`) — no float time anywhere, so the sweep is exact
+    cross-engine. Ends sort after starts at equal timestamps
+    (delta DESC), i.e. intervals are closed: a 1-event session still
+    registers, and back-to-back sessions touching at an instant
+    count as concurrent. The sweep windows partition by DAY — the
+    global-window anti-pattern never appears; per-day boundary counts
+    are 2x the day's sessions, which is the quantity a 1000-executor
+    cluster can always hold per partition.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_t = F.lag(us).over(wu)
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        us.alias("t"),
+        F.when(
+            lag_t.isNull() | ((us - lag_t) > 1800000000), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("is_start"),
+    )
+    sess = marked.select(
+        "user_id",
+        "t",
+        F.sum("is_start")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("t", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("session_no"),
+    )
+    day_us = F.lit(86400000000)
+    iv = sess.groupBy("user_id", "session_no").agg(
+        F.min("t").alias("t0"), F.max("t").alias("t1")
+    )
+    clipped = iv.select(
+        F.explode(
+            F.sequence(
+                F.expr("t0 div 86400000000"), F.expr("t1 div 86400000000")
+            )
+        ).alias("day_idx"),
+        "t0",
+        "t1",
+    ).select(
+        "day_idx",
+        F.greatest("t0", F.col("day_idx") * day_us).alias("lo"),
+        F.least("t1", (F.col("day_idx") + 1) * day_us).alias("hi"),
+    )
+    b = clipped.select(
+        "day_idx", F.col("lo").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        clipped.select(
+            "day_idx", F.col("hi").alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    run = b.select(
+        "day_idx",
+        F.sum("delta")
+        .over(
+            Window.partitionBy("day_idx")
+            .orderBy(F.col("t").asc(), F.col("delta").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .alias("cur"),
+    )
+    return run.groupBy(
+        F.timestamp_micros(F.col("day_idx") * day_us).alias("day")
+    ).agg(F.max("cur").alias("max_concurrent"))
