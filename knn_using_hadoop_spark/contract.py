@@ -6202,3 +6202,252 @@ def q_events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run.groupBy(
         F.timestamp_micros(F.col("day_idx") * day_us).alias("day")
     ).agg(F.max("cur").alias("max_concurrent"))
+
+
+@_register(
+    "orders_gaps_islands",
+    """WITH days AS (
+  SELECT DISTINCT o_custkey,
+         epoch_us(o_orderdate) // 86400000000 AS day_idx
+  FROM orders),
+isl AS (
+  SELECT o_custkey, day_idx,
+         day_idx - row_number() OVER
+           (PARTITION BY o_custkey ORDER BY day_idx) AS grp
+  FROM days),
+streaks AS (
+  SELECT o_custkey, grp, count(*)::BIGINT AS streak_days,
+         min(day_idx) AS start_day
+  FROM isl GROUP BY o_custkey, grp)
+SELECT o_custkey,
+       count(*) AS n_streaks,
+       max(streak_days) AS longest_streak,
+       sum(streak_days)::BIGINT AS active_days
+FROM streaks
+WHERE o_custkey % 20 = 0
+GROUP BY o_custkey""",
+)
+def q_orders_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive-order-day streaks per customer
+    (retention/engagement-streak shape). The classic trick — on
+    consecutive days, day_index and row_number advance in lockstep,
+    so their DIFFERENCE is constant per island and becomes the
+    island's group key; no self-join, no recursion.
+
+    Day arithmetic is integer microseconds div 86.4e9 — exact in
+    both engines. Both windows and both aggregates partition on
+    o_custkey, so after the distinct's shuffle everything is
+    partition-local; the customer filter pushes to the scan.
+    """
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_custkey") % 20 == 0
+    )
+    days = o.select(
+        "o_custkey",
+        F.expr("unix_micros(o_orderdate) div 86400000000").alias(
+            "day_idx"
+        ),
+    ).distinct()
+    wc = Window.partitionBy("o_custkey").orderBy("day_idx")
+    isl = days.select(
+        "o_custkey",
+        "day_idx",
+        (F.col("day_idx") - F.row_number().over(wc)).alias("grp"),
+    )
+    streaks = isl.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days")
+    )
+    return streaks.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").cast("bigint").alias("active_days"),
+    )
+
+
+@_register(
+    "lineitem_abc_classification",
+    """WITH pr AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS revenue
+  FROM lineitem GROUP BY l_partkey),
+ranked AS (
+  SELECT l_partkey, revenue,
+         sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         sum(revenue) OVER () AS total_rev
+  FROM pr),
+classed AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN cum_rev::DOUBLE / total_rev::DOUBLE <= 0.7 THEN 'A'
+              WHEN cum_rev::DOUBLE / total_rev::DOUBLE <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM ranked)
+SELECT abc_class,
+       count(*) AS n_parts,
+       sum(revenue)::DECIMAL(38,8) AS class_revenue
+FROM classed GROUP BY abc_class""",
+)
+def q_lineitem_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, bucketed
+    by cumulative revenue share (A = first 70%, B = to 90%, C = tail).
+
+    The cumulative window is global BY DEFINITION (a total ordering
+    of parts) but runs over the already-aggregated part relation —
+    dimension-sized, 1/30-1/50 of the fact rows, the
+    post-aggregation global window this registry's protocol allows.
+    Cumulative revenue stays decimal-EXACT through the window; the
+    share division is one IEEE double op on exact inputs, identical
+    in both engines, so class boundaries cannot flip — no rounding
+    protocol needed anywhere.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(price * disc1).cast("decimal(38,8)").alias("revenue")
+    )
+    wcum = Window.orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    share = F.col("cum_rev").cast("double") / F.col("total_rev").cast(
+        "double"
+    )
+    classed = pr.select(
+        "l_partkey",
+        "revenue",
+        F.sum("revenue").over(wcum).alias("cum_rev"),
+        F.sum("revenue").over(wall).alias("total_rev"),
+    ).select(
+        "l_partkey",
+        "revenue",
+        F.when(share <= 0.7, "A")
+        .when(share <= 0.9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("revenue").cast("decimal(38,8)").alias("class_revenue"),
+    )
+
+
+@_register(
+    "orders_yoy_growth",
+    """WITH m AS (
+  SELECT (year(o_orderdate) * 100 + month(o_orderdate))::INT AS ym,
+         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS revenue,
+         count(*) AS n_orders
+  FROM orders GROUP BY ym)
+SELECT cur.ym, cur.revenue, cur.n_orders,
+       prev.revenue AS revenue_prev_year,
+       round((cur.revenue::DOUBLE - prev.revenue::DOUBLE)
+             / prev.revenue::DOUBLE, 6) AS yoy_growth
+FROM m cur JOIN m prev ON prev.ym = cur.ym - 100""",
+)
+def q_orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month — the reporting staple. The
+    calendar join (ym vs ym-100) is a self-join of the MONTH-sized
+    aggregate, not a window lag (lag-12-rows silently lies when a
+    month is missing from the series; the equi-join is
+    correct-by-construction). Both sides broadcast at any SF —
+    months don't scale with data. Revenue is decimal-exact; growth
+    is the one double division, rounded.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    m = o.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "ym"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    cur, prev = m.alias("cur"), m.alias("prev")
+    return cur.join(
+        F.broadcast(prev), F.col("prev.ym") == F.col("cur.ym") - 100
+    ).select(
+        F.col("cur.ym").alias("ym"),
+        F.col("cur.revenue").alias("revenue"),
+        F.col("cur.n_orders").alias("n_orders"),
+        F.col("prev.revenue").alias("revenue_prev_year"),
+        F.round(
+            (
+                F.col("cur.revenue").cast("double")
+                - F.col("prev.revenue").cast("double")
+            )
+            / F.col("prev.revenue").cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+from knn_using_hadoop_spark.operators.sketches import (  # noqa: E402
+    countmin_estimates,
+    countmin_oracle_sql,
+)
+
+
+@_register(
+    "token_countmin_freq",
+    countmin_oracle_sql(
+        "SELECT unnest(string_split(text, ' ')) AS tok FROM documents",
+        "tok",
+    ),
+)
+def q_token_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch token-frequency estimates vs exact counts for
+    the top-20 tokens (operators/sketches.py::countmin_estimates).
+    The 192-counter sketch is built from the vocab-sized count
+    relation (identical counters to hashing the raw stream, at
+    O(|vocab|*depth) explode cost); overestimate >= 0 is the CMS
+    one-sided error, exposed per probe."""
+    toks = load_docs_wide(spark, sf_dir).select(
+        F.explode(_text.tokens("text")).alias("tok")
+    )
+    return countmin_estimates(toks, "tok")
+
+
+from knn_using_hadoop_spark.operators.linalg import (  # noqa: E402
+    logreg_gd,
+    logreg_gd_oracle_sql,
+)
+
+_LOGREG_FEATS_SQL = """SELECT l_quantity / 50 AS x1,
+       l_discount * 10 AS x2,
+       l_tax * 10 AS x3,
+       CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+FROM lineitem"""
+
+
+@_register(
+    "lineitem_logreg_returnflag",
+    logreg_gd_oracle_sql(_LOGREG_FEATS_SQL, ["x1", "x2", "x3"], "y"),
+)
+def q_lineitem_logreg_returnflag(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Iterative ML training as aggregates: 3 rounds of full-batch
+    logistic-regression gradient descent predicting returnflag='R'
+    from scaled (quantity, discount, tax) —
+    operators/linalg.py::logreg_gd. Each round is one
+    partial-aggregated scan; weights are driver-side literals
+    (constant plan depth); sigmoid/gradient rounding keeps both
+    engines bit-identical round over round (PageRank protocol).
+    The synthetic label is ~independent of the features, so the
+    learned weights hover near the prior's logit — the point is the
+    distributed-GD mechanics, not the fit."""
+    feats = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_quantity") / 50).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_tax") * 10).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return logreg_gd(feats, ["x1", "x2", "x3"], "y")

@@ -176,3 +176,119 @@ v{r} AS (SELECT i,
         f"{body}\n"
         f"SELECT i, round(v * (SELECT s FROM sgn), 6) AS v FROM {last}"
     )
+
+
+def logreg_gd(
+    feats: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    rounds: int = 3,
+) -> DataFrame:
+    """Full-batch logistic-regression gradient descent (lr=1.0),
+    returning one row: the learned weights plus training-set
+    prediction counts — distributed iterative ML training as pure
+    aggregates, the MLlib-free shape of `LogisticRegression`.
+
+    Each round is ONE partial-aggregated pass over the features: the
+    gradient of the log-loss is avg((sigmoid(w.x) - y) * x_j), a
+    (1+|x|)-number aggregate — no per-row state, no shuffle beyond
+    the aggregate's. Weights live driver-side (they are the
+    iteration's only state, |x|+1 doubles) and re-enter the next
+    round as plan-time literals, so round r+1's scan starts fresh —
+    constant plan depth without checkpointing.
+
+    Cross-engine determinism protocol (same as PageRank/k-means):
+    sigmoid outputs and gradient averages are rounded to 6dp EVERY
+    round, so both engines re-enter each round with bit-identical
+    weights; exp()'s libm ulp (~1e-17 here) and the aggregate's
+    summation-order noise (~1e-13) both vanish into the 5e-7
+    half-grid. Weight updates are the identical left-associated
+    IEEE subtraction chain in both engines.
+    """
+    w = [0.0] * (len(x_cols) + 1)
+    for _ in range(rounds):
+        z = F.lit(w[0])
+        for j, xc in enumerate(x_cols):
+            z = z + F.lit(w[j + 1]) * F.col(xc)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        err = p - F.col(y_col)
+        grads = feats.agg(
+            F.round(F.avg(err), 6).alias("g0"),
+            *[
+                F.round(F.avg(err * F.col(xc)), 6).alias(f"g{j + 1}")
+                for j, xc in enumerate(x_cols)
+            ],
+        ).collect()[0]
+        w = [w[j] - grads[f"g{j}"] for j in range(len(w))]
+    z = F.lit(w[0])
+    for j, xc in enumerate(x_cols):
+        z = z + F.lit(w[j + 1]) * F.col(xc)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    pred = (p > 0.5).cast("int")
+    y_int = F.col(y_col).cast("int")
+    return feats.agg(
+        *[F.lit(w[j]).alias(f"w{j}") for j in range(len(w))],
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(pred).cast("bigint").alias("n_pred_pos"),
+        F.sum((pred == y_int).cast("int")).cast("bigint").alias(
+            "n_correct"
+        ),
+    )
+
+
+def logreg_gd_oracle_sql(
+    feats_sql: str,
+    x_cols: list[str],
+    y_col: str,
+    rounds: int = 3,
+) -> str:
+    """DuckDB twin of ``logreg_gd``: the driver-side weight loop
+    unrolled into a CTE chain (one gradient CTE + one weight CTE per
+    round), identical rounding points."""
+    nx = len(x_cols)
+
+    def z_expr(wsrc: str) -> str:
+        z = f"{wsrc}.w0"
+        for j, xc in enumerate(x_cols):
+            z += f" + {wsrc}.w{j + 1} * f.{xc}"
+        return z
+
+    parts = [
+        f"f AS ({feats_sql})",
+        "w0_ AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(nx + 1))
+        + ")",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"round(1.0 / (1.0 + exp(-({z_expr(f'w{r - 1}_')}))), 6)"
+        gcols = [f"round(avg({p} - f.{y_col}), 6) AS g0"]
+        for j, xc in enumerate(x_cols):
+            gcols.append(
+                f"round(avg(({p} - f.{y_col}) * f.{xc}), 6) AS g{j + 1}"
+            )
+        parts.append(
+            f"g{r} AS (SELECT {', '.join(gcols)} FROM f, w{r - 1}_)"
+        )
+        wcols = ", ".join(
+            f"w{r - 1}_.w{j} - g{r}.g{j} AS w{j}" for j in range(nx + 1)
+        )
+        parts.append(f"w{r}_ AS (SELECT {wcols} FROM w{r - 1}_, g{r})")
+    wlast = f"w{rounds}_"
+    p = f"round(1.0 / (1.0 + exp(-({z_expr(wlast)}))), 6)"
+    # min() over the 1-row weight CTE: the final select aggregates f,
+    # so the (constant) weight columns must pass through an aggregate.
+    wsel = ", ".join(
+        f"min({wlast}.w{j}) AS w{j}" for j in range(nx + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT {wsel},
+       count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN {p} > 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_pred_pos,
+       sum(CASE WHEN (CASE WHEN {p} > 0.5 THEN 1 ELSE 0 END)
+                     = {y_col}::INT THEN 1 ELSE 0 END)::BIGINT
+         AS n_correct
+FROM f, {wlast}"""
+    )

@@ -26,7 +26,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from knn_using_hadoop_spark.functions.hashing import portable_hash64
+from knn_using_hadoop_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash64,
+)
 
 HASH_RANGE = float(1 << 60)  # exact double (power of two)
 
@@ -282,3 +285,118 @@ SELECT t1, t2,
                     ELSE {float(k - 1)} * {HASH_RANGE} / hk::DOUBLE END,
              4) AS est_intersection
 FROM agg"""
+
+
+def countmin_estimates(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 3,
+    width: int = 64,
+    top_n: int = 20,
+) -> DataFrame:
+    """Count-Min frequency estimates for the ``top_n`` most frequent
+    items, next to their exact counts — (item, exact_cnt, cms_est,
+    overestimate).
+
+    CMS invariant (Cormode & Muthukrishnan '05): each of ``depth``
+    hash rows buckets every item into ``width`` counters; an item's
+    estimate is the MIN of its counters, which can only OVERcount
+    (collisions add, never subtract) — ``overestimate >= 0`` always,
+    and the output exposes it per item so the error is measurable.
+
+    Scale shape: the corpus-sized pass is the exact groupBy(item)
+    count (one partial-aggregated shuffle the caller usually needs
+    anyway); the sketch is then built from the VOCAB-sized count
+    relation — identical counters to hashing the raw stream, at
+    explode cost O(|vocab| * depth), not O(|stream| * depth). The
+    counter table is depth*width rows (192 here) — broadcast-joined
+    to the probes; nothing in the sketch stage scales with the
+    corpus. Deterministic md5 bucketing — the oracle rebuilds the
+    identical sketch (no RNG seeds to reconcile).
+    """
+    exact = items.groupBy(F.col(item_col).alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    keyed = exact.select(
+        "item",
+        "exact_cnt",
+        F.explode(rows).alias("r"),
+    ).select(
+        "item",
+        "exact_cnt",
+        "r",
+        (
+            portable_hash32(
+                F.concat_ws(":", F.col("r").cast("string"), F.col("item"))
+            )
+            % width
+        ).alias("bucket"),
+    )
+    counters = keyed.groupBy("r", "bucket").agg(
+        F.sum("exact_cnt").alias("cnt")
+    )
+    probes = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("item")
+    ).limit(top_n)
+    probe_keys = probes.select(
+        "item",
+        "exact_cnt",
+        F.explode(rows).alias("r"),
+    ).select(
+        "item",
+        "exact_cnt",
+        "r",
+        (
+            portable_hash32(
+                F.concat_ws(":", F.col("r").cast("string"), F.col("item"))
+            )
+            % width
+        ).alias("bucket"),
+    )
+    return (
+        probe_keys.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("item", "exact_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "item",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def countmin_oracle_sql(
+    items_sql: str,
+    item_col: str,
+    depth: int = 3,
+    width: int = 64,
+    top_n: int = 20,
+) -> str:
+    """DuckDB twin of ``countmin_estimates``."""
+    h = (
+        f"(('0x' || substr(md5(r::VARCHAR || ':' || item), 1, 8))"
+        f"::BIGINT) % {width}"
+    )
+    return f"""
+WITH items AS ({items_sql}),
+exact_cnt AS (
+  SELECT {item_col} AS item, count(*)::BIGINT AS exact_cnt
+  FROM items GROUP BY {item_col}),
+keyed AS (
+  SELECT item, exact_cnt, r, {h} AS bucket
+  FROM exact_cnt, unnest(generate_series(0, {depth - 1})) AS t(r)),
+counters AS (
+  SELECT r, bucket, sum(exact_cnt)::BIGINT AS cnt
+  FROM keyed GROUP BY r, bucket),
+probes AS (
+  SELECT item, exact_cnt FROM exact_cnt
+  ORDER BY exact_cnt DESC, item LIMIT {top_n}),
+probe_keys AS (
+  SELECT item, exact_cnt, r, {h} AS bucket
+  FROM probes, unnest(generate_series(0, {depth - 1})) AS t(r))
+SELECT p.item, p.exact_cnt, min(c.cnt) AS cms_est,
+       min(c.cnt) - p.exact_cnt AS overestimate
+FROM probe_keys p JOIN counters c USING (r, bucket)
+GROUP BY p.item, p.exact_cnt"""

@@ -232,3 +232,33 @@ def test_kmv_jaccard_estimates_close_to_truth(spark):
             assert abs(int_e - len(a & b)) < 0.75 * len(a & b) + 5, (
                 t1, t2,
             )
+
+
+def test_countmin_overestimates_only_and_exact_when_sparse(spark):
+    from knn_using_hadoop_spark.operators.sketches import (
+        countmin_estimates,
+    )
+
+    # dense case: top tokens of a real corpus — CMS may overcount but
+    # never undercounts
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    toks = (
+        load_table(spark, "documents", SF)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    for r in countmin_estimates(toks, "tok").collect():
+        assert r["cms_est"] >= r["exact_cnt"]
+        assert r["overestimate"] == r["cms_est"] - r["exact_cnt"]
+
+    # sparse case: 3 items cannot collide into wrong MIN across 3
+    # independent rows unless all 3 rows collide — with 64 buckets
+    # that is effectively impossible; estimates are exact
+    small = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 3 + [("c",)] * 2, "tok string"
+    )
+    got = {
+        r["item"]: (r["exact_cnt"], r["cms_est"])
+        for r in countmin_estimates(small, "tok").collect()
+    }
+    assert got == {"a": (5, 5), "b": (3, 3), "c": (2, 2)}

@@ -119,3 +119,71 @@ def test_rolling_distinct_plan_has_no_nlj(spark):
     ).toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    # Spark's F.round / DuckDB round use HALF_UP, not Python's
+    # banker's rounding.
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-nd),
+            rounding=decimal.ROUND_HALF_UP,
+        )
+    )
+
+
+def test_logreg_gd_matches_numpy_replica(spark):
+    li = load_table(spark, "lineitem", SF)
+    feats = li.select(
+        (F.col("l_quantity") / 50).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_tax") * 10).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    row = linalg.logreg_gd(feats, ["x1", "x2", "x3"], "y").collect()[0]
+
+    pdf = feats.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf.x1, pdf.x2, pdf.x3]
+    ).astype(np.float64)
+    y = pdf.y.to_numpy(dtype=np.float64)
+    w = np.zeros(4)
+    for _ in range(3):
+        p = np.array(
+            [
+                _round_half_up(v, 6)
+                for v in 1.0 / (1.0 + np.exp(-(X @ w)))
+            ]
+        )
+        g = np.array(
+            [
+                _round_half_up(v, 6)
+                for v in (X.T @ (p - y)) / len(y)
+            ]
+        )
+        w = w - g
+    # rounding every round makes the replica near-bit-identical; the
+    # only slack is summation order inside one aggregate (<= 1 ulp of
+    # the 6dp grid)
+    for j in range(4):
+        assert abs(row[f"w{j}"] - w[j]) < 2e-6, (j, row[f"w{j}"], w[j])
+    p = np.array(
+        [_round_half_up(v, 6) for v in 1.0 / (1.0 + np.exp(-(X @ w)))]
+    )
+    assert row["n_rows"] == len(y)
+    assert row["n_pred_pos"] == int((p > 0.5).sum())
+    assert row["n_correct"] == int(((p > 0.5) == (y == 1.0)).sum())
+
+
+def test_logreg_gd_learns_separable_data(spark):
+    # planted signal: y depends on x1 -> GD must beat the prior
+    rows = [(float(i % 40) / 40.0, 1.0 if i % 40 >= 20 else 0.0)
+            for i in range(400)]
+    feats = spark.createDataFrame(rows, "x1 double, y double")
+    got = linalg.logreg_gd(feats, ["x1"], "y", rounds=8).collect()[0]
+    assert got["w1"] > 0.5  # positive slope learned
+    assert got["n_correct"] > 300  # >75% on linearly-separable data
