@@ -6451,3 +6451,241 @@ def q_lineitem_logreg_returnflag(
         .alias("y"),
     )
     return logreg_gd(feats, ["x1", "x2", "x3"], "y")
+
+
+# EWMA coefficients alpha*(1-alpha)^k, computed ONCE in Python and
+# inlined as literals on BOTH sides (repr round-trips doubles exactly,
+# so each engine parses the identical IEEE value — neither engine
+# recomputes the power chain).
+_EWMA_ALPHA = 0.3
+_EWMA_K = 10
+_EWMA_COEFS = [
+    _EWMA_ALPHA * (1 - _EWMA_ALPHA) ** k for k in range(_EWMA_K + 1)
+]
+
+
+def _ewma_oracle() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w * {c!r}, 0.0)"
+        if k
+        else f"value * {c!r}"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(value, {k}) OVER w IS NOT NULL"
+        f" THEN {c!r} ELSE 0.0 END"
+        if k
+        else f"{c!r}"
+        for k, c in enumerate(_EWMA_COEFS)
+    )
+    return f"""SELECT user_id, event_id, ts, value,
+       round(({num}) / ({den}), 6) AS ewma
+FROM events WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+@_register("events_ewma", _ewma_oracle())
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback EWMA (alpha=0.3, K=10 lags) — exponential
+    smoothing as a pure window expression. True EWMA is an infinite
+    recursion no window function expresses; truncating at K=10 drops
+    (1-alpha)^11 ≈ 2% of the mass, which the denominator renormalizes
+    over the PRESENT terms (so early rows in each series are exact
+    partial-mass averages, not biased toward zero).
+
+    One user-partitioned window feeds all 11 lags — a single
+    Exchange + sort, then branch-free projection. The whole
+    expression is deterministic IEEE arithmetic on literal
+    coefficients (inlined from one Python computation on both
+    sides), left-to-right association matched — bit-exact
+    cross-engine before the cosmetic 6dp rounding."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 25 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.col("value") * F.lit(_EWMA_COEFS[0])
+    den = F.lit(_EWMA_COEFS[0])
+    for k in range(1, _EWMA_K + 1):
+        lagk = F.lag("value", k).over(w)
+        num = num + F.coalesce(
+            lagk * F.lit(_EWMA_COEFS[k]), F.lit(0.0)
+        )
+        den = den + F.when(
+            lagk.isNotNull(), F.lit(_EWMA_COEFS[k])
+        ).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+@_register(
+    "events_welch_ttest",
+    """WITH s AS (
+  SELECT count(*) FILTER (WHERE event_type = 'click') AS n1,
+         count(*) FILTER (WHERE event_type = 'purchase') AS n2,
+         round(avg(value) FILTER (WHERE event_type = 'click'), 6) AS m1,
+         round(avg(value) FILTER (WHERE event_type = 'purchase'), 6)
+           AS m2,
+         round(var_samp(value) FILTER (WHERE event_type = 'click'), 6)
+           AS v1,
+         round(var_samp(value) FILTER (WHERE event_type = 'purchase'), 6)
+           AS v2
+  FROM events)
+SELECT n1, n2, m1, m2,
+       round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+             / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                + (v2 / n2) * (v2 / n2) / (n2 - 1)), 2) AS df_welch
+FROM s""",
+)
+def q_events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between click and purchase
+    spend — the A/B-test primitive as ONE conditional-aggregate scan
+    (no per-group subqueries, no second pass).
+
+    Determinism: the five sufficient statistics are rounded to 6dp
+    FIRST (absorbing summation-order and Welford-vs-sum-of-squares
+    ulp differences between engines), then the t statistic and
+    Welch-Satterthwaite df are pure IEEE arithmetic on those rounded
+    stats — identical in both engines by construction. sqrt is an
+    IEEE-exact operation (unlike exp/ln, it needs no extra guard).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    click = F.when(F.col("event_type") == "click", F.col("value"))
+    purch = F.when(F.col("event_type") == "purchase", F.col("value"))
+    s = ev.agg(
+        F.count(click).alias("n1"),
+        F.count(purch).alias("n2"),
+        F.round(F.avg(click), 6).alias("m1"),
+        F.round(F.avg(purch), 6).alias("m2"),
+        F.round(F.var_samp(click), 6).alias("v1"),
+        F.round(F.var_samp(purch), 6).alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return s.select(
+        "n1",
+        "n2",
+        "m1",
+        "m2",
+        F.round(
+            (F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2), 4
+        ).alias("t_stat"),
+        F.round(
+            (se1 + se2)
+            * (se1 + se2)
+            / (
+                se1 * se1 / (F.col("n1") - 1)
+                + se2 * se2 / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+@_register(
+    "sql_lateral_topk",
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c
+JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t ON true
+WHERE c.c_custkey % 100 = 0""",
+)
+def q_sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT —
+    the SQL-native top-N-per-group, planned by Catalyst's lateral
+    decorrelation (DecorrelateInnerQuery rewrites it to a join +
+    per-key limit, the same shape as the window-rank form — no
+    per-customer re-execution). Exercises the SQL entry path end to
+    end; ties broken by the unique order key so the LIMIT-2 set is
+    cross-engine deterministic."""
+    sf = sf_dir
+    for t in ("customer", "orders"):
+        load_table(spark, t, sf).createOrReplaceTempView(t)
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM customer c
+           JOIN LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                         WHERE o_custkey = c.c_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey
+                         LIMIT 2) t
+           WHERE c.c_custkey % 100 = 0"""
+    )
+
+
+@_register(
+    "doc_zipf_slope",
+    """WITH vocab AS (
+  SELECT tok, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  GROUP BY tok),
+pts AS (
+  SELECT round(ln(row_number() OVER (ORDER BY cnt DESC, tok)), 6) AS lx,
+         round(ln(cnt::DOUBLE), 6) AS ly
+  FROM vocab),
+s AS (
+  SELECT count(*)::BIGINT AS n, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx * lx) AS sxx, sum(ly * ly) AS syy, sum(lx * ly) AS sxy
+  FROM pts)
+SELECT n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+             6) AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s""",
+)
+def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    log(freq) ~ log(rank) (natural Zipf slope ≈ -1; the synthetic
+    corpus's flat token distribution yields a shallower tail — the
+    diagnostic is exactly what the number is for).
+
+    The rank window is global but runs over the VOCAB relation
+    (sublinear in corpus size — post-aggregation global windows are
+    this registry's allowed shape). ln() is libm, NOT IEEE-exact
+    cross-engine, so both coordinates are rounded to 6dp BEFORE the
+    sums; the closed-form OLS then rounds its three outputs (the
+    log-log points are O(1-10), no catastrophic cancellation — the
+    epoch-seconds centering lesson from events_ols_trend does not
+    bite here)."""
+    vocab = (
+        load_docs_wide(spark, sf_dir)
+        .select(F.explode(_text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wr = Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+    pts = vocab.select(
+        F.round(F.log(F.row_number().over(wr).cast("double")), 6).alias(
+            "lx"
+        ),
+        F.round(F.log(F.col("cnt").cast("double")), 6).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(
+            (n * sxy - sx * sy)
+            * (n * sxy - sx * sy)
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -38,3 +38,38 @@ def test_new_keys_daily(spark):
     }
     # user 1 first seen Mar 1, user 2 Mar 2; Mar 3 adds nobody
     assert out == {"2024-03-01": 1, "2024-03-02": 1}
+
+
+def test_ewma_matches_python_replica(spark):
+    from knn_using_hadoop_spark.contract import (
+        REGISTRY,
+        _EWMA_COEFS,
+        _EWMA_K,
+    )
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in REGISTRY["events_ewma"].spark_fn(spark, sf).collect()
+    }
+    ev = sorted(
+        load_table(spark, "events", sf)
+        .filter("user_id % 25 = 0")
+        .select("user_id", "event_id", "ts", "value")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    series = {}
+    for r in ev:
+        series.setdefault(r["user_id"], []).append(r)
+    n_checked = 0
+    for rows in series.values():
+        for i, r in enumerate(rows):
+            num = den = 0.0
+            for k in range(min(i, _EWMA_K) + 1):
+                num += rows[i - k]["value"] * _EWMA_COEFS[k]
+                den += _EWMA_COEFS[k]
+            assert abs(got[r["event_id"]] - num / den) < 1e-5
+            n_checked += 1
+    assert n_checked == len(got) > 0
