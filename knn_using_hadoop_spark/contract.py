@@ -6689,3 +6689,174 @@ def q_doc_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@_register(
+    "events_sliding_windowed_agg",
+    """WITH assigned AS (
+  SELECT event_type, value,
+         make_timestamp(((epoch_us(ts) // 1800000000) - k) * 1800000000)
+           AS window_start
+  FROM events, unnest(generate_series(0, 1)) AS t(k)
+  WHERE epoch_us(ts)
+        < (((epoch_us(ts) // 1800000000) - k) + 2) * 1800000000
+    AND ((epoch_us(ts) // 1800000000) - k) >= 0)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM assigned GROUP BY window_start, event_type""",
+)
+def q_events_sliding_windowed_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding (hopping) window aggregate: 1-hour windows every 30
+    minutes — each event contributes to window/slide = 2 overlapping
+    windows. Spark's F.window(slide) expands the assignment at plan
+    time (an Expand node, factor 2 — bounded fan-out, not a join);
+    the oracle states the same two-starts-per-event expansion
+    explicitly: starts are the epoch-aligned 30-min marks s with
+    s <= ts < s + 1h. Streaming twin:
+    streaming/events.py::streaming_sliding_counts (same agg under a
+    watermark; verified row-equal in test_streaming.py).
+
+    All window arithmetic is integer microseconds — exact; the value
+    sum is rounded (unordered float sum), count is exact.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@_register(
+    "orders_winsorized_stats",
+    """WITH bounds AS (
+  SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.05)::DOUBLE, 6) AS p05,
+         round(quantile_cont(o_totalprice, 0.95)::DOUBLE, 6) AS p95
+  FROM orders GROUP BY o_orderpriority)
+SELECT o.o_orderpriority,
+       count(*) AS n,
+       sum(CASE WHEN o_totalprice < p05 OR o_totalprice > p95
+                THEN 1 ELSE 0 END)::BIGINT AS n_clipped,
+       round(avg(o_totalprice), 4) AS raw_mean,
+       round(avg(least(greatest(o_totalprice, p05), p95)), 4)
+         AS winsorized_mean
+FROM orders o JOIN bounds b ON b.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority""",
+)
+def q_orders_winsorized_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Winsorized mean per priority — the robust-stats answer to
+    heavy-tailed spend (clip at p5/p95, then average; compare against
+    raw_mean to read the tail's pull).
+
+    Two passes by necessity (bounds, then clip) but the bounds
+    relation is GROUP-sized and broadcasts back — the fact table is
+    scanned twice, shuffled on the same key once each, never joined
+    wide. Percentile bounds are rounded to 6dp BEFORE clipping so
+    the exact-interpolation ulp between engines can't reclassify a
+    row at the boundary; the clipped values themselves are then
+    exact doubles and only the final means need rounding.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    bounds = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 6).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95")
+    )
+    outside = (F.col("o_totalprice") < F.col("p05")) | (
+        F.col("o_totalprice") > F.col("p95")
+    )
+    return (
+        o.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(outside.cast("int")).cast("bigint").alias("n_clipped"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
+
+
+@_register(
+    "tpch_q7_trade_volume",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate)::INT AS l_year,
+       sum(l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6))::DECIMAL(38,8) AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+GROUP BY supp_nation, cust_nation, l_year""",
+)
+def q_tpch_q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    year — the same dimension (nation) joined TWICE under different
+    roles, with a cross-role disjunctive filter.
+
+    Both nation legs broadcast (the dim appears twice in the plan,
+    once per alias); supplier and customer broadcast at this SF but
+    shuffle-join at 100 TB — either way the residual OR over
+    (supp_nation, cust_nation) is evaluated after both legs resolve,
+    and Catalyst pushes the derived IN('NATION_3','NATION_7') filter
+    into EACH nation scan, so the fact join only sees rows from the
+    two nations rather than filtering post-hoc.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(price * disc1).cast("decimal(38,8)").alias("volume"))
+    )

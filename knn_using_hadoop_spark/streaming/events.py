@@ -419,3 +419,37 @@ def streaming_user_stats_tws(spark: SparkSession, path: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    path: str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """readStream -> watermark -> SLIDING-window agg (overlapping
+    windows: each event lands in window/slide buckets; Spark expands
+    the assignment at plan time, state is per-(window, type) like the
+    tumbling case — the overlap multiplies state rows by
+    window/slide, not by events).
+
+    Batch twin: contract.py::events_sliding_windowed_agg (the oracle
+    states the two-starts-per-event expansion explicitly).
+    Output: (window_start, event_type, n_events, total_value).
+    """
+    events = _read_events_stream(spark, path)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -389,3 +389,28 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 00:00 window closed when the watermark passed 01:00 after
     # batch 1 — it must contain ONLY event 1; late event 3 was dropped
     assert got.get(base) == 1
+
+
+def test_streaming_sliding_counts_match_batch(spark, sf_dir):
+    from knn_using_hadoop_spark.contract import (
+        q_events_sliding_windowed_agg,
+    )
+    from knn_using_hadoop_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_sliding_counts,
+    )
+
+    agg = streaming_sliding_counts(spark, f"{sf_dir}/events.parquet")
+    assert agg.isStreaming
+    got = run_stream_to_memory(agg, spark, "t_stream_sliding")
+    stream_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in got.collect()
+    }
+    batch_rows = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in q_events_sliding_windowed_agg(spark, sf_dir).collect()
+    }
+    assert stream_rows == batch_rows
+    # overlap sanity: sliding has ~2x the tumbling window count
+    assert len(stream_rows) > 0
