@@ -6860,3 +6860,100 @@ def q_tpch_q7_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(price * disc1).cast("decimal(38,8)").alias("volume"))
     )
+
+
+@_register(
+    "graph_bfs_depths",
+    _graph.bfs_oracle_sql(_EDGES_SQL, rounds=3),
+)
+def q_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS distances (3 levels) from the minimum-id node of the
+    co-occurrence graph — reachability/radius analytics
+    (operators/graph.py::bfs_depths). Integer distances make this
+    the one iterative-graph op with NO float protocol: the unrolled
+    relaxations are exact in both engines by construction."""
+    return _graph.bfs_depths(_edges(spark, sf_dir), rounds=3)
+
+
+@_register(
+    "events_moving_median",
+    """SELECT user_id, event_id, ts, value,
+       round(CASE WHEN len(arr) % 2 = 1
+                  THEN arr[(len(arr) + 1) // 2]
+                  ELSE (arr[len(arr) // 2] + arr[len(arr) // 2 + 1])
+                       / 2 END, 6) AS med7
+FROM (
+  SELECT user_id, event_id, ts, value,
+         list_sort(list(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM events WHERE user_id % 25 = 0) t""",
+)
+def q_events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median over a trailing 7-row window — the robust
+    smoother (rolling mean breaks on spikes; median doesn't). No
+    engine exposes percentile as a window function portably, so the
+    frame's values are collected, sorted, and indexed: both engines
+    then compute the SAME (a+b)/2 midpoint association for even
+    frames — deterministic without trusting each engine's
+    quantile-interpolation arithmetic. Frame size is a 7-element
+    array per row — bounded state, unlike an unbounded collect.
+    """
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 25 == 0
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ) / 2
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.round(
+            F.when(n % 2 == 1, odd).otherwise(even), 6
+        ).alias("med7"),
+    )
+
+
+@_register(
+    "events_key_skew_profile",
+    """WITH per_key AS (
+  SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY user_id)
+SELECT length(cnt::VARCHAR)::INT AS digits,
+       count(*) AS n_keys,
+       min(cnt) AS min_cnt,
+       max(cnt) AS max_cnt,
+       sum(cnt)::BIGINT AS total_rows
+FROM per_key GROUP BY digits""",
+)
+def q_events_key_skew_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shuffle-key skew diagnosis: per-key row counts histogrammed by
+    decimal magnitude (digit count — integer-exact in both engines,
+    no libm log) — the first query to run before picking a salt
+    factor or trusting AQE's skew threshold on a new key. Two
+    partial-aggregated shuffles, the second over the key-sized count
+    relation."""
+    ev = load_table(spark, "events", sf_dir)
+    per_key = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.groupBy(
+        F.length(F.col("cnt").cast("string")).alias("digits")
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.min("cnt").alias("min_cnt"),
+        F.max("cnt").alias("max_cnt"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )

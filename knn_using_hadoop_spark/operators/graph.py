@@ -241,3 +241,75 @@ r{i + 1} AS (
         + ",\n".join(parts)
         + f"\nSELECT node, round(rank, 6) AS rank FROM r{iters}"
     )
+
+
+def bfs_depths(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Breadth-first distances from the graph's minimum-id node
+    (deterministic source), unrolled ``rounds`` levels — (node, dist)
+    for every node within ``rounds`` hops.
+
+    Each round is one Bellman-Ford relaxation: candidate distances
+    flow across every directed edge, then min-combine with the
+    current labels. Distances are INTEGERS — unlike
+    PageRank/k-means there is no float protocol at all; the unrolled
+    DuckDB CTE chain is exact by construction. The label relation is
+    node-sized and broadcasts into the edge join; labels
+    localCheckpoint per round (constant plan depth, same pattern as
+    pagerank). Frontier-only optimization (joining just the newest
+    level) is the 100 TB refinement; min-combine over all labels is
+    the simpler equivalent at test scale and identical in output.
+    """
+    directed = edges.select("src", "dst").unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    directed = directed.localCheckpoint(eager=True)
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    src_row = nodes.agg(F.min("node").alias("s")).collect()[0]
+    if src_row["s"] is None:
+        return nodes.select(
+            "node", F.lit(0).cast("int").alias("dist")
+        ).limit(0)
+    dist = nodes.filter(F.col("node") == src_row["s"]).select(
+        "node", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(rounds):
+        relaxed = (
+            directed.join(
+                F.broadcast(dist), directed.src == dist.node
+            )
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).cast("int").alias("dist"),
+            )
+            .unionAll(dist)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+        dist = relaxed.localCheckpoint(eager=True)
+    return dist
+
+
+def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
+    """DuckDB twin of ``bfs_depths`` — the same unrolled relaxations."""
+    parts = [
+        f"""edges AS ({edges_sql}),
+directed AS (SELECT src, dst FROM edges
+             UNION ALL SELECT dst AS src, src AS dst FROM edges),
+nodes AS (SELECT DISTINCT src AS node FROM directed),
+d0 AS (SELECT node, 0::INT AS dist FROM nodes
+       WHERE node = (SELECT min(node) FROM nodes))"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r} AS (
+  SELECT node, min(dist)::INT AS dist FROM (
+    SELECT e.dst AS node, (d.dist + 1)::INT AS dist
+    FROM directed e JOIN d{r - 1} d ON e.src = d.node
+    UNION ALL SELECT node, dist FROM d{r - 1}) u
+  GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, dist FROM d{rounds}"
+    )

@@ -79,3 +79,23 @@ def test_cooccurrence_group_cap(spark):
     # two disjoint (view, day) groups of 15 users each
     assert g.cooccurrence_edges(ev, max_group=10).count() == 0
     assert g.cooccurrence_edges(ev, max_group=200).count() == 2 * 15 * 14 / 2
+
+
+def test_bfs_depths_path_graph(spark):
+    # path 1-2-3-4-5-6: from source 1, 3 rounds reach distance <= 3
+    path = [(i, i + 1) for i in range(1, 6)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.bfs_depths(_edges(spark, path), rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3}  # 5,6 unreached in 3 hops
+
+
+def test_bfs_depths_min_combine_shortcut(spark):
+    # two routes to node 4: 1-2-3-4 and 1-4 — min distance wins
+    edges = [(1, 2), (2, 3), (3, 4), (1, 4)]
+    got = {
+        r["node"]: r["dist"]
+        for r in g.bfs_depths(_edges(spark, edges), rounds=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 1}
