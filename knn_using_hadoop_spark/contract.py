@@ -6957,3 +6957,204 @@ def q_events_key_skew_profile(
         F.max("cnt").alias("max_cnt"),
         F.sum("cnt").cast("bigint").alias("total_rows"),
     )
+
+
+@_register(
+    "lineitem_brand_affinity",
+    """WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey),
+n_orders AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n FROM ob),
+brand_cnt AS (
+  SELECT p_brand, count(*)::BIGINT AS cnt FROM ob GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+         count(*)::BIGINT AS both_cnt
+  FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                     AND a.p_brand < b.p_brand
+  GROUP BY brand_a, brand_b
+  HAVING count(*) >= 20)
+SELECT brand_a, brand_b, both_cnt,
+       round(both_cnt / n::DOUBLE, 6) AS support,
+       round(both_cnt / ca.cnt::DOUBLE, 6) AS confidence_a_b,
+       round(both_cnt * n::DOUBLE / (ca.cnt * cb.cnt), 6) AS lift
+FROM pairs
+JOIN brand_cnt ca ON ca.p_brand = brand_a
+JOIN brand_cnt cb ON cb.p_brand = brand_b
+CROSS JOIN n_orders""",
+)
+def q_lineitem_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over brands co-purchased in an
+    order: support / confidence / lift — the A-priori first pass.
+
+    The pair build self-joins the (order, brand) relation on the
+    order key: fan-out is bounded by per-order DISTINCT brands
+    (<= lines per order, ~7 here — the same bounded-group argument
+    as the co-occurrence graph; a pathological mega-order would need
+    the graph builder's group cap). Brand marginals and the order
+    count are tiny relations broadcast into the final projection.
+    Counts are exact; the three ratios are single IEEE divisions on
+    exact integers (n*both_cnt fits bigint), rounded for repr.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = ob.select("l_orderkey").distinct().count()
+    brand_cnt = ob.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 20)
+    )
+    ca = F.broadcast(
+        brand_cnt.select(
+            F.col("p_brand").alias("brand_a"), F.col("cnt").alias("cnt_a")
+        )
+    )
+    cb = F.broadcast(
+        brand_cnt.select(
+            F.col("p_brand").alias("brand_b"), F.col("cnt").alias("cnt_b")
+        )
+    )
+    return (
+        pairs.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "both_cnt",
+            F.round(F.col("both_cnt") / F.lit(float(n)), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("both_cnt") / F.col("cnt_a").cast("double"), 6
+            ).alias("confidence_a_b"),
+            F.round(
+                F.col("both_cnt") * F.lit(float(n))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@_register(
+    "events_cusum_changepoint",
+    """WITH daily AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS day,
+         round(avg(value), 6) AS day_mean
+  FROM events GROUP BY day),
+base AS (SELECT round(avg(day_mean), 6) AS mu FROM daily),
+cusum AS (
+  SELECT day, day_mean,
+         round(sum(day_mean - mu) OVER
+           (ORDER BY day ROWS UNBOUNDED PRECEDING), 6) AS drift
+  FROM daily, base)
+SELECT day, day_mean, drift
+FROM cusum
+ORDER BY abs(drift) DESC, day
+LIMIT 10""",
+)
+def q_events_cusum_changepoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUSUM change-point surface: cumulative drift of daily means
+    from the global mean; the top-|drift| days bracket the likeliest
+    level shift. The cumulative window is global but over the
+    DAY-sized relation (post-aggregation). Both the daily means and
+    the global mean round BEFORE the cumulative sum, so the window
+    adds identical doubles in identical order cross-engine (running
+    sums are order-deterministic — only the ordering key must be
+    unique, and day is). Final drift re-rounds only to absorb the
+    accumulated-sum's last-ulp."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("day_mean"))
+    base = daily.agg(F.round(F.avg("day_mean"), 6).alias("mu"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cusum = daily.join(F.broadcast(base)).select(
+        "day",
+        "day_mean",
+        F.round(
+            F.sum(F.col("day_mean") - F.col("mu")).over(w), 6
+        ).alias("drift"),
+    )
+    return cusum.orderBy(F.abs(F.col("drift")).desc(), "day").limit(10)
+
+
+@_register(
+    "events_weekly_seasonality",
+    """WITH base AS (
+  SELECT value, dayofweek(ts)::INT AS dow FROM events),
+dow_means AS (
+  SELECT dow, round(avg(value), 6) AS dow_mean, count(*) AS n
+  FROM base GROUP BY dow),
+stats AS (
+  SELECT round(var_samp(value), 6) AS var_total FROM base),
+resid AS (
+  SELECT round(var_samp(b.value - m.dow_mean), 6) AS var_resid
+  FROM base b JOIN dow_means m ON m.dow = b.dow)
+SELECT m.dow, m.dow_mean, m.n,
+       round(1 - (SELECT var_resid FROM resid)
+                 / (SELECT var_total FROM stats), 6) AS var_explained
+FROM dow_means m""",
+)
+def q_events_weekly_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly seasonal profile + variance explained: day-of-week mean
+    spend, and how much of total variance the weekly pattern removes
+    (1 - var(residual)/var(total)) — the go/no-go check before
+    fitting any seasonal model.
+
+    dayofweek: Spark and DuckDB disagree on numbering (Sun=1 vs
+    Sun=0), so the Spark side subtracts 1 to match DuckDB's 0-based
+    convention. The dow-mean relation (7 rows) broadcasts back for
+    the residual pass; all variances round at 6dp before the final
+    ratio."""
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "value", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    )
+    dow_means = base.groupBy("dow").agg(
+        F.round(F.avg("value"), 6).alias("dow_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var_total = base.agg(
+        F.round(F.var_samp("value"), 6).alias("v")
+    ).collect()[0]["v"]
+    resid = (
+        base.join(F.broadcast(dow_means.select("dow", "dow_mean")), "dow")
+        .agg(
+            F.round(
+                F.var_samp(F.col("value") - F.col("dow_mean")), 6
+            ).alias("v")
+        )
+        .collect()[0]["v"]
+    )
+    return dow_means.select(
+        "dow",
+        "dow_mean",
+        "n",
+        F.round(F.lit(1.0) - F.lit(resid) / F.lit(var_total), 6).alias(
+            "var_explained"
+        ),
+    )
