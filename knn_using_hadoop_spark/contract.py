@@ -7158,3 +7158,103 @@ def q_events_weekly_seasonality(
             "var_explained"
         ),
     )
+
+
+@_register(
+    "events_conversion_latency",
+    """WITH first_click AS (
+  SELECT user_id, min(ts) AS t_click
+  FROM events WHERE event_type = 'click' GROUP BY user_id),
+conv AS (
+  SELECT e.user_id,
+         min(epoch(e.ts) - epoch(f.t_click)) AS latency_s
+  FROM events e JOIN first_click f ON f.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.t_click
+  GROUP BY e.user_id)
+SELECT count(*) AS n_converted,
+       round(quantile_cont(latency_s, 0.5)::DOUBLE, 4) AS p50_s,
+       round(quantile_cont(latency_s, 0.9)::DOUBLE, 4) AS p90_s,
+       round(avg(latency_s), 4) AS mean_s
+FROM conv""",
+)
+def q_events_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-latency distribution: per user, time from FIRST
+    click to the EARLIEST subsequent purchase; p50/p90/mean across
+    converters — the product-analytics companion to the funnel count
+    (which says how many convert; this says how fast).
+
+    Two partial-aggregated passes on the same user key (first-click,
+    then min-latency) — the join and both groupBys share one
+    partitioning. Latencies are epoch differences (micros/1e6,
+    bit-exact cross-engine); percentiles are exact interpolation on
+    those exact values, rounded 4dp for repr."""
+    ev = load_table(spark, "events", sf_dir)
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase")
+    conv = (
+        purch.join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("ts").cast("double")
+                - F.col("t_click").cast("double")
+            ).alias("latency_s")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.avg("latency_s"), 4).alias("mean_s"),
+    )
+
+
+@_register(
+    "lineitem_shipping_delay",
+    """SELECT o_orderpriority,
+       count(*) AS n_lines,
+       min(datediff('day', o_orderdate, l_shipdate))::INT AS min_days,
+       max(datediff('day', o_orderdate, l_shipdate))::INT AS max_days,
+       round(avg(datediff('day', o_orderdate, l_shipdate)), 4)
+         AS avg_days,
+       round(quantile_cont(datediff('day', o_orderdate, l_shipdate),
+                           0.9)::DOUBLE, 4) AS p90_days
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority""",
+)
+def q_lineitem_shipping_delay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Shipping-delay SLA profile per priority: order-to-ship day
+    deltas (integer datediff — exact cross-engine), with exact p90.
+    The orders join shuffles on the order key at scale (both fact
+    relations); everything downstream is one partial-aggregated
+    groupBy on the 5-value priority."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min(delay).cast("int").alias("min_days"),
+            F.max(delay).cast("int").alias("max_days"),
+            F.round(F.avg(delay), 4).alias("avg_days"),
+            F.round(
+                F.expr(
+                    "percentile(datediff(l_shipdate, o_orderdate), 0.9)"
+                ),
+                4,
+            ).alias("p90_days"),
+        )
+    )
