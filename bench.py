@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "embedding_covariance",
     "events_rolling_distinct_users",
+    # session-5 surface: iterative GD (3 aggregate scans), sliding-
+    # window Expand fan-out, bounded self-join basket pairs
+    "lineitem_logreg_returnflag",
+    "events_sliding_windowed_agg",
+    "lineitem_brand_affinity",
 ]
 
 

@@ -149,3 +149,43 @@ def test_pack_greedy_partitioned_window(spark):
     # the prefix sum must be keyed by source, never a global window
     assert "hashpartitioning(source" in plan
     assert "SinglePartition" not in plan
+
+
+def test_sliding_window_is_expand_not_join(spark):
+    plan = _plan(contract.q_events_sliding_windowed_agg(spark, SF))
+    # the 2-window-per-event assignment must be a plan-time Expand
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_brand_affinity_no_cartesian(spark):
+    plan = _plan(contract.q_lineitem_brand_affinity(spark, SF))
+    # basket pairs come from the equi-join on l_orderkey; marginals
+    # broadcast — nothing may degenerate to a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_moving_median_single_user_exchange(spark):
+    plan = _plan(contract.q_events_moving_median(spark, SF))
+    # one user-keyed Exchange; never a global single-partition sort
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_lateral_topk_decorrelated(spark):
+    plan = _plan(contract.q_sql_lateral_topk(spark, SF))
+    # Catalyst must rewrite LATERAL to a join + per-key limit — a
+    # nested-loop re-execution per outer row would show as NLJ over
+    # the full orders side
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_quantity_disjunct_pushed(spark):
+    df = contract.q_tpch_q19_disjunctive_revenue(spark, SF)
+    plan = _plan(df)
+    # the lineitem-only disjunction must reach the scan as a pushed
+    # data filter (quantity range), not evaluate only post-join
+    assert "PushedFilters" in plan
+    assert "l_quantity" in plan.split("PushedFilters", 1)[1][:400]
