@@ -7258,3 +7258,145 @@ def q_lineitem_shipping_delay(
             ).alias("p90_days"),
         )
     )
+
+
+@_register(
+    "tpch_q8_market_share",
+    """WITH vol AS (
+  SELECT year(o_orderdate)::INT AS o_year,
+         l_extendedprice::DECIMAL(18,2)
+           * (1 - l_discount)::DECIMAL(9,6) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA')
+SELECT o_year,
+       sum(CASE WHEN supp_nation = 'NATION_2' THEN volume END)
+         ::DECIMAL(38,8) AS nation_volume,
+       sum(volume)::DECIMAL(38,8) AS total_volume,
+       round(coalesce(sum(CASE WHEN supp_nation = 'NATION_2'
+                     THEN volume END), 0)::DOUBLE
+             / sum(volume)::DOUBLE, 6) AS mkt_share
+FROM vol GROUP BY o_year""",
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of the ASIA
+    customer-market by year — nation joined twice (customer-side
+    routes through region for the market filter; supplier-side feeds
+    the share CASE), share as a conditional-agg ratio.
+
+    The region filter prunes the customer-side nation broadcast to 5
+    rows BEFORE the fact join (semi-join pushdown through two dim
+    hops); the supplier-nation CASE rides the aggregate — one scan,
+    no second pass for the numerator. Volumes decimal-exact; the
+    share is one double division. nation_volume is NULL (not 0) for
+    years the nation sold nothing, matching SQL CASE semantics in
+    both engines; the share coalesces to 0 explicitly.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    r = load_table(spark, "region", sf_dir).filter(
+        F.col("r_name") == "ASIA"
+    )
+    n1 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("c_nkey"),
+        F.col("n_regionkey").alias("c_rkey"),
+    )
+    n2 = load_table(spark, "nation", sf_dir).select(
+        F.col("n_nationkey").alias("s_nkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nkey"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (price * disc1).alias("volume"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_2", F.col("volume"))
+    nat_sum = F.sum(nat).cast("decimal(38,8)")
+    tot_sum = F.sum("volume").cast("decimal(38,8)")
+    zero = F.lit(0).cast("decimal(38,8)")
+    return vol.groupBy("o_year").agg(
+        nat_sum.alias("nation_volume"),
+        tot_sum.alias("total_volume"),
+        F.round(
+            F.coalesce(nat_sum, zero).cast("double")
+            / tot_sum.cast("double"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+@_register(
+    "tpch_q9_profit",
+    """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(9,6)
+           - (p_retailprice::DECIMAL(18,2) * 6 / 10)
+             * l_quantity::DECIMAL(18,2))::DECIMAL(38,8) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)""",
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year, filtered by a part-name LIKE pattern. The synthetic schema
+    has no partsupp, so supply cost is modeled as 60% of
+    p_retailprice — the decimal expression keeps Q9's
+    revenue-minus-cost two-term structure. (ref: run-hadoop pipelines
+    have no analog; this is §2.9 north-star surface.)
+
+    The LIKE '%gear%' predicate prunes part BEFORE broadcast (a
+    contains filter pushes to the dim scan); profit arithmetic stays
+    on the decimal grid: 6/10 of a 2dp price is exact at 3dp, and
+    Spark and DuckDB promote the product chain identically once each
+    factor is cast explicitly. Fact side shuffles once on l_orderkey
+    for the orders join.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%gear%")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)") * 6 / 10
+    ) * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(price * disc1 - cost)
+            .cast("decimal(38,8)")
+            .alias("profit")
+        )
+    )
