@@ -7400,3 +7400,115 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("profit")
         )
     )
+
+
+@_register(
+    "events_user_type_arrays",
+    """SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list(DISTINCT event_type))::INT AS n_types,
+       list_contains(list(DISTINCT event_type), 'purchase')
+         AS has_purchase,
+       list_sort(list(DISTINCT event_type))[1:2] AS first_two
+FROM events WHERE user_id % 10 = 0
+GROUP BY user_id""",
+)
+def q_events_user_type_arrays(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-column surface: per-user sorted distinct event-type
+    arrays with containment and slicing — the collect-as-set pattern
+    that backs segment membership checks. Arrays are SORTED before
+    leaving the aggregate (collect_set order is
+    partition-nondeterministic; sorting restores a canonical form
+    the value-hash can compare — same protocol as the journey/
+    listagg queries). slice/list indexing is 1-based in both
+    engines."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 10 == 0
+    )
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).cast("int").alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+        F.slice(types, 1, 2).alias("first_two"),
+    )
+
+
+@_register(
+    "doc_token_positions",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr
+  FROM documents WHERE doc_id % 20 = 0),
+pos AS (
+  SELECT doc_id,
+         unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS p
+  FROM toks)
+SELECT doc_id, tok,
+       min(p)::INT AS first_pos,
+       count(*) AS n_occ
+FROM pos GROUP BY doc_id, tok
+HAVING count(*) >= 3""",
+)
+def q_doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token index: first occurrence + frequency of every
+    token repeating >= 3x within a doc (posexplode — the
+    position-aware explode; keyword-in-context / lead-paragraph
+    features need the position, not just the count).
+
+    Spark's posexplode zips (pos, value); the oracle zips two
+    parallel unnests (DuckDB's equivalent). Positions are 1-based on
+    both sides (posexplode is 0-based — the +1 is explicit).
+    Everything after the explode is one partial-aggregated groupBy.
+    """
+    docs = load_docs_wide(spark, sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(_text.tokens("text")).alias("p0", "tok"),
+    ).select("doc_id", "tok", (F.col("p0") + 1).alias("p"))
+    return (
+        pos.groupBy("doc_id", "tok")
+        .agg(
+            F.min("p").cast("int").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 3)
+    )
+
+
+@_register(
+    "events_bitwise_surface",
+    """SELECT event_id,
+       (user_id & 7)::BIGINT AS shard,
+       (user_id | 8)::BIGINT AS flagged,
+       xor(user_id, event_id)::BIGINT AS mix,
+       (user_id << 2)::BIGINT AS scaled,
+       (user_id >> 1)::BIGINT AS halved,
+       ((user_id & 1) = 1) AS is_odd
+FROM events WHERE event_id % 50 = 0""",
+)
+def q_events_bitwise_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bitwise scalar surface (AND/OR/XOR/shifts) — shard routing,
+    flag packing, and hash mixing all reduce to these. Integer-exact
+    in both engines; Spark's shiftleft/shiftright are functions where
+    DuckDB uses operators, same two's-complement semantics on
+    BIGINT."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") % 50 == 0
+    )
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(7)).cast("bigint").alias("shard"),
+        u.bitwiseOR(F.lit(8)).cast("bigint").alias("flagged"),
+        u.bitwiseXOR(e).cast("bigint").alias("mix"),
+        F.shiftleft(u, 2).cast("bigint").alias("scaled"),
+        F.shiftright(u, 1).cast("bigint").alias("halved"),
+        (u.bitwiseAND(F.lit(1)) == 1).alias("is_odd"),
+    )
