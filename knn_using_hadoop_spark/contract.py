@@ -7512,3 +7512,58 @@ def q_events_bitwise_surface(
         F.shiftright(u, 1).cast("bigint").alias("halved"),
         (u.bitwiseAND(F.lit(1)) == 1).alias("is_odd"),
     )
+
+
+@_register(
+    "events_session_window_native",
+    """WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM e),
+sess AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+  FROM flags)
+SELECT user_id,
+       min(ts) AS session_start,
+       (max(ts) + INTERVAL '30 minutes') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid""",
+)
+def q_events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE session_window() aggregate in batch mode,
+    pinned against the classic lag+cumsum algorithm as its oracle —
+    proving the built-in's merge semantics (events within the gap
+    coalesce; window end = last event + gap) equal the textbook
+    formulation. The native form is what the streaming path uses, so
+    this is also the cross-paradigm semantic bridge: one aggregate,
+    no window functions, Spark merges sessions inside the
+    SessionWindowStateStore-backed aggregate (batch: a sort-based
+    merge within the user partition — still one Exchange).
+
+    Tie caveat: session identity needs only ts ordering (equal
+    timestamps merge into one session regardless of event order), so
+    no event_id tiebreak is required for determinism here.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

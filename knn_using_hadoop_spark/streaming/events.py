@@ -453,3 +453,27 @@ def streaming_sliding_counts(
             "total_value",
         )
     )
+
+
+def streaming_top_types(
+    spark: SparkSession,
+    path: str,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming global top-k: event types ranked by all-time count,
+    limited to k — sorting is only legal in COMPLETE output mode
+    (the sink rewrites the whole result each trigger, so a total
+    order exists to sort; append/update modes forbid it). State is
+    one row per event type — the ranking happens on the tiny
+    aggregated relation at emit time, never on the stream.
+
+    Batch twin: the same groupBy-count + orderBy-limit over the
+    static table (verified row-equal in test_streaming.py).
+    """
+    events = _read_events_stream(spark, path)
+    return (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(k)
+    )

@@ -414,3 +414,32 @@ def test_streaming_sliding_counts_match_batch(spark, sf_dir):
     assert stream_rows == batch_rows
     # overlap sanity: sliding has ~2x the tumbling window count
     assert len(stream_rows) > 0
+
+
+def test_streaming_top_types_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources.tables import load_table
+    from knn_using_hadoop_spark.streaming.events import (
+        run_stream_to_memory,
+        streaming_top_types,
+    )
+
+    agg = streaming_top_types(spark, f"{sf_dir}/events.parquet", k=3)
+    assert agg.isStreaming
+    got = run_stream_to_memory(agg, spark, "t_stream_top_types")
+    stream_rows = [
+        (r.event_type, r.n_events)
+        for r in got.orderBy(F.desc("n_events"), "event_type").collect()
+    ]
+    batch_rows = [
+        (r.event_type, r.n_events)
+        for r in load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "event_type")
+        .limit(3)
+        .collect()
+    ]
+    assert stream_rows == batch_rows
+    assert len(stream_rows) == 3
