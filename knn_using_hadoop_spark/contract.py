@@ -7567,3 +7567,119 @@ def q_events_session_window_native(
             "n_events",
         )
     )
+
+
+@_register(
+    "lineitem_regr_aggregates",
+    """SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6)
+         AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_lineitem_regr_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Built-in SQL regression-aggregate family (regr_slope /
+    intercept / r2 / avgx / avgy) — price-on-quantity fit per
+    returnflag, the one-pass ANSI twin of the hand-rolled OLS in
+    events_ols_trend (which exists for the per-group closed-form
+    shape; this pins the BUILT-IN aggregates against DuckDB's).
+    Price is near-proportional to quantity by construction, so r2 is
+    high and the slope approximates unit price — interpretable
+    output, not just a function checklist. Both engines accumulate
+    exact sums then divide; 6dp rounding absorbs summation-order
+    ulp."""
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )
+
+
+@_register(
+    "part_string_funcs2",
+    """SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       reverse(p_name) AS rev,
+       lpad(p_partkey::VARCHAR, 8, '0') AS padded_id,
+       repeat(left(p_name, 2), 2) AS stutter,
+       replace(p_name, ' ', '_') AS snake,
+       split_part(p_name, ' ', 2) AS second_word,
+       strpos(p_name, 'e')::INT AS first_e,
+       right(p_name, 3) AS tail3
+FROM part WHERE p_partkey % 25 = 0""",
+)
+def q_part_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche (translate / reverse / pad /
+    repeat / split_part / strpos / left / right) — byte-exact string
+    ops, no collation or locale dependence (the corpus is ASCII;
+    initcap/soundex are EXCLUDED because DuckDB lacks them — the
+    portable surface is what both engines share)."""
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_partkey") % 25 == 0
+    )
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("rev"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "padded_id"
+        ),
+        F.repeat(F.expr("left(p_name, 2)"), 2).alias("stutter"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias(
+            "snake"
+        ),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.instr("p_name", "e").cast("int").alias("first_e"),
+        F.expr("right(p_name, 3)").alias("tail3"),
+    )
+
+
+@_register(
+    "orders_date_funcs2",
+    """SELECT o_orderkey,
+       (o_orderdate + INTERVAL 3 MONTH) AS plus_3mo,
+       last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
+       quarter(o_orderdate)::INT AS qtr,
+       date_trunc('quarter', o_orderdate)::TIMESTAMP AS qtr_start,
+       ((2001 - year(o_orderdate)) * 12
+        + (8 - month(o_orderdate)))::INT AS months_to_ref,
+       dayofyear(o_orderdate)::INT AS doy,
+       week(o_orderdate)::INT AS iso_week
+FROM orders WHERE o_orderkey % 40 = 0""",
+)
+def q_orders_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date-function tranche: month arithmetic with end-of-
+    month clamping (add_months), last_day, quarter extraction/trunc,
+    integer month-distance (computed as year*12+month deltas — both
+    engines agree exactly, unlike fractional months_between which
+    DuckDB lacks), day-of-year, ISO week. Spark weekofyear == DuckDB
+    week (both ISO-8601)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 40 == 0
+    )
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("quarter", d).alias("qtr_start"),
+        (
+            (F.lit(2001) - F.year(d)) * 12 + (F.lit(8) - F.month(d))
+        ).cast("int").alias("months_to_ref"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )
