@@ -13,6 +13,8 @@ from knn_using_hadoop_spark.operators.pipeline import (
 )
 from knn_using_hadoop_spark.operators.sketches import kmv_distinct
 
+SF = "/root/testdata/sf0.001"
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(
@@ -151,3 +153,57 @@ def test_star_components_match_union_find(spark):
     }
     assert star == want
     assert prop == want
+
+
+def test_udtf_chunker_matches_native_chunking(spark):
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.udtf_ops import register_udtfs
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    register_udtfs(spark)
+    docs = load_table(spark, "documents", SF).filter(
+        F.col("doc_id") % 50 == 0
+    )
+    docs.createOrReplaceTempView("t_udtf_docs")
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk, r.n_tokens)
+        for r in spark.sql(
+            """SELECT d.doc_id, c.chunk, c.chunk_idx, c.n_tokens
+               FROM t_udtf_docs d, LATERAL chunk_doc(d.text, 7) c"""
+        ).collect()
+    }
+    # trusted replica: pure Python on the collected docs
+    expect = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        for i in range(0, len(toks), 7):
+            w = toks[i : i + 7]
+            expect[(r.doc_id, i // 7)] = (" ".join(w), len(w))
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_observation_metrics_free_of_second_scan(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", SF)
+    obs = Observation("li_metrics")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("total_qty"),
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # metrics ride the SAME job that produced `out` — no second scan
+    m = obs.get
+    assert m["n_rows"] == sum(r["n"] for r in out)
+    expect_qty = li.agg(F.sum("l_quantity")).collect()[0][0]
+    assert abs(m["total_qty"] - expect_qty) < 1e-6
