@@ -7683,3 +7683,183 @@ def q_orders_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).cast("int").alias("doy"),
         F.weekofyear(d).cast("int").alias("iso_week"),
     )
+
+
+@_register(
+    "similarity_lsh_mrr",
+    f"""WITH eq AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {_SIM_QUERY_MOD} = 0),
+epe AS (SELECT e.vec_id, eq.query_id, e.embedding AS cv, eq.qv
+        FROM embeddings e, eq WHERE e.vec_id <> eq.query_id),
+esums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM epe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+eranked AS (
+  SELECT query_id, vec_id,
+         (row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                       vec_id))::INT AS rank
+  FROM esums),
+{_LSH_BUCKETS_SQL.strip().lstrip("allb AS").join(["allb AS", ""])},
+lq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+       FROM embeddings e JOIN allb b ON b.vec_id = e.vec_id
+       WHERE e.vec_id % {_SIM_QUERY_MOD} = 0),
+lpe AS (SELECT e.vec_id, lq.query_id, e.embedding AS cv, lq.qv
+        FROM embeddings e
+        JOIN allb b ON b.vec_id = e.vec_id
+        JOIN lq ON lq.bucket = b.bucket
+        WHERE e.vec_id <> lq.query_id),
+lsums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM lpe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+lranked AS (
+  SELECT query_id, vec_id,
+         (row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                       vec_id))::INT AS rank
+  FROM lsums),
+truth AS (SELECT query_id, vec_id AS true_nn FROM eranked
+          WHERE rank = 1),
+hit AS (
+  SELECT t.query_id, l.rank
+  FROM truth t LEFT JOIN lranked l
+    ON l.query_id = t.query_id AND l.vec_id = t.true_nn
+   AND l.rank <= 5)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hits_at_5,
+       round(avg(CASE WHEN rank IS NOT NULL
+                      THEN 1.0 / rank ELSE 0.0 END), 6) AS mrr_at_5
+FROM hit""",
+)
+def q_similarity_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: MRR@5 of the LSH index against exact
+    cosine top-1 — the ANN quality gate next to pq_recall_at_10
+    (recall says the true NN appeared; MRR says how high). Both the
+    exact and LSH rankings reuse the registry's deterministic
+    protocols (rounded-sim ordering, hyperplanes from the portable
+    hash), so an APPROXIMATE index gets an exact oracle — the same
+    trick that makes the whole ANN family checkable.
+
+    Scale shape: exact side is the brute-force O(Q x N) baseline
+    (few queries — the documented regime); LSH side joins bucket
+    candidates only. The eval join is query-count-sized.
+    """
+    corpus, queries = _sim_queries(spark, sf_dir)
+    truth = _sim.cosine_topk(corpus, queries, 1, _EMB_DIM).select(
+        "query_id", F.col("vec_id").alias("true_nn")
+    )
+    cand = _sim.lsh_bucket_topk(corpus, queries, 5, _EMB_DIM).select(
+        "query_id", "vec_id", "rank"
+    )
+    hit = truth.join(
+        cand,
+        (truth.query_id == cand.query_id)
+        & (cand.vec_id == truth.true_nn),
+        "left",
+    ).select(truth.query_id, cand.rank)
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("rank").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_hits_at_5"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("rank").isNotNull(),
+                    F.lit(1.0) / F.col("rank"),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("mrr_at_5"),
+    )
+
+
+@_register(
+    "embedding_truncate_renorm",
+    f"""WITH t AS (
+  SELECT vec_id,
+         embedding[1:16] AS tv,
+         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
+               FROM unnest(embedding[1:16]) u(x))) AS tnorm,
+         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
+               FROM unnest(embedding) u(x))) AS fnorm
+  FROM embeddings WHERE vec_id % 25 = 0)
+SELECT vec_id,
+       round(tnorm, 6) AS trunc_norm,
+       round(tnorm / fnorm, 6) AS mass_kept,
+       round(tv[1]::DOUBLE / tnorm, 6) AS renorm_d1,
+       round(tv[16]::DOUBLE / tnorm, 6) AS renorm_d16
+FROM t""",
+)
+def q_embedding_truncate_renorm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first 16 of {_EMB_DIM}
+    dims, renormalize to unit length, report the retained L2 mass —
+    the cheap-retrieval trick (truncate for the coarse pass, full
+    dims for rerank). Pure array-HOF arithmetic, zero shuffle;
+    sqrt/divide are IEEE-exact so only the display rounding is a
+    protocol. On these near-isotropic synthetic embeddings mass_kept
+    centers on sqrt(16/{_EMB_DIM}) = 0.5 — the number itself audits
+    the corpus's isotropy."""
+    embs = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % 25 == 0
+    )
+    tv = F.slice("embedding", 1, 16)
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    tnorm = F.sqrt(
+        F.aggregate(tv, F.lit(0.0), sq)
+    )
+    fnorm = F.sqrt(F.aggregate("embedding", F.lit(0.0), sq))
+    t = embs.select(
+        "vec_id",
+        tv.alias("tv"),
+        tnorm.alias("tnorm"),
+        fnorm.alias("fnorm"),
+    )
+    return t.select(
+        "vec_id",
+        F.round(F.col("tnorm"), 6).alias("trunc_norm"),
+        F.round(F.col("tnorm") / F.col("fnorm"), 6).alias("mass_kept"),
+        F.round(
+            F.element_at("tv", 1).cast("double") / F.col("tnorm"), 6
+        ).alias("renorm_d1"),
+        F.round(
+            F.element_at("tv", 16).cast("double") / F.col("tnorm"), 6
+        ).alias("renorm_d16"),
+    )
+
+
+@_register(
+    "orders_bool_aggs",
+    """SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       count_if(o_orderstatus = 'F')::BIGINT AS n_finished,
+       min(o_orderkey) AS first_key
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_orders_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface (bool_and / bool_or / count_if) —
+    the assertion-style rollups data-quality checks compile to.
+    any_value is EXCLUDED by design: it is nondeterministic under
+    parallel aggregation in both engines; min() is the deterministic
+    stand-in."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias(
+            "any_over_400k"
+        ),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.min("o_orderkey").alias("first_key"),
+    )
