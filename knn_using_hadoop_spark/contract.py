@@ -7863,3 +7863,174 @@ def q_orders_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+@_register(
+    "lineitem_ks_test",
+    """WITH g AS (
+  SELECT l_quantity AS v,
+         count_if(l_returnflag = 'R')::BIGINT AS c1,
+         count_if(l_returnflag = 'N')::BIGINT AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY l_quantity),
+n AS (SELECT sum(c1)::DOUBLE AS n1, sum(c2)::DOUBLE AS n2 FROM g),
+ecdf AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / n1
+           AS f1,
+         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / n2
+           AS f2
+  FROM g, n)
+SELECT round(max(abs(f1 - f2)), 6) AS ks_stat,
+       (SELECT n1::BIGINT FROM n) AS n_returned,
+       (SELECT n2::BIGINT FROM n) AS n_normal
+FROM ecdf""",
+)
+def q_lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: max ECDF gap between
+    returned and normal lineitems' quantity distributions — the
+    distribution-drift test behind data-shift monitors.
+
+    KS needs a global value ordering, but the ECDF runs over the
+    DISTINCT-VALUE relation (50 integer quantities), not the rows —
+    the counts aggregate first (one shuffle), then the cumulative
+    window is 50 rows. ECDF values are exact-integer ratios (one
+    IEEE division each); cumulative sums of integers are exact, so
+    the KS statistic is deterministic to the final rounding."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    g = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("c1"),
+        F.count_if(F.col("l_returnflag") == "N").alias("c2"),
+    )
+    n = g.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = g.join(F.broadcast(n)).select(
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias(
+            "ks_stat"
+        ),
+        F.max("n1").cast("bigint").alias("n_returned"),
+        F.max("n2").cast("bigint").alias("n_normal"),
+    )
+
+
+@_register(
+    "customer_revenue_gini",
+    """WITH cr AS (
+  SELECT o_custkey,
+         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS revenue
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT revenue::DOUBLE AS r,
+         row_number() OVER (ORDER BY revenue, o_custkey) AS i
+  FROM cr),
+s AS (SELECT count(*)::DOUBLE AS n, sum(r) AS total,
+             sum(i * r) AS weighted
+      FROM ranked)
+SELECT n::BIGINT AS n_customers,
+       round(total, 2) AS total_revenue,
+       round(2 * weighted / (n * total) - (n + 1) / n, 6) AS gini
+FROM s""",
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (0 = equal,
+    1 = one whale) — the inequality KPI for account risk. Uses the
+    rank-weighted closed form 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending revenue.
+
+    The rank window is global but over the CUSTOMER aggregate
+    (dimension-sized); revenue is decimal-exact so ranking ties break
+    on the key deterministically. The weighted sum is a double
+    aggregate — order-nondeterministic — so only the final Gini
+    rounds; with n*total ~ 1e12 the quotient's ulp noise sits at
+    1e-15, far under 6dp."""
+    o = load_table(spark, "orders", sf_dir)
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    wr = Window.orderBy("revenue", "o_custkey")
+    ranked = cr.select(
+        F.col("revenue").cast("double").alias("r"),
+        F.row_number().over(wr).alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(total, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2) * weighted / (n * total) - (n + 1) / n, 6
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "orders_benford_profile",
+    """WITH d AS (
+  SELECT left(floor(o_totalprice)::BIGINT::VARCHAR, 1)::INT
+           AS first_digit
+  FROM orders WHERE o_totalprice >= 1),
+n AS (SELECT count(*)::DOUBLE AS total FROM d)
+SELECT first_digit,
+       count(*) AS observed,
+       round(count(*) / total, 6) AS observed_share,
+       round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6)
+         AS benford_share,
+       round(count(*) / total
+             - round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6), 6)
+         AS deviation
+FROM d, n GROUP BY first_digit, total""",
+)
+def q_orders_benford_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    classic fabricated-data screen. (Synthetic uniform-ish prices
+    will NOT follow Benford; the deviation column is the point.)
+
+    Digit extraction goes through floor->bigint->string — integer
+    exact, immune to float-repr formatting differences between
+    engines. ln is libm so the Benford expectation is rounded, and
+    the observed share is an exact-integer ratio; the group count is
+    at most 9 rows out of one partial-aggregated scan."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = o.select(
+        F.expr(
+            "CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1) AS INT)"
+        ).alias("first_digit")
+    )
+    total = d.count()
+    benford = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+        / F.log(F.lit(10.0)),
+        6,
+    )
+    return d.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.round(
+            F.count(F.lit(1)) / F.lit(float(total)), 6
+        ).alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(
+            F.count(F.lit(1)) / F.lit(float(total)) - benford, 6
+        ).alias("deviation"),
+    )
