@@ -8034,3 +8034,35 @@ def q_orders_benford_profile(
             F.count(F.lit(1)) / F.lit(float(total)) - benford, 6
         ).alias("deviation"),
     )
+
+
+from knn_using_hadoop_spark.operators.linalg import (  # noqa: E402
+    logreg_calibration,
+    logreg_calibration_oracle_sql,
+)
+
+
+@_register(
+    "lineitem_logreg_calibration",
+    logreg_calibration_oracle_sql(
+        _LOGREG_FEATS_SQL, ["x1", "x2", "x3"], "y"
+    ),
+)
+def q_lineitem_logreg_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the GD-trained returnflag model:
+    decile buckets of predicted probability vs actual positive rate
+    (operators/linalg.py::logreg_calibration) — probabilities only
+    earn trust if mean_pred tracks actual_rate per bucket. Shares the
+    exact fit loop (and rounding protocol) with
+    lineitem_logreg_returnflag; one extra aggregate scan."""
+    feats = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_quantity") / 50).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_tax") * 10).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return logreg_calibration(feats, ["x1", "x2", "x3"], "y")

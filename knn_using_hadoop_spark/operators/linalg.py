@@ -178,6 +178,32 @@ v{r} AS (SELECT i,
     )
 
 
+def _logreg_fit(
+    feats: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    rounds: int,
+) -> list[float]:
+    """The GD loop shared by logreg_gd and logreg_calibration —
+    identical rounding protocol (see logreg_gd docstring)."""
+    w = [0.0] * (len(x_cols) + 1)
+    for _ in range(rounds):
+        z = F.lit(w[0])
+        for j, xc in enumerate(x_cols):
+            z = z + F.lit(w[j + 1]) * F.col(xc)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        err = p - F.col(y_col)
+        grads = feats.agg(
+            F.round(F.avg(err), 6).alias("g0"),
+            *[
+                F.round(F.avg(err * F.col(xc)), 6).alias(f"g{j + 1}")
+                for j, xc in enumerate(x_cols)
+            ],
+        ).collect()[0]
+        w = [w[j] - grads[f"g{j}"] for j in range(len(w))]
+    return w
+
+
 def logreg_gd(
     feats: DataFrame,
     x_cols: list[str],
@@ -205,21 +231,7 @@ def logreg_gd(
     half-grid. Weight updates are the identical left-associated
     IEEE subtraction chain in both engines.
     """
-    w = [0.0] * (len(x_cols) + 1)
-    for _ in range(rounds):
-        z = F.lit(w[0])
-        for j, xc in enumerate(x_cols):
-            z = z + F.lit(w[j + 1]) * F.col(xc)
-        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-        err = p - F.col(y_col)
-        grads = feats.agg(
-            F.round(F.avg(err), 6).alias("g0"),
-            *[
-                F.round(F.avg(err * F.col(xc)), 6).alias(f"g{j + 1}")
-                for j, xc in enumerate(x_cols)
-            ],
-        ).collect()[0]
-        w = [w[j] - grads[f"g{j}"] for j in range(len(w))]
+    w = _logreg_fit(feats, x_cols, y_col, rounds)
     z = F.lit(w[0])
     for j, xc in enumerate(x_cols):
         z = z + F.lit(w[j + 1]) * F.col(xc)
@@ -291,4 +303,70 @@ SELECT {wsel},
                      = {y_col}::INT THEN 1 ELSE 0 END)::BIGINT
          AS n_correct
 FROM f, {wlast}"""
+    )
+
+
+def logreg_calibration(
+    feats: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    rounds: int = 3,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the trained model: decile-bucket the
+    predicted probability, report mean prediction vs actual positive
+    rate per bucket — calibration is the eval that tells you whether
+    the probabilities MEAN anything (accuracy can't).
+
+    Same trained weights as logreg_gd (shared fit loop); one extra
+    aggregate scan. Bin = floor(p * n_bins) clamped to the top bin;
+    p is on the 6dp grid, so binning is deterministic IEEE."""
+    w = _logreg_fit(feats, x_cols, y_col, rounds)
+    z = F.lit(w[0])
+    for j, xc in enumerate(x_cols):
+        z = z + F.lit(w[j + 1]) * F.col(xc)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    bin_ = F.least(
+        F.floor(p * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        feats.select(
+            p.alias("p"), F.col(y_col).alias("y"), bin_.alias("bin")
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 6).alias("mean_pred"),
+            F.round(F.avg("y"), 6).alias("actual_rate"),
+        )
+    )
+
+
+def logreg_calibration_oracle_sql(
+    feats_sql: str,
+    x_cols: list[str],
+    y_col: str,
+    rounds: int = 3,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of ``logreg_calibration``: the same unrolled
+    training chain, then the binning select."""
+    full = logreg_gd_oracle_sql(feats_sql, x_cols, y_col, rounds)
+    with_part = full[: full.rindex("\nSELECT ")]
+    nx = len(x_cols)
+    z = f"w{rounds}_.w0"
+    for j, xc in enumerate(x_cols):
+        z += f" + w{rounds}_.w{j + 1} * f.{xc}"
+    p = f"round(1.0 / (1.0 + exp(-({z}))), 6)"
+    return (
+        with_part
+        + f""",
+scored AS (
+  SELECT {p} AS p, f.{y_col} AS y,
+         least(floor({p} * {n_bins})::INT, {n_bins - 1})::INT AS bin
+  FROM f, w{rounds}_)
+SELECT bin, count(*)::BIGINT AS n,
+       round(avg(p), 6) AS mean_pred,
+       round(avg(y), 6) AS actual_rate
+FROM scored GROUP BY bin"""
     )
