@@ -8066,3 +8066,88 @@ def q_lineitem_logreg_calibration(
         .alias("y"),
     )
     return logreg_calibration(feats, ["x1", "x2", "x3"], "y")
+
+
+@_register(
+    "events_window_frames",
+    """SELECT user_id, event_id, ts, value,
+       first_value(value) OVER w_full AS first_val,
+       nth_value(value, 2) OVER w_full AS second_val,
+       last_value(value) OVER w_full AS last_val,
+       round(sum(value) OVER w_rest, 6) AS remaining_spend,
+       count(*) OVER w_full AS n_in_series
+FROM events WHERE user_id % 40 = 0
+WINDOW
+  w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING),
+  w_rest AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""",
+)
+def q_events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame completeness: full-partition frames (first/nth/
+    last over UNBOUNDED..UNBOUNDED — the frame that makes last_value
+    actually mean 'last', not 'current') and the REVERSE running
+    frame (CURRENT..UNBOUNDED FOLLOWING = spend still to come, the
+    burn-down column). One Exchange + one sort serves all five
+    functions — every frame shares the same partitioning and
+    ordering, and Catalyst fuses them into a single Window node."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 40 == 0
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rest = base.rowsBetween(0, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.first("value").over(w_full).alias("first_val"),
+        F.nth_value("value", 2).over(w_full).alias("second_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.round(F.sum("value").over(w_rest), 6).alias(
+            "remaining_spend"
+        ),
+        F.count(F.lit(1)).over(w_full).alias("n_in_series"),
+    )
+
+
+@_register(
+    "events_timezone_surface",
+    """SELECT event_id, ts,
+       timezone('America/New_York', ts::TIMESTAMPTZ)::TIMESTAMP
+         AS ts_ny,
+       timezone('Asia/Tokyo', ts::TIMESTAMPTZ)::TIMESTAMP AS ts_tokyo,
+       hour(timezone('America/New_York', ts::TIMESTAMPTZ))::INT
+         AS hour_ny,
+       (hour(timezone('Asia/Tokyo', ts::TIMESTAMPTZ)) BETWEEN 9 AND 17)
+         AS tokyo_business_hours
+FROM events WHERE event_id % 60 = 0""",
+)
+def q_events_timezone_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Timezone conversion surface: UTC event instants rendered as
+    local wall-clock in two zones (DST-aware — America/New_York
+    shifts across the corpus's date range, so the offset is NOT
+    constant) plus local-business-hours flags. Spark's
+    from_utc_timestamp(ts, z) == DuckDB's
+    timezone(z, ts::TIMESTAMPTZ) under the pinned-UTC session (naive
+    == instant); both consult the IANA tzdb, so parity also pins
+    that the two runtimes carry compatible zone data."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") % 60 == 0
+    )
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        "ts",
+        ny.alias("ts_ny"),
+        tk.alias("ts_tokyo"),
+        F.hour(ny).cast("int").alias("hour_ny"),
+        F.hour(tk).between(9, 17).alias("tokyo_business_hours"),
+    )
