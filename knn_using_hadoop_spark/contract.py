@@ -8151,3 +8151,174 @@ def q_events_timezone_surface(
         F.hour(ny).cast("int").alias("hour_ny"),
         F.hour(tk).between(9, 17).alias("tokyo_business_hours"),
     )
+
+
+@_register(
+    "doc_source_kl",
+    """WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+src_cnt AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM tk
+  GROUP BY source, tok),
+src_tot AS (
+  SELECT source, sum(c)::DOUBLE AS n FROM src_cnt GROUP BY source),
+all_cnt AS (
+  SELECT tok, sum(c)::BIGINT AS c_all FROM src_cnt GROUP BY tok),
+all_tot AS (SELECT sum(c_all)::DOUBLE AS n_all FROM all_cnt)
+SELECT s.source,
+       st.n::BIGINT AS n_tokens,
+       round(sum((s.c / st.n)
+                 * ln((s.c / st.n) / (a.c_all / t.n_all))), 5)
+         AS kl_from_corpus
+FROM src_cnt s
+JOIN src_tot st ON st.source = s.source
+JOIN all_cnt a ON a.tok = s.tok
+CROSS JOIN all_tot t
+GROUP BY s.source, st.n""",
+)
+def q_doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the domain-shift meter behind mixture
+    reweighting (a source with high KL is the one dragging the
+    model; compare against domain_mixture_weights). No smoothing
+    needed: every source token exists in the corpus marginal by
+    construction (q > 0 wherever p > 0).
+
+    Two aggregation passes over the (source, token) count relation —
+    vocab-sized, not corpus-sized; marginals broadcast back. Each
+    term's ln carries libm ulp, so only the SUM is rounded (5dp;
+    per-term noise ~1e-16 x |vocab| stays under 1e-11)."""
+    tk = load_docs_wide(spark, sf_dir).select(
+        "source", F.explode(_text.tokens("text")).alias("tok")
+    )
+    src_cnt = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_tot = src_cnt.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n")
+    )
+    all_cnt = src_cnt.groupBy("tok").agg(
+        F.sum("c").alias("c_all")
+    )
+    n_all = float(
+        all_cnt.agg(F.sum("c_all")).collect()[0][0]
+    )
+    p = F.col("c") / F.col("n")
+    q = F.col("c_all") / F.lit(n_all)
+    return (
+        src_cnt.join(F.broadcast(src_tot), "source")
+        .join(all_cnt, "tok")
+        .groupBy("source", "n")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 5).alias(
+                "kl_from_corpus"
+            )
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "kl_from_corpus",
+        )
+    )
+
+
+@_register(
+    "events_user_entropy",
+    """WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(n)::DOUBLE AS total,
+             count(*)::INT AS n_types
+      FROM c GROUP BY user_id)
+SELECT c.user_id, t.n_types,
+       round(-sum((n / total) * ln(n / total)), 5) AS entropy,
+       round(CASE WHEN t.n_types = 1 THEN 0.0
+                  ELSE -sum((n / total) * ln(n / total))
+                       / ln(t.n_types) END, 5) AS entropy_norm
+FROM c JOIN t ON t.user_id = c.user_id
+WHERE c.user_id % 15 = 0
+GROUP BY c.user_id, t.n_types, t.total""",
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's
+    event-type mix, plus the [0,1] normalization by ln(k) —
+    single-type users pin 0 explicitly (0/0 guard). Segmentation
+    feature for exploration-vs-habit scoring.
+
+    Both aggregates and the join share the user key; the per-user
+    type relation is at most |event_types| rows. Probabilities are
+    exact-integer ratios; only the ln-sum rounds."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+    )
+    p = F.col("n") / F.col("total")
+    ent = -F.sum(p * F.log(p))
+    return (
+        c.join(t, "user_id")
+        .filter(F.col("user_id") % 15 == 0)
+        .groupBy("user_id", "n_types", "total")
+        .agg(
+            F.round(ent, 5).alias("entropy"),
+            F.round(
+                F.when(F.col("n_types") == 1, F.lit(0.0)).otherwise(
+                    ent / F.log(F.col("n_types").cast("double"))
+                ),
+                5,
+            ).alias("entropy_norm"),
+        )
+        .select("user_id", "n_types", "entropy", "entropy_norm")
+    )
+
+
+@_register(
+    "events_theil_sen_trend",
+    """WITH daily AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY day_idx),
+slopes AS (
+  SELECT (b.m - a.m) / (b.day_idx - a.day_idx) AS s
+  FROM daily a JOIN daily b ON b.day_idx > a.day_idx)
+SELECT count(*) AS n_pairs,
+       round(quantile_cont(s, 0.5)::DOUBLE, 6) AS theil_sen_slope
+FROM slopes""",
+)
+def q_events_theil_sen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily-mean series — immune to the outlier days that drag OLS
+    (compare events_ols_trend). The O(days²) pair join is over the
+    DAY relation (~75 rows at sf0.1 — thousands of pairs, trivially
+    bounded; at 100 TB the day count, not the row count, drives it).
+
+    Daily means round before pairing, so each slope is one exact
+    IEEE division of identical inputs cross-engine; the median
+    interpolates between exact slopes."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day_idx")
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b, F.col("b.day_idx") > F.col("a.day_idx")
+    ).select(
+        (
+            (F.col("b.m") - F.col("a.m"))
+            / (F.col("b.day_idx") - F.col("a.day_idx"))
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    )
