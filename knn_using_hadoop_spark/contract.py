@@ -8322,3 +8322,185 @@ def q_events_theil_sen_trend(
             "theil_sen_slope"
         ),
     )
+
+
+@_register(
+    "dedup_normalized_exact",
+    """WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))),
+           ' +', ' ', 'g') AS canon
+  FROM documents),
+grp AS (
+  SELECT canon, count(*)::BIGINT AS n_docs,
+         min(doc_id) AS keeper_id
+  FROM norm GROUP BY canon)
+SELECT count(*)::BIGINT AS n_canonical,
+       sum(n_docs)::BIGINT AS n_docs_total,
+       sum(n_docs - 1)::BIGINT AS n_removed,
+       count_if(n_docs > 1)::BIGINT AS n_groups_with_dups
+FROM grp""",
+)
+def q_dedup_normalized_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text (casefold, strip punctuation,
+    collapse whitespace) — what production pipelines actually key on:
+    raw-byte dedup misses the 'same doc, different quoting' near-
+    misses that normalization folds together. Reports the dedup
+    yield (removed count, dup-group count) against raw totals.
+
+    Normalization is three scalar regex ops in the scan projection
+    (JVM-side, pushed into the same stage as the read); the dedup
+    itself is one partial-aggregated groupBy on the canonical string.
+    The regex subset ([^a-zA-Z0-9 ], ' +') behaves identically in
+    Java regex and RE2. At 100 TB you'd hash the canonical form to a
+    fixed-width key first (dedup_exact's trick) — kept as the string
+    here so the oracle also pins the normalization itself."""
+    docs = load_docs_wide(spark, sf_dir)
+    canon = F.regexp_replace(
+        F.trim(
+            F.lower(
+                F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+            )
+        ),
+        " +",
+        " ",
+    )
+    grp = docs.select(canon.alias("canon")).groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return grp.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+        F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_removed"),
+        F.count_if(F.col("n_docs") > 1).alias("n_groups_with_dups"),
+    )
+
+
+@_register(
+    "corpus_token_budget_plan",
+    """WITH src AS (
+  SELECT source,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM src),
+alloc AS (
+  SELECT source, n_tokens,
+         floor(1000000 * n_tokens / total)::BIGINT AS base_alloc,
+         1000000 * n_tokens / total
+           - floor(1000000 * n_tokens / total) AS frac
+  FROM src, tot),
+extra AS (
+  SELECT (1000000 - sum(base_alloc))::BIGINT AS remainder FROM alloc),
+ranked AS (
+  SELECT source, n_tokens, base_alloc,
+         row_number() OVER (ORDER BY frac DESC, source) AS pos
+  FROM alloc)
+SELECT source, n_tokens, base_alloc,
+       (base_alloc + CASE WHEN pos <= (SELECT remainder FROM extra)
+                          THEN 1 ELSE 0 END)::BIGINT AS final_alloc
+FROM ranked""",
+)
+def q_corpus_token_budget_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget allocation: distribute a 1M-token training budget
+    across sources proportionally with LARGEST-REMAINDER rounding —
+    floors sum short, and the remainder goes to the largest
+    fractional parts, so the allocations sum EXACTLY to the budget
+    (naive per-source rounding doesn't; the training-mix planner
+    needs the invariant).
+
+    All arithmetic on exact integers and one shared division; the
+    fractional-part ranking is a window over the SOURCE relation
+    with a name tiebreak. The invariant sum(final_alloc) == budget
+    is pinned in pytest."""
+    docs = load_docs_wide(spark, sf_dir)
+    budget = 1000000
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(_text.tokens("text")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    total = float(src.agg(F.sum("n_tokens")).collect()[0][0])
+    share = F.lit(budget) * F.col("n_tokens") / F.lit(total)
+    alloc = src.select(
+        "source",
+        "n_tokens",
+        F.floor(share).cast("bigint").alias("base_alloc"),
+        (share - F.floor(share)).alias("frac"),
+    )
+    remainder = budget - alloc.agg(
+        F.sum("base_alloc")
+    ).collect()[0][0]
+    wr = Window.orderBy(F.col("frac").desc(), "source")
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(
+                F.row_number().over(wr) <= F.lit(int(remainder)), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_alloc"),
+    )
+
+
+@_register(
+    "part_price_outliers_iqr",
+    """WITH q AS (
+  SELECT p_brand,
+         round(quantile_cont(p_retailprice, 0.25)::DOUBLE, 6) AS q1,
+         round(quantile_cont(p_retailprice, 0.75)::DOUBLE, 6) AS q3
+  FROM part GROUP BY p_brand)
+SELECT p.p_brand,
+       count(*) AS n_parts,
+       round(q1, 2) AS q1, round(q3, 2) AS q3,
+       count_if(p_retailprice < q1 - 1.5 * (q3 - q1)
+                OR p_retailprice > q3 + 1.5 * (q3 - q1))::BIGINT
+         AS n_outliers
+FROM part p JOIN q ON q.p_brand = p.p_brand
+GROUP BY p.p_brand, q1, q3""",
+)
+def q_part_price_outliers_iqr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey IQR fences per brand (1.5x IQR beyond the quartiles) —
+    the boxplot outlier rule, completing the robust-outlier family
+    (z-score: rolling_anomaly, MAD: mad_outliers, winsorize:
+    winsorized_stats — each clips a different failure mode).
+    Quartiles round before the fence comparison (the winsorize
+    protocol); the brand-quartile relation broadcasts back."""
+    p = load_table(spark, "part", sf_dir)
+    q = p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.25)"), 6).alias(
+            "q1"
+        ),
+        F.round(F.expr("percentile(p_retailprice, 0.75)"), 6).alias(
+            "q3"
+        ),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outside = (
+        F.col("p_retailprice") < F.col("q1") - 1.5 * iqr
+    ) | (F.col("p_retailprice") > F.col("q3") + 1.5 * iqr)
+    return (
+        p.join(F.broadcast(q), "p_brand")
+        .groupBy("p_brand", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_if(outside).alias("n_outliers"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+            "n_outliers",
+        )
+    )

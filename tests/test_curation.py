@@ -158,3 +158,15 @@ def test_pq_encode_is_total_and_bounded(spark, sf_dir):
         (F.col("code") < 0) | (F.col("code") >= S.PQ_KS)
     ).count()
     assert bad == 0
+
+
+def test_token_budget_allocations_sum_exactly(spark):
+    from knn_using_hadoop_spark.contract import REGISTRY
+
+    rows = REGISTRY["corpus_token_budget_plan"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["final_alloc"] for r in rows) == 1000000
+    # largest-remainder never moves an allocation by more than 1
+    for r in rows:
+        assert r["final_alloc"] - r["base_alloc"] in (0, 1)
