@@ -8504,3 +8504,54 @@ def q_part_price_outliers_iqr(
             "n_outliers",
         )
     )
+
+
+@_register(
+    "orders_backlog_aging",
+    """WITH ref AS (SELECT max(o_orderdate) AS now FROM orders),
+open_o AS (
+  SELECT datediff('day', o_orderdate, now) AS age_days, o_totalprice
+  FROM orders, ref WHERE o_orderstatus = 'O')
+SELECT CASE WHEN age_days <= 30 THEN '00-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS open_value,
+       min(age_days)::INT AS min_age,
+       max(age_days)::INT AS max_age
+FROM open_o GROUP BY age_bucket""",
+)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open orders bucketed by days
+    outstanding, with decimal-exact open value per bucket — the ops
+    dashboard staple. 'Now' is the corpus's max order date (a 1-row
+    aggregate broadcast into the scan) so the query is deterministic
+    and re-runnable; ages are integer datediffs, buckets are CASE on
+    exact integers."""
+    o = load_table(spark, "orders", sf_dir)
+    ref = o.agg(F.max("o_orderdate").alias("now"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("now"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            "o_totalprice",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "00-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return open_o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("open_value"),
+        F.min("age_days").cast("int").alias("min_age"),
+        F.max("age_days").cast("int").alias("max_age"),
+    )
