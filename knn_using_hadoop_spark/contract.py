@@ -8555,3 +8555,115 @@ def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("age_days").cast("int").alias("min_age"),
         F.max("age_days").cast("int").alias("max_age"),
     )
+
+
+@_register(
+    "orders_interarrival_profile",
+    """WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders),
+per_cust AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+         round(avg(gap_days), 4) AS mean_gap,
+         round(quantile_cont(gap_days, 0.5)::DOUBLE, 4) AS median_gap,
+         max(gap_days)::INT AS max_gap
+  FROM gaps WHERE gap_days IS NOT NULL
+  GROUP BY o_custkey)
+SELECT * FROM per_cust WHERE o_custkey % 25 = 0""",
+)
+def q_orders_interarrival_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order inter-arrival profile: per-customer gaps between
+    consecutive orders (mean/median/max days) — the purchase-rhythm
+    feature behind churn prediction (a gap far beyond the customer's
+    own median is the churn signal, not any global threshold).
+
+    Lag window and aggregate share the customer partitioning — one
+    Exchange; gaps are integer datediffs (ties broken by order key
+    for a deterministic lag), so the only float is the rounded mean
+    and the exact-interpolation median."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("mean_gap"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+                "median_gap"
+            ),
+            F.max("gap_days").cast("int").alias("max_gap"),
+        )
+        .filter(F.col("o_custkey") % 25 == 0)
+    )
+
+
+@_register(
+    "doc_vocab_growth",
+    """WITH bounds AS (
+  SELECT ((max(doc_id) * p) // 10)::BIGINT AS doc_cut, p
+  FROM documents, unnest(generate_series(1, 10)) t(p)
+  GROUP BY p),
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       FROM documents)
+SELECT b.p * 10 AS pct_docs,
+       count(CASE WHEN tk.doc_id <= b.doc_cut THEN 1 END)::BIGINT
+         AS n_tokens,
+       count(DISTINCT CASE WHEN tk.doc_id <= b.doc_cut
+                           THEN tk.tok END)::BIGINT AS vocab_size
+FROM tk CROSS JOIN bounds b
+GROUP BY b.p""",
+)
+def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size
+    at 10%..100% corpus checkpoints (by doc id) — sublinear growth is
+    the expected signature; a LINEAR curve means the corpus keeps
+    introducing novel junk (OCR noise, random ids) and the tokenizer
+    budget will not amortize.
+
+    One pass: the token stream cross-joins the 10-row checkpoint
+    relation (broadcast — fan-out x10 on the vocab-bound stream,
+    the bounded-explode trick again) and each checkpoint's
+    conditional DISTINCT collapses in the same two-phase aggregate.
+    All counts integer-exact."""
+    docs = load_docs_wide(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = spark.createDataFrame(
+        [(p, int(max_id * p / 10)) for p in range(1, 11)],
+        "p int, doc_cut bigint",
+    )
+    tk = docs.select(
+        "doc_id", F.explode(_text.tokens("text")).alias("tok")
+    )
+    inside = F.col("doc_id") <= F.col("doc_cut")
+    return (
+        tk.crossJoin(F.broadcast(bounds))
+        .groupBy("p")
+        .agg(
+            F.count(F.when(inside, 1)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.count_distinct(
+                F.when(inside, F.col("tok"))
+            ).cast("bigint").alias("vocab_size"),
+        )
+        .select(
+            (F.col("p") * 10).cast("bigint").alias("pct_docs"),
+            "n_tokens",
+            "vocab_size",
+        )
+    )
