@@ -7704,7 +7704,7 @@ eranked AS (
               ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
                        vec_id))::INT AS rank
   FROM esums),
-{_LSH_BUCKETS_SQL.strip().lstrip("allb AS").join(["allb AS", ""])},
+{"allb AS " + _LSH_BUCKETS_SQL.strip().removeprefix("allb AS").lstrip()},
 lq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
        FROM embeddings e JOIN allb b ON b.vec_id = e.vec_id
        WHERE e.vec_id % {_SIM_QUERY_MOD} = 0),
@@ -8643,7 +8643,7 @@ def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs_wide(spark, sf_dir)
     max_id = docs.agg(F.max("doc_id")).collect()[0][0]
     bounds = spark.createDataFrame(
-        [(p, int(max_id * p / 10)) for p in range(1, 11)],
+        [(p, max_id * p // 10) for p in range(1, 11)],
         "p int, doc_cut bigint",
     )
     tk = docs.select(

@@ -261,6 +261,7 @@ def mad_outliers(
     group: str = "event_type",
     value: str = "value",
     mz_thr: float = 3.5,
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Robust outlier detection via median absolute deviation.
 
@@ -290,7 +291,7 @@ def mad_outliers(
         ),
     )
     return scored.filter(F.abs(F.col("mz")) > mz_thr).select(
-        "event_id",
+        id_col,
         group,
         value,
         F.round("med", 6).alias("med"),
