@@ -175,8 +175,6 @@ def test_ivf_topk_recall(spark):
 
 
 def test_multimodal_plumbing(spark, sf_dir):
-    import pytest
-
     from knn_using_hadoop_spark.operators import multimodal as mm
     from knn_using_hadoop_spark.sources import load_table
 
@@ -198,9 +196,6 @@ def test_multimodal_plumbing(spark, sf_dir):
         spark.createDataFrame([(9, "short")], "doc_id long, text string")
     )
     assert mm.frame_sample(tiny).count() == 0
-
-    with pytest.raises(NotImplementedError, match="codecs"):
-        mm.decode_media(wp, "image")
 
 
 def test_streaming_attribution_join_matches_batch(spark, sf_dir):
