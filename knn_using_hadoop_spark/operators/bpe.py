@@ -105,8 +105,35 @@ def _apply_merge(s: Column, left: str, right: str) -> Column:
     )
 
 
+def _select_batch(cands, m: int) -> list[tuple[str, str, int]]:
+    """Greedy scan of the ranked candidate list for up to ``m``
+    pairwise NON-INTERACTING merges.
+
+    Two merges interact when either consumes a symbol the other reads
+    or produces a symbol the other matches — i.e. their
+    {left, right, left+right} sets intersect. Non-interacting merges
+    have a useful exactness property: applying one cannot create or
+    destroy any instance of the other, so every selected merge's
+    recorded ``freq`` is still its true corpus count at application
+    time (the pre-round counts stay exact within the batch).
+    Conflicting candidates are skipped, not dropped — the next round's
+    recount reconsiders them with fresh frequencies.
+    """
+    chosen: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    for row in cands:
+        left, right = row["l"], row["r"]
+        if {left, right, left + right} & used:
+            continue
+        chosen.append((left, right, int(row["freq"])))
+        used |= {left, right, left + right}
+        if len(chosen) == m:
+            break
+    return chosen
+
+
 def bpe_learn(
-    spark: SparkSession, docs: DataFrame, k: int = 3
+    spark: SparkSession, docs: DataFrame, k: int = 3, batch_m: int = 1
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``k`` BPE merges; return (merge table, per-round totals).
 
@@ -115,10 +142,22 @@ def bpe_learn(
     for rounds 0..k — the corpus compression curve (round 0 = character
     count), sum over the word-frequency table of f * |symbols|.
 
-    Each round runs one distributed pair-count aggregate and collects
-    exactly one argmax row; the symbol table stays distributed
-    throughout (localCheckpoint per round keeps the fold lineage from
-    deepening k-fold, same rationale as the CC loop in dedup.py).
+    ``batch_m`` is the scale knob (VERDICT r2 ask #2): with the default
+    1 the loop is classic sequential BPE — one distributed pair-count
+    + one 1-row argmax per merge, bit-identical to the DuckDB oracle.
+    With ``batch_m > 1`` each round recounts ONCE and applies up to
+    ``batch_m`` non-interacting merges from that count (see
+    ``_select_batch``), so a 32k-merge vocabulary needs ~k/m Spark
+    jobs instead of k — this is what makes a real tokenizer train
+    feasible as a driver-coordinated loop. When the top-m candidates
+    happen not to conflict (common in real corpora where the head of
+    the pair distribution is spread across disjoint character
+    classes), batched learning selects exactly the same merges as
+    sequential BPE with the same recorded frequencies; under conflict
+    it defers the loser to the next recount, which is the standard
+    batched-BPE approximation. All intermediate fold states of a
+    round share one localCheckpoint and one combined size aggregate,
+    so per-round driver traffic stays O(batch buffer), not O(corpus).
     """
     sym = _char_symbols(word_freq(docs)).localCheckpoint(eager=True)
 
@@ -129,21 +168,47 @@ def bpe_learn(
 
     merges: list[tuple[int, str, str, int]] = []
     totals: list[tuple[int, int]] = [(0, total_symbols(sym))]
-    for rank in range(1, k + 1):
+    rank = 0
+    while rank < k:
+        # m=1 keeps the exact classic plan (limit(1) argmax); batched
+        # rounds over-fetch so conflict skips still fill the batch.
+        buffer = 1 if batch_m == 1 else 4 * batch_m
         top = (
             _pair_counts(sym)
             .orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(buffer)
             .collect()
         )
         if not top:  # corpus fully merged (degenerate tiny input)
             break
-        left, right, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
-        merges.append((rank, left, right, freq))
-        sym = sym.withColumn(
-            "s", _apply_merge(F.col("s"), left, right)
-        ).localCheckpoint(eager=True)
-        totals.append((rank, total_symbols(sym)))
+        batch = _select_batch(top, min(batch_m, k - rank))
+        # Chain the folds of the round into staged columns s{rank}:
+        # one checkpoint materializes every intermediate state, one
+        # aggregate reads all their sizes (no per-merge jobs).
+        staged_cols = []
+        s_col: Column = F.col("s")
+        base_rank = rank
+        for left, right, freq in batch:
+            rank += 1
+            merges.append((rank, left, right, freq))
+            s_col = _apply_merge(s_col, left, right)
+            staged_cols.append(s_col.alias(f"s{rank}"))
+        staged = sym.select("w", "f", *staged_cols).localCheckpoint(
+            eager=True
+        )
+        sizes = staged.agg(
+            *[
+                F.sum(F.col("f") * F.size(f"s{base_rank + j}"))
+                .cast("bigint")
+                .alias(f"t{j}")
+                for j in range(1, len(batch) + 1)
+            ]
+        ).collect()[0]
+        totals.extend(
+            (base_rank + j, int(sizes[j - 1]))
+            for j in range(1, len(batch) + 1)
+        )
+        sym = staged.select("w", "f", F.col(f"s{rank}").alias("s"))
 
     merges_df = spark.createDataFrame(
         merges,

@@ -84,3 +84,65 @@ def test_segment_matches_vocab_replay(spark, sf_dir):
     assert len(j) == 50
     for r in j:
         assert r["n_words"] <= r["n_tokens_bpe"] <= r["n_chars_in_words"]
+
+
+def _mk_docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def _learn(spark, docs, k, m):
+    merges, totals = bpe.bpe_learn(spark, docs, k=k, batch_m=m)
+    return (
+        [tuple(r) for r in merges.orderBy("merge_rank").collect()],
+        [tuple(r) for r in totals.orderBy("round").collect()],
+    )
+
+
+def test_select_batch_skips_interacting_candidates():
+    cands = [
+        {"l": "a", "r": "b", "freq": 9},
+        {"l": "b", "r": "c", "freq": 8},   # shares 'b' -> deferred
+        {"l": "x", "r": "y", "freq": 7},
+        {"l": "ab", "r": "z", "freq": 6},  # matches produced 'ab' -> deferred
+        {"l": "p", "r": "q", "freq": 5},
+    ]
+    assert bpe._select_batch(cands, 3) == [
+        ("a", "b", 9), ("x", "y", 7), ("p", "q", 5)
+    ]
+    assert bpe._select_batch(cands, 1) == [("a", "b", 9)]
+
+
+def test_batched_equals_sequential_when_no_conflict(spark):
+    # Top-3 pairs live in disjoint character classes: (a,b)x4, (c,d)x3,
+    # (e,f)x2 — batched m=3 must learn exactly the sequential merges,
+    # frequencies and compression curve included (VERDICT r2 ask #2).
+    docs = _mk_docs(spark, ["ab ab cd ef", "ab cd ef", "ab cd"])
+    seq = _learn(spark, docs, k=3, m=1)
+    batched = _learn(spark, docs, k=3, m=3)
+    assert batched == seq
+
+
+def test_batched_defers_conflicting_merge(spark):
+    # (a,b) f=3 and (b,c) f=2 share 'b': a naive top-2 batch would
+    # apply (b,c) with a stale count (after (a,b) merges, no (b,c)
+    # instance survives). The conflict filter defers it, and the next
+    # recount finds (ab,c) instead — identical to sequential learning.
+    docs = _mk_docs(spark, ["abc abc ab"])
+    seq = _learn(spark, docs, k=2, m=1)
+    batched = _learn(spark, docs, k=2, m=2)
+    assert batched == seq
+    assert [m[:3] for m in batched[0]] == [(1, "a", "b"), (2, "ab", "c")]
+
+
+def test_batched_on_corpus_matches_sequential_totals_shape(spark, sf_dir):
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).limit(50)
+    merges, totals = _learn(spark, docs, k=6, m=3)
+    assert len(merges) == 6 and len(totals) == 7
+    # every merge still strictly reduces the symbol count by its freq
+    # (the non-interacting rule keeps in-batch counts exact)
+    for i, m in enumerate(merges):
+        assert totals[i][1] - totals[i + 1][1] == m[3]
