@@ -103,26 +103,41 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     qs = contract.queries()
     timings: dict[str, float] = {}
-    # best-of-2 per query: the second run reuses compiled codegen and
-    # warm parquet footers, so min-of-runs strips the ±3s JIT noise
-    # (NOTES.md) without changing what is measured — each run still
-    # plans + executes the full query cold of any result cache.
+    stats: dict[str, dict[str, float]] = {}
+    # best-of-N per query (default 2): the second run reuses compiled
+    # codegen and warm parquet footers, so min-of-runs strips the ±3s
+    # JIT noise (NOTES.md) without changing what is measured — each
+    # run still plans + executes the full query cold of any result
+    # cache. SPARK_GRAFT_BENCH_RUNS=5 gives a variance-pinned run:
+    # per-query min/median/max land in the "stats" key (VERDICT r2
+    # ask #3) while "queries" stays min-of-runs for cross-round
+    # comparability.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+    def record(name: str, samples: list[float]) -> None:
+        samples = sorted(samples)
+        timings[name] = round(samples[0], 3)
+        stats[name] = {
+            "min": round(samples[0], 3),
+            "med": round(samples[len(samples) // 2], 3),
+            "max": round(samples[-1], 3),
+        }
+
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             _materialize(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        record(name, samples)
         n = fn(spark, SF_DIR).count()  # untimed, for the report line
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     # flagship KNN (mod=1000 at sf0.1 -> ~600 queries x ~600k train =
     # ~360M distance evals)
-    best, n = float("inf"), -1
+    samples, n = [], -1
     for _ in range(runs):
         t0 = time.perf_counter()
         train, test = contract.knn_tables(spark, SF_DIR, mod=1000)
@@ -130,9 +145,9 @@ def main() -> None:
             train, test, contract.KNN_K, dim=len(contract.KNN_FEATURES)
         )
         _materialize(df)
-        best = min(best, time.perf_counter() - t0)
+        samples.append(time.perf_counter() - t0)
     n = df.count()
-    timings["knn_predict_large"] = round(best, 3)
+    record("knn_predict_large", samples)
     print(
         f"# knn_predict_large: {n} rows in {timings['knn_predict_large']}s",
         file=sys.stderr,
@@ -148,7 +163,7 @@ def main() -> None:
         par = spark.sparkContext.defaultParallelism
         # a small single-file ARFF is one input split; spread the
         # train side so the cross join parallelizes
-        best = float("inf")
+        samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             train = read_arff_features(
@@ -161,9 +176,9 @@ def main() -> None:
                 train, test, 3, dim=11, prefilter_sample=512
             )
             _materialize(df)
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
         n = df.count()
-        timings["knn_reference_large_arff"] = round(best, 3)
+        record("knn_reference_large_arff", samples)
         print(
             f"# knn_reference_large_arff: {n} predictions in "
             f"{timings['knn_reference_large_arff']}s",
@@ -178,6 +193,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stats": stats,
+                "runs": runs,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

@@ -17,6 +17,7 @@ compares row count + schema + order-insensitive value hash, so:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -3454,6 +3455,84 @@ def q_events_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_versions")
     )
     return latest.join(versions, "user_id")
+
+
+@_register(
+    "events_merge_upsert",
+    f"""WITH base AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts < TIMESTAMP '{_INCR_CUTOFF}') r WHERE rk = 1),
+d AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts >= TIMESTAMP '{_INCR_CUTOFF}') r WHERE rk = 1),
+merged AS (
+  SELECT user_id, event_type, value FROM d WHERE event_type <> 'error'
+  UNION ALL
+  SELECT b.user_id, b.event_type, b.value FROM base b
+  WHERE b.user_id NOT IN (SELECT user_id FROM d))
+SELECT user_id, event_type AS last_event_type, value AS last_value
+FROM merged""",
+)
+def q_events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on plain parquet, verified end-to-end through the
+    filesystem (VERDICT r2 ask #5 / "What's missing" #1).
+
+    Physically: the pre-cutoff per-user latest state is written as a
+    hive-partitioned parquet table (partition col = event_type), the
+    post-cutoff latest per user becomes the MERGE source (op = DELETE
+    when the user's newest action is an 'error', else UPSERT), and
+    ``sinks.merge_into_parquet`` runs the partition-overwrite upsert:
+    touched-partition probe, pruned re-read, anti-join + union,
+    dynamic-overwrite write, empty-partition cleanup. The returned
+    DataFrame is the table READ BACK FROM DISK, so the oracle checks
+    the whole physical round-trip — keys that moved partitions
+    (user's latest event_type changed) would leave a duplicate twin
+    behind if the touched-partition logic were wrong, and deleted
+    users would resurrect if empty partitions weren't cleaned.
+    """
+    from knn_using_hadoop_spark.sources.sinks import merge_into_parquet
+
+    ev = load_table(spark, "events", sf_dir)
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", "value", "event_type")
+        )
+
+    base = latest(ev.filter(F.col("ts") < cutoff))
+    delta = latest(ev.filter(F.col("ts") >= cutoff))
+
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    path = f"/tmp/spark_graft_merge/{tag}/user_state"
+    base.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    source = delta.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    merge_into_parquet(
+        spark, path, source, keys=["user_id"],
+        partition_col="event_type", op_col="op",
+    )
+    return spark.read.parquet(path).select(
+        "user_id",
+        F.col("event_type").cast("string").alias("last_event_type"),
+        F.col("value").alias("last_value"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -12,6 +12,7 @@ deployment actually uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_tsv(
@@ -107,6 +108,98 @@ def compact_parquet(
     spark.read.parquet(path).coalesce(target_files).write.mode(
         "overwrite"
     ).parquet(out_path)
+
+
+def merge_into_parquet(
+    spark,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    op_col: str | None = None,
+    delete_value: str = "D",
+) -> list:
+    """MERGE INTO emulation on a plain hive-partitioned parquet table.
+
+    Lakehouse-MERGE semantics without a table format (Delta/Iceberg
+    jars are not in this container — NOTES.md): WHEN MATCHED AND
+    ``op_col = delete_value`` THEN DELETE, WHEN MATCHED THEN UPDATE
+    (source row wins), WHEN NOT MATCHED THEN INSERT (unmatched deletes
+    are no-ops, the standard rule). Contract: source carries the
+    target's data columns (plus the optional op column) and at most
+    one row per key.
+
+    Scale shape — read-modify-write of TOUCHED partitions only, the
+    same plan a real MERGE engine runs:
+
+    1. find touched partitions = source's partition values UNION the
+       partitions where matched keys currently live (keys may MOVE
+       partitions; missing this leaves a stale twin behind). The
+       matched-key probe is a column-pruned (keys + partition col
+       only) scan of the target semi-joined against the broadcast
+       source key set — the analogue of Delta's touched-file join;
+    2. re-read ONLY those partitions (partition pruning at the scan),
+       anti-join out rows whose key the source replaces or deletes,
+       union the surviving source rows;
+    3. localCheckpoint to cut lineage off the input files (Spark
+       refuses to overwrite a path its own plan still reads — at
+       cluster scale you'd stage-and-swap instead), then write with
+       ``partitionOverwriteMode=dynamic`` so ONLY the partitions
+       present in the output are replaced;
+    4. dynamic overwrite never writes an empty partition, so touched
+       partitions whose rows were all deleted are removed explicitly
+       via the Hadoop FileSystem API.
+
+    Cost is proportional to the touched partitions, not the table —
+    the property that makes upserts survive a 100 TB target.
+    Returns the touched partition values (observability).
+    """
+    src_keys = source.select(*keys).distinct()
+    touched_df = (
+        spark.read.parquet(path)
+        .select(*keys, partition_col)
+        .join(F.broadcast(src_keys), keys, "left_semi")
+        .select(partition_col)
+        .union(source.select(partition_col))
+        .distinct()
+    )
+    touched = [r[0] for r in touched_df.collect()]  # one row/partition
+
+    upserts = source
+    if op_col is not None:
+        upserts = source.filter(F.col(op_col) != delete_value).drop(op_col)
+
+    target = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    merged = target.join(F.broadcast(src_keys), keys, "left_anti").unionByName(
+        upserts.select(*target.columns)
+    )
+    merged = merged.localCheckpoint(eager=True)
+
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    try:
+        spark.conf.set(conf_key, "dynamic")
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            path
+        )
+    finally:
+        spark.conf.set(conf_key, prev)
+
+    written = {
+        r[0] for r in merged.select(partition_col).distinct().collect()
+    }
+    emptied = [v for v in touched if v not in written]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for v in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/{partition_col}={v}"
+            )
+            p.getFileSystem(hconf).delete(p, True)
+    return touched
 
 
 def write_globally_sorted(

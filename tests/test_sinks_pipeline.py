@@ -156,3 +156,84 @@ def test_write_globally_sorted_total_order(spark, tmp_path):
         ks = grp["k"].tolist()
         assert ks == sorted(ks)
     assert sorted(v[0] for v in vals) == sorted(pdf["k"].tolist())
+
+
+def test_merge_into_parquet_roundtrip(spark, tmp_path):
+    """Insert/update/delete in one MERGE batch, including a key that
+    MOVES partitions and a partition emptied by deletes."""
+    from knn_using_hadoop_spark.sources.sinks import merge_into_parquet
+
+    path = str(tmp_path / "tbl")
+    target = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),
+            (2, 20.0, "a"),
+            (3, 30.0, "b"),
+            (4, 40.0, "c"),  # 'c' will be emptied by the delete
+        ],
+        "k long, v double, part string",
+    )
+    target.write.partitionBy("part").parquet(path)
+
+    source = spark.createDataFrame(
+        [
+            (2, 21.0, "b", "U"),   # update + MOVE partition a -> b
+            (4, 0.0, "c", "D"),    # delete (empties partition c)
+            (5, 50.0, "a", "U"),   # insert
+            (6, 0.0, "b", "D"),    # unmatched delete -> no-op
+        ],
+        "k long, v double, part string, op string",
+    )
+    touched = merge_into_parquet(
+        spark, path, source, keys=["k"], partition_col="part",
+        op_col="op",
+    )
+    assert set(touched) == {"a", "b", "c"}
+
+    got = {
+        (r.k, r.v, r.part)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        (1, 10.0, "a"),   # untouched row survives
+        (2, 21.0, "b"),   # updated AND moved: no stale twin in 'a'
+        (3, 30.0, "b"),
+        (5, 50.0, "a"),   # inserted
+    }
+    # the emptied partition directory is gone, not a zero-row husk
+    assert not os.path.isdir(os.path.join(path, "part=c"))
+
+
+def test_merge_into_parquet_untouched_partition_not_rewritten(
+    spark, tmp_path
+):
+    """Partition-overwrite scope: files of untouched partitions must
+    be byte-identical after the merge (cost ∝ touched, not table)."""
+    from knn_using_hadoop_spark.sources.sinks import merge_into_parquet
+
+    path = str(tmp_path / "tbl")
+    spark.createDataFrame(
+        [(1, 1.0, "hot"), (2, 2.0, "cold")],
+        "k long, v double, part string",
+    ).write.partitionBy("part").parquet(path)
+
+    cold_dir = os.path.join(path, "part=cold")
+    before = {
+        f: os.path.getmtime(os.path.join(cold_dir, f))
+        for f in os.listdir(cold_dir)
+    }
+    source = spark.createDataFrame(
+        [(1, 9.0, "hot")], "k long, v double, part string"
+    )
+    touched = merge_into_parquet(
+        spark, path, source, keys=["k"], partition_col="part"
+    )
+    assert touched == ["hot"]
+    after = {
+        f: os.path.getmtime(os.path.join(cold_dir, f))
+        for f in os.listdir(cold_dir)
+    }
+    assert after == before
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
+        (1, 9.0), (2, 2.0)
+    }
