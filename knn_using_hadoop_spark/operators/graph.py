@@ -150,7 +150,40 @@ def pagerank(
     plan is join(ranks, directed_edges) -> groupBy(dst) — the rank
     relation is node-sized (small side, broadcastable); the edge
     relation never re-shuffles if pre-partitioned by src.
+
+    Fixed rounds is the ORACLE protocol (the DuckDB twin unrolls the
+    same CTE chain); production convergence-driven iteration is
+    ``pagerank_converged``.
     """
+    ranks, _ = _pagerank_loop(edges, iters, damping, early_stop=False)
+    return ranks
+
+
+def pagerank_converged(
+    edges: DataFrame, max_rounds: int = 20, damping: float = 0.85
+) -> tuple[DataFrame, int]:
+    """Convergence-driven PageRank: stop on zero-delta (VERDICT r2
+    ask #6).
+
+    Runs the same round body as ``pagerank`` but exits as soon as the
+    8-dp-rounded rank relation reproduces itself (the per-round
+    rounding grid makes exact fixpoint detection meaningful — no
+    epsilon tuning). Because each round is a pure function of the
+    previous rank relation, a fixpoint at round r implies rounds
+    r+1..k are identical, so this returns EXACTLY what
+    ``pagerank(iters=max_rounds)`` would whenever convergence happens
+    within the budget — the invariant pinned in tests/test_graph.py.
+    The convergence probe is one count per round over the node-sized
+    rank relation (driver sees a single scalar — same protocol as the
+    connected-components loops in dedup.py). Returns
+    (ranks, rounds_run).
+    """
+    return _pagerank_loop(edges, max_rounds, damping, early_stop=True)
+
+
+def _pagerank_loop(
+    edges: DataFrame, iters: int, damping: float, early_stop: bool
+) -> tuple[DataFrame, int]:
     directed = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -169,7 +202,7 @@ def pagerank(
         # with the contract schema, not a divide-by-zero
         return nodes.select(
             "node", F.lit(0.0).alias("rank")
-        ).limit(0)
+        ).limit(0), 0
     base = (1.0 - damping) / n_nodes
     # round via Spark (HALF_UP, matching DuckDB's round), not Python's
     # round (half-even) — the 8 dp grid must agree across engines
@@ -177,6 +210,8 @@ def pagerank(
         "node",
         F.round(F.lit(1.0) / F.lit(float(n_nodes)), 8).alias("rank"),
     )
+    rounds_run = 0
+    prev = ranks
     for _ in range(iters):
         contribs = (
             directed.join(
@@ -204,8 +239,20 @@ def pagerank(
         # materialize each round: keeps lineage flat (constant plan
         # depth) and reuses the round's result for the next join —
         # same pattern as dedup.neardup_components
-        ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+        new_ranks = ranks.localCheckpoint(eager=True)
+        rounds_run += 1
+        if early_stop:
+            changed = (
+                new_ranks.alias("n")
+                .join(prev.alias("p"), "node")
+                .filter(F.col("n.rank") != F.col("p.rank"))
+                .count()
+            )
+            if changed == 0:
+                ranks = new_ranks
+                break
+        prev = ranks = new_ranks
+    return ranks.select("node", F.round("rank", 6).alias("rank")), rounds_run
 
 
 def pagerank_oracle_sql(
@@ -259,6 +306,26 @@ def bfs_depths(edges: DataFrame, rounds: int = 3) -> DataFrame:
     level) is the 100 TB refinement; min-combine over all labels is
     the simpler equivalent at test scale and identical in output.
     """
+    dist, _ = _bfs_loop(edges, rounds, early_stop=False)
+    return dist
+
+
+def bfs_depths_converged(
+    edges: DataFrame, max_rounds: int = 50
+) -> tuple[DataFrame, int]:
+    """Convergence-driven BFS: relax until the label relation stops
+    changing (graph exhausted / diameter reached), bounded by
+    ``max_rounds``. Distances are integers and only ever appear or
+    decrease, so the fixpoint probe is exact: same row count and no
+    per-node change. Equals ``bfs_depths(rounds=max_rounds)`` whenever
+    the fixpoint lands inside the budget (pinned in tests/
+    test_graph.py). Returns (dist, rounds_run)."""
+    return _bfs_loop(edges, max_rounds, early_stop=True)
+
+
+def _bfs_loop(
+    edges: DataFrame, rounds: int, early_stop: bool
+) -> tuple[DataFrame, int]:
     directed = edges.select("src", "dst").unionAll(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -268,10 +335,11 @@ def bfs_depths(edges: DataFrame, rounds: int = 3) -> DataFrame:
     if src_row["s"] is None:
         return nodes.select(
             "node", F.lit(0).cast("int").alias("dist")
-        ).limit(0)
+        ).limit(0), 0
     dist = nodes.filter(F.col("node") == src_row["s"]).select(
         "node", F.lit(0).cast("int").alias("dist")
     )
+    rounds_run = 0
     for _ in range(rounds):
         relaxed = (
             directed.join(
@@ -285,8 +353,23 @@ def bfs_depths(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("node")
             .agg(F.min("dist").cast("int").alias("dist"))
         )
-        dist = relaxed.localCheckpoint(eager=True)
-    return dist
+        new_dist = relaxed.localCheckpoint(eager=True)
+        rounds_run += 1
+        if early_stop:
+            changed = (
+                new_dist.alias("n")
+                .join(dist.alias("p"), "node", "left_outer")
+                .filter(
+                    F.col("p.dist").isNull()
+                    | (F.col("n.dist") != F.col("p.dist"))
+                )
+                .count()
+            )
+            if changed == 0:
+                dist = new_dist
+                break
+        dist = new_dist
+    return dist, rounds_run
 
 
 def bfs_oracle_sql(edges_sql: str, rounds: int = 3) -> str:
