@@ -1,0 +1,1350 @@
+"""Session 4-5 tranches: stats, timeseries, streaming twins, TPC-H family, text/embedding surfaces (part C).
+
+Split from the former monolithic contract.py (round 3); original lines 7467-8792. Registration order is preserved by contract/__init__.
+"""
+
+from __future__ import annotations
+
+from knn_using_hadoop_spark.operators import similarity as _sim  # noqa: E402
+from knn_using_hadoop_spark.operators import text as _text  # noqa: E402
+from knn_using_hadoop_spark.sources.tables import load_table
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from knn_using_hadoop_spark.contract._base import (_register)
+from knn_using_hadoop_spark.contract.knn_core import (load_docs_wide)
+from knn_using_hadoop_spark.contract.relational import (queries)
+from knn_using_hadoop_spark.contract.text_dedup import (
+    _EMB_DIM,
+    _LSH_BUCKETS_SQL,
+    _SIM_QUERY_MOD,
+    _sim_queries,
+)
+from knn_using_hadoop_spark.contract.tranche_b import (_LOGREG_FEATS_SQL)
+
+# noqa: E402  (split module: original source follows)
+
+
+@_register(
+    "tpch_q9_profit",
+    """SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+       sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(9,6)
+           - (p_retailprice::DECIMAL(18,2) * 6 / 10)
+             * l_quantity::DECIMAL(18,2))::DECIMAL(38,8) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)""",
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    year, filtered by a part-name LIKE pattern. The synthetic schema
+    has no partsupp, so supply cost is modeled as 60% of
+    p_retailprice — the decimal expression keeps Q9's
+    revenue-minus-cost two-term structure. (ref: run-hadoop pipelines
+    have no analog; this is §2.9 north-star surface.)
+
+    The LIKE '%gear%' predicate prunes part BEFORE broadcast (a
+    contains filter pushes to the dim scan); profit arithmetic stays
+    on the decimal grid: 6/10 of a 2dp price is exact at 3dp, and
+    Spark and DuckDB promote the product chain identically once each
+    factor is cast explicitly. Fact side shuffles once on l_orderkey
+    for the orders join.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_name").like("%gear%")
+    )
+    s = load_table(spark, "supplier", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc1 = (F.lit(1) - F.col("l_discount")).cast("decimal(9,6)")
+    cost = (
+        F.col("p_retailprice").cast("decimal(18,2)") * 6 / 10
+    ) * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(price * disc1 - cost)
+            .cast("decimal(38,8)")
+            .alias("profit")
+        )
+    )
+
+
+@_register(
+    "events_user_type_arrays",
+    """SELECT user_id,
+       list_sort(list(DISTINCT event_type)) AS types,
+       len(list(DISTINCT event_type))::INT AS n_types,
+       list_contains(list(DISTINCT event_type), 'purchase')
+         AS has_purchase,
+       list_sort(list(DISTINCT event_type))[1:2] AS first_two
+FROM events WHERE user_id % 10 = 0
+GROUP BY user_id""",
+)
+def q_events_user_type_arrays(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Array-column surface: per-user sorted distinct event-type
+    arrays with containment and slicing — the collect-as-set pattern
+    that backs segment membership checks. Arrays are SORTED before
+    leaving the aggregate (collect_set order is
+    partition-nondeterministic; sorting restores a canonical form
+    the value-hash can compare — same protocol as the journey/
+    listagg queries). slice/list indexing is 1-based in both
+    engines."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 10 == 0
+    )
+    types = F.array_sort(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.size(types).cast("int").alias("n_types"),
+        F.array_contains(types, "purchase").alias("has_purchase"),
+        F.slice(types, 1, 2).alias("first_two"),
+    )
+
+
+@_register(
+    "doc_token_positions",
+    """WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS arr
+  FROM documents WHERE doc_id % 20 = 0),
+pos AS (
+  SELECT doc_id,
+         unnest(arr) AS tok,
+         unnest(generate_series(1, len(arr))) AS p
+  FROM toks)
+SELECT doc_id, tok,
+       min(p)::INT AS first_pos,
+       count(*) AS n_occ
+FROM pos GROUP BY doc_id, tok
+HAVING count(*) >= 3""",
+)
+def q_doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional token index: first occurrence + frequency of every
+    token repeating >= 3x within a doc (posexplode — the
+    position-aware explode; keyword-in-context / lead-paragraph
+    features need the position, not just the count).
+
+    Spark's posexplode zips (pos, value); the oracle zips two
+    parallel unnests (DuckDB's equivalent). Positions are 1-based on
+    both sides (posexplode is 0-based — the +1 is explicit).
+    Everything after the explode is one partial-aggregated groupBy.
+    """
+    docs = load_docs_wide(spark, sf_dir).filter(
+        F.col("doc_id") % 20 == 0
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(_text.tokens("text")).alias("p0", "tok"),
+    ).select("doc_id", "tok", (F.col("p0") + 1).alias("p"))
+    return (
+        pos.groupBy("doc_id", "tok")
+        .agg(
+            F.min("p").cast("int").alias("first_pos"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_occ") >= 3)
+    )
+
+
+@_register(
+    "events_bitwise_surface",
+    """SELECT event_id,
+       (user_id & 7)::BIGINT AS shard,
+       (user_id | 8)::BIGINT AS flagged,
+       xor(user_id, event_id)::BIGINT AS mix,
+       (user_id << 2)::BIGINT AS scaled,
+       (user_id >> 1)::BIGINT AS halved,
+       ((user_id & 1) = 1) AS is_odd
+FROM events WHERE event_id % 50 = 0""",
+)
+def q_events_bitwise_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bitwise scalar surface (AND/OR/XOR/shifts) — shard routing,
+    flag packing, and hash mixing all reduce to these. Integer-exact
+    in both engines; Spark's shiftleft/shiftright are functions where
+    DuckDB uses operators, same two's-complement semantics on
+    BIGINT."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") % 50 == 0
+    )
+    u, e = F.col("user_id"), F.col("event_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(7)).cast("bigint").alias("shard"),
+        u.bitwiseOR(F.lit(8)).cast("bigint").alias("flagged"),
+        u.bitwiseXOR(e).cast("bigint").alias("mix"),
+        F.shiftleft(u, 2).cast("bigint").alias("scaled"),
+        F.shiftright(u, 1).cast("bigint").alias("halved"),
+        (u.bitwiseAND(F.lit(1)) == 1).alias("is_odd"),
+    )
+
+
+@_register(
+    "events_session_window_native",
+    """WITH e AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events),
+flags AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR ts - prev_ts > INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM e),
+sess AS (
+  SELECT user_id, ts,
+         (sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS sid
+  FROM flags)
+SELECT user_id,
+       min(ts) AS session_start,
+       (max(ts) + INTERVAL '30 minutes') AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid""",
+)
+def q_events_session_window_native(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE session_window() aggregate in batch mode,
+    pinned against the classic lag+cumsum algorithm as its oracle —
+    proving the built-in's merge semantics (events within the gap
+    coalesce; window end = last event + gap) equal the textbook
+    formulation. The native form is what the streaming path uses, so
+    this is also the cross-paradigm semantic bridge: one aggregate,
+    no window functions, Spark merges sessions inside the
+    SessionWindowStateStore-backed aggregate (batch: a sort-based
+    merge within the user partition — still one Exchange).
+
+    Tie caveat: session identity needs only ts ordering (equal
+    timestamps merge into one session regardless of event order), so
+    no event_id tiebreak is required for determinism here.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@_register(
+    "lineitem_regr_aggregates",
+    """SELECT l_returnflag,
+       regr_count(l_extendedprice, l_quantity)::BIGINT AS n,
+       round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 6)
+         AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+       round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_lineitem_regr_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Built-in SQL regression-aggregate family (regr_slope /
+    intercept / r2 / avgx / avgy) — price-on-quantity fit per
+    returnflag, the one-pass ANSI twin of the hand-rolled OLS in
+    events_ols_trend (which exists for the per-group closed-form
+    shape; this pins the BUILT-IN aggregates against DuckDB's).
+    Price is near-proportional to quantity by construction, so r2 is
+    high and the slope approximates unit price — interpretable
+    output, not just a function checklist. Both engines accumulate
+    exact sums then divide; 6dp rounding absorbs summation-order
+    ulp."""
+    li = load_table(spark, "lineitem", sf_dir)
+    y, x = "l_extendedprice", "l_quantity"
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).cast("bigint").alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+        F.round(F.regr_avgx(y, x), 6).alias("avg_x"),
+        F.round(F.regr_avgy(y, x), 6).alias("avg_y"),
+    )
+
+
+@_register(
+    "part_string_funcs2",
+    """SELECT p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       reverse(p_name) AS rev,
+       lpad(p_partkey::VARCHAR, 8, '0') AS padded_id,
+       repeat(left(p_name, 2), 2) AS stutter,
+       replace(p_name, ' ', '_') AS snake,
+       split_part(p_name, ' ', 2) AS second_word,
+       strpos(p_name, 'e')::INT AS first_e,
+       right(p_name, 3) AS tail3
+FROM part WHERE p_partkey % 25 = 0""",
+)
+def q_part_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function tranche (translate / reverse / pad /
+    repeat / split_part / strpos / left / right) — byte-exact string
+    ops, no collation or locale dependence (the corpus is ASCII;
+    initcap/soundex are EXCLUDED because DuckDB lacks them — the
+    portable surface is what both engines share)."""
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_partkey") % 25 == 0
+    )
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.reverse("p_name").alias("rev"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "padded_id"
+        ),
+        F.repeat(F.expr("left(p_name, 2)"), 2).alias("stutter"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias(
+            "snake"
+        ),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias(
+            "second_word"
+        ),
+        F.instr("p_name", "e").cast("int").alias("first_e"),
+        F.expr("right(p_name, 3)").alias("tail3"),
+    )
+
+
+@_register(
+    "orders_date_funcs2",
+    """SELECT o_orderkey,
+       (o_orderdate + INTERVAL 3 MONTH) AS plus_3mo,
+       last_day(o_orderdate::DATE)::TIMESTAMP AS month_end,
+       quarter(o_orderdate)::INT AS qtr,
+       date_trunc('quarter', o_orderdate)::TIMESTAMP AS qtr_start,
+       ((2001 - year(o_orderdate)) * 12
+        + (8 - month(o_orderdate)))::INT AS months_to_ref,
+       dayofyear(o_orderdate)::INT AS doy,
+       week(o_orderdate)::INT AS iso_week
+FROM orders WHERE o_orderkey % 40 = 0""",
+)
+def q_orders_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date-function tranche: month arithmetic with end-of-
+    month clamping (add_months), last_day, quarter extraction/trunc,
+    integer month-distance (computed as year*12+month deltas — both
+    engines agree exactly, unlike fractional months_between which
+    DuckDB lacks), day-of-year, ISO week. Spark weekofyear == DuckDB
+    week (both ISO-8601)."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderkey") % 40 == 0
+    )
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).cast("timestamp").alias("plus_3mo"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.date_trunc("quarter", d).alias("qtr_start"),
+        (
+            (F.lit(2001) - F.year(d)) * 12 + (F.lit(8) - F.month(d))
+        ).cast("int").alias("months_to_ref"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("iso_week"),
+    )
+
+
+@_register(
+    "similarity_lsh_mrr",
+    f"""WITH eq AS (SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {_SIM_QUERY_MOD} = 0),
+epe AS (SELECT e.vec_id, eq.query_id, e.embedding AS cv, eq.qv
+        FROM embeddings e, eq WHERE e.vec_id <> eq.query_id),
+esums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM epe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+eranked AS (
+  SELECT query_id, vec_id,
+         (row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                       vec_id))::INT AS rank
+  FROM esums),
+{"allb AS " + _LSH_BUCKETS_SQL.strip().removeprefix("allb AS").lstrip()},
+lq AS (SELECT e.vec_id AS query_id, e.embedding AS qv, b.bucket
+       FROM embeddings e JOIN allb b ON b.vec_id = e.vec_id
+       WHERE e.vec_id % {_SIM_QUERY_MOD} = 0),
+lpe AS (SELECT e.vec_id, lq.query_id, e.embedding AS cv, lq.qv
+        FROM embeddings e
+        JOIN allb b ON b.vec_id = e.vec_id
+        JOIN lq ON lq.bucket = b.bucket
+        WHERE e.vec_id <> lq.query_id),
+lsums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM lpe, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY query_id, vec_id),
+lranked AS (
+  SELECT query_id, vec_id,
+         (row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                       vec_id))::INT AS rank
+  FROM lsums),
+truth AS (SELECT query_id, vec_id AS true_nn FROM eranked
+          WHERE rank = 1),
+hit AS (
+  SELECT t.query_id, l.rank
+  FROM truth t LEFT JOIN lranked l
+    ON l.query_id = t.query_id AND l.vec_id = t.true_nn
+   AND l.rank <= 5)
+SELECT count(*) AS n_queries,
+       sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_hits_at_5,
+       round(avg(CASE WHEN rank IS NOT NULL
+                      THEN 1.0 / rank ELSE 0.0 END), 6) AS mrr_at_5
+FROM hit""",
+)
+def q_similarity_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: MRR@5 of the LSH index against exact
+    cosine top-1 — the ANN quality gate next to pq_recall_at_10
+    (recall says the true NN appeared; MRR says how high). Both the
+    exact and LSH rankings reuse the registry's deterministic
+    protocols (rounded-sim ordering, hyperplanes from the portable
+    hash), so an APPROXIMATE index gets an exact oracle — the same
+    trick that makes the whole ANN family checkable.
+
+    Scale shape: exact side is the brute-force O(Q x N) baseline
+    (few queries — the documented regime); LSH side joins bucket
+    candidates only. The eval join is query-count-sized.
+    """
+    corpus, queries = _sim_queries(spark, sf_dir)
+    truth = _sim.cosine_topk(corpus, queries, 1, _EMB_DIM).select(
+        "query_id", F.col("vec_id").alias("true_nn")
+    )
+    cand = _sim.lsh_bucket_topk(corpus, queries, 5, _EMB_DIM).select(
+        "query_id", "vec_id", "rank"
+    )
+    hit = truth.join(
+        cand,
+        (truth.query_id == cand.query_id)
+        & (cand.vec_id == truth.true_nn),
+        "left",
+    ).select(truth.query_id, cand.rank)
+    return hit.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("rank").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_hits_at_5"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("rank").isNotNull(),
+                    F.lit(1.0) / F.col("rank"),
+                ).otherwise(F.lit(0.0))
+            ),
+            6,
+        ).alias("mrr_at_5"),
+    )
+
+
+@_register(
+    "embedding_truncate_renorm",
+    f"""WITH t AS (
+  SELECT vec_id,
+         embedding[1:16] AS tv,
+         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
+               FROM unnest(embedding[1:16]) u(x))) AS tnorm,
+         sqrt((SELECT sum(x::DOUBLE * x::DOUBLE)
+               FROM unnest(embedding) u(x))) AS fnorm
+  FROM embeddings WHERE vec_id % 25 = 0)
+SELECT vec_id,
+       round(tnorm, 6) AS trunc_norm,
+       round(tnorm / fnorm, 6) AS mass_kept,
+       round(tv[1]::DOUBLE / tnorm, 6) AS renorm_d1,
+       round(tv[16]::DOUBLE / tnorm, 6) AS renorm_d16
+FROM t""",
+)
+def q_embedding_truncate_renorm(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first 16 of {_EMB_DIM}
+    dims, renormalize to unit length, report the retained L2 mass —
+    the cheap-retrieval trick (truncate for the coarse pass, full
+    dims for rerank). Pure array-HOF arithmetic, zero shuffle;
+    sqrt/divide are IEEE-exact so only the display rounding is a
+    protocol. On these near-isotropic synthetic embeddings mass_kept
+    centers on sqrt(16/{_EMB_DIM}) = 0.5 — the number itself audits
+    the corpus's isotropy."""
+    embs = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % 25 == 0
+    )
+    tv = F.slice("embedding", 1, 16)
+    sq = lambda acc, x: acc + x.cast("double") * x.cast("double")  # noqa: E731
+    tnorm = F.sqrt(
+        F.aggregate(tv, F.lit(0.0), sq)
+    )
+    fnorm = F.sqrt(F.aggregate("embedding", F.lit(0.0), sq))
+    t = embs.select(
+        "vec_id",
+        tv.alias("tv"),
+        tnorm.alias("tnorm"),
+        fnorm.alias("fnorm"),
+    )
+    return t.select(
+        "vec_id",
+        F.round(F.col("tnorm"), 6).alias("trunc_norm"),
+        F.round(F.col("tnorm") / F.col("fnorm"), 6).alias("mass_kept"),
+        F.round(
+            F.element_at("tv", 1).cast("double") / F.col("tnorm"), 6
+        ).alias("renorm_d1"),
+        F.round(
+            F.element_at("tv", 16).cast("double") / F.col("tnorm"), 6
+        ).alias("renorm_d16"),
+    )
+
+
+@_register(
+    "orders_bool_aggs",
+    """SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 400000) AS any_over_400k,
+       count_if(o_orderstatus = 'F')::BIGINT AS n_finished,
+       min(o_orderkey) AS first_key
+FROM orders GROUP BY o_orderpriority""",
+)
+def q_orders_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean-aggregate surface (bool_and / bool_or / count_if) —
+    the assertion-style rollups data-quality checks compile to.
+    any_value is EXCLUDED by design: it is nondeterministic under
+    parallel aggregation in both engines; min() is the deterministic
+    stand-in."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias(
+            "any_over_400k"
+        ),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.min("o_orderkey").alias("first_key"),
+    )
+
+
+@_register(
+    "lineitem_ks_test",
+    """WITH g AS (
+  SELECT l_quantity AS v,
+         count_if(l_returnflag = 'R')::BIGINT AS c1,
+         count_if(l_returnflag = 'N')::BIGINT AS c2
+  FROM lineitem WHERE l_returnflag IN ('R', 'N')
+  GROUP BY l_quantity),
+n AS (SELECT sum(c1)::DOUBLE AS n1, sum(c2)::DOUBLE AS n2 FROM g),
+ecdf AS (
+  SELECT v,
+         sum(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / n1
+           AS f1,
+         sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / n2
+           AS f2
+  FROM g, n)
+SELECT round(max(abs(f1 - f2)), 6) AS ks_stat,
+       (SELECT n1::BIGINT FROM n) AS n_returned,
+       (SELECT n2::BIGINT FROM n) AS n_normal
+FROM ecdf""",
+)
+def q_lineitem_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: max ECDF gap between
+    returned and normal lineitems' quantity distributions — the
+    distribution-drift test behind data-shift monitors.
+
+    KS needs a global value ordering, but the ECDF runs over the
+    DISTINCT-VALUE relation (50 integer quantities), not the rows —
+    the counts aggregate first (one shuffle), then the cumulative
+    window is 50 rows. ECDF values are exact-integer ratios (one
+    IEEE division each); cumulative sums of integers are exact, so
+    the KS statistic is deterministic to the final rounding."""
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    g = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count_if(F.col("l_returnflag") == "R").alias("c1"),
+        F.count_if(F.col("l_returnflag") == "N").alias("c2"),
+    )
+    n = g.agg(
+        F.sum("c1").cast("double").alias("n1"),
+        F.sum("c2").cast("double").alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ecdf = g.join(F.broadcast(n)).select(
+        (F.sum("c1").over(w) / F.col("n1")).alias("f1"),
+        (F.sum("c2").over(w) / F.col("n2")).alias("f2"),
+        "n1",
+        "n2",
+    )
+    return ecdf.agg(
+        F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias(
+            "ks_stat"
+        ),
+        F.max("n1").cast("bigint").alias("n_returned"),
+        F.max("n2").cast("bigint").alias("n_normal"),
+    )
+
+
+@_register(
+    "customer_revenue_gini",
+    """WITH cr AS (
+  SELECT o_custkey,
+         sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS revenue
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT revenue::DOUBLE AS r,
+         row_number() OVER (ORDER BY revenue, o_custkey) AS i
+  FROM cr),
+s AS (SELECT count(*)::DOUBLE AS n, sum(r) AS total,
+             sum(i * r) AS weighted
+      FROM ranked)
+SELECT n::BIGINT AS n_customers,
+       round(total, 2) AS total_revenue,
+       round(2 * weighted / (n * total) - (n + 1) / n, 6) AS gini
+FROM s""",
+)
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (0 = equal,
+    1 = one whale) — the inequality KPI for account risk. Uses the
+    rank-weighted closed form 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending revenue.
+
+    The rank window is global but over the CUSTOMER aggregate
+    (dimension-sized); revenue is decimal-exact so ranking ties break
+    on the key deterministically. The weighted sum is a double
+    aggregate — order-nondeterministic — so only the final Gini
+    rounds; with n*total ~ 1e12 the quotient's ulp noise sits at
+    1e-15, far under 6dp."""
+    o = load_table(spark, "orders", sf_dir)
+    cr = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("revenue")
+    )
+    wr = Window.orderBy("revenue", "o_custkey")
+    ranked = cr.select(
+        F.col("revenue").cast("double").alias("r"),
+        F.row_number().over(wr).alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("r").alias("total"),
+        F.sum(F.col("i") * F.col("r")).alias("weighted"),
+    )
+    n, total, weighted = F.col("n"), F.col("total"), F.col("weighted")
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        F.round(total, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2) * weighted / (n * total) - (n + 1) / n, 6
+        ).alias("gini"),
+    )
+
+
+@_register(
+    "orders_benford_profile",
+    """WITH d AS (
+  SELECT left(floor(o_totalprice)::BIGINT::VARCHAR, 1)::INT
+           AS first_digit
+  FROM orders WHERE o_totalprice >= 1),
+n AS (SELECT count(*)::DOUBLE AS total FROM d)
+SELECT first_digit,
+       count(*) AS observed,
+       round(count(*) / total, 6) AS observed_share,
+       round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6)
+         AS benford_share,
+       round(count(*) / total
+             - round(ln(1.0 + 1.0 / first_digit) / ln(10.0), 6), 6)
+         AS deviation
+FROM d, n GROUP BY first_digit, total""",
+)
+def q_orders_benford_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    classic fabricated-data screen. (Synthetic uniform-ish prices
+    will NOT follow Benford; the deviation column is the point.)
+
+    Digit extraction goes through floor->bigint->string — integer
+    exact, immune to float-repr formatting differences between
+    engines. ln is libm so the Benford expectation is rounded, and
+    the observed share is an exact-integer ratio; the group count is
+    at most 9 rows out of one partial-aggregated scan."""
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = o.select(
+        F.expr(
+            "CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT)"
+            " AS STRING), 1) AS INT)"
+        ).alias("first_digit")
+    )
+    total = d.count()
+    benford = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
+        / F.log(F.lit(10.0)),
+        6,
+    )
+    return d.groupBy("first_digit").agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.round(
+            F.count(F.lit(1)) / F.lit(float(total)), 6
+        ).alias("observed_share"),
+        benford.alias("benford_share"),
+        F.round(
+            F.count(F.lit(1)) / F.lit(float(total)) - benford, 6
+        ).alias("deviation"),
+    )
+
+
+from knn_using_hadoop_spark.operators.linalg import (  # noqa: E402
+    logreg_calibration,
+    logreg_calibration_oracle_sql,
+)
+
+
+@_register(
+    "lineitem_logreg_calibration",
+    logreg_calibration_oracle_sql(
+        _LOGREG_FEATS_SQL, ["x1", "x2", "x3"], "y"
+    ),
+)
+def q_lineitem_logreg_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability diagram for the GD-trained returnflag model:
+    decile buckets of predicted probability vs actual positive rate
+    (operators/linalg.py::logreg_calibration) — probabilities only
+    earn trust if mean_pred tracks actual_rate per bucket. Shares the
+    exact fit loop (and rounding protocol) with
+    lineitem_logreg_returnflag; one extra aggregate scan."""
+    feats = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_quantity") / 50).alias("x1"),
+        (F.col("l_discount") * 10).alias("x2"),
+        (F.col("l_tax") * 10).alias("x3"),
+        F.when(F.col("l_returnflag") == "R", 1.0)
+        .otherwise(0.0)
+        .alias("y"),
+    )
+    return logreg_calibration(feats, ["x1", "x2", "x3"], "y")
+
+
+@_register(
+    "events_window_frames",
+    """SELECT user_id, event_id, ts, value,
+       first_value(value) OVER w_full AS first_val,
+       nth_value(value, 2) OVER w_full AS second_val,
+       last_value(value) OVER w_full AS last_val,
+       round(sum(value) OVER w_rest, 6) AS remaining_spend,
+       count(*) OVER w_full AS n_in_series
+FROM events WHERE user_id % 40 = 0
+WINDOW
+  w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING),
+  w_rest AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)""",
+)
+def q_events_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame completeness: full-partition frames (first/nth/
+    last over UNBOUNDED..UNBOUNDED — the frame that makes last_value
+    actually mean 'last', not 'current') and the REVERSE running
+    frame (CURRENT..UNBOUNDED FOLLOWING = spend still to come, the
+    burn-down column). One Exchange + one sort serves all five
+    functions — every frame shares the same partitioning and
+    ordering, and Catalyst fuses them into a single Window node."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("user_id") % 40 == 0
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = base.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rest = base.rowsBetween(0, Window.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.first("value").over(w_full).alias("first_val"),
+        F.nth_value("value", 2).over(w_full).alias("second_val"),
+        F.last("value").over(w_full).alias("last_val"),
+        F.round(F.sum("value").over(w_rest), 6).alias(
+            "remaining_spend"
+        ),
+        F.count(F.lit(1)).over(w_full).alias("n_in_series"),
+    )
+
+
+@_register(
+    "events_timezone_surface",
+    """SELECT event_id, ts,
+       timezone('America/New_York', ts::TIMESTAMPTZ)::TIMESTAMP
+         AS ts_ny,
+       timezone('Asia/Tokyo', ts::TIMESTAMPTZ)::TIMESTAMP AS ts_tokyo,
+       hour(timezone('America/New_York', ts::TIMESTAMPTZ))::INT
+         AS hour_ny,
+       (hour(timezone('Asia/Tokyo', ts::TIMESTAMPTZ)) BETWEEN 9 AND 17)
+         AS tokyo_business_hours
+FROM events WHERE event_id % 60 = 0""",
+)
+def q_events_timezone_surface(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Timezone conversion surface: UTC event instants rendered as
+    local wall-clock in two zones (DST-aware — America/New_York
+    shifts across the corpus's date range, so the offset is NOT
+    constant) plus local-business-hours flags. Spark's
+    from_utc_timestamp(ts, z) == DuckDB's
+    timezone(z, ts::TIMESTAMPTZ) under the pinned-UTC session (naive
+    == instant); both consult the IANA tzdb, so parity also pins
+    that the two runtimes carry compatible zone data."""
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_id") % 60 == 0
+    )
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    tk = F.from_utc_timestamp("ts", "Asia/Tokyo")
+    return ev.select(
+        "event_id",
+        "ts",
+        ny.alias("ts_ny"),
+        tk.alias("ts_tokyo"),
+        F.hour(ny).cast("int").alias("hour_ny"),
+        F.hour(tk).between(9, 17).alias("tokyo_business_hours"),
+    )
+
+
+@_register(
+    "doc_source_kl",
+    """WITH tk AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+src_cnt AS (
+  SELECT source, tok, count(*)::BIGINT AS c FROM tk
+  GROUP BY source, tok),
+src_tot AS (
+  SELECT source, sum(c)::DOUBLE AS n FROM src_cnt GROUP BY source),
+all_cnt AS (
+  SELECT tok, sum(c)::BIGINT AS c_all FROM src_cnt GROUP BY tok),
+all_tot AS (SELECT sum(c_all)::DOUBLE AS n_all FROM all_cnt)
+SELECT s.source,
+       st.n::BIGINT AS n_tokens,
+       round(sum((s.c / st.n)
+                 * ln((s.c / st.n) / (a.c_all / t.n_all))), 5)
+         AS kl_from_corpus
+FROM src_cnt s
+JOIN src_tot st ON st.source = s.source
+JOIN all_cnt a ON a.tok = s.tok
+CROSS JOIN all_tot t
+GROUP BY s.source, st.n""",
+)
+def q_doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the
+    corpus distribution — the domain-shift meter behind mixture
+    reweighting (a source with high KL is the one dragging the
+    model; compare against domain_mixture_weights). No smoothing
+    needed: every source token exists in the corpus marginal by
+    construction (q > 0 wherever p > 0).
+
+    Two aggregation passes over the (source, token) count relation —
+    vocab-sized, not corpus-sized; marginals broadcast back. Each
+    term's ln carries libm ulp, so only the SUM is rounded (5dp;
+    per-term noise ~1e-16 x |vocab| stays under 1e-11)."""
+    tk = load_docs_wide(spark, sf_dir).select(
+        "source", F.explode(_text.tokens("text")).alias("tok")
+    )
+    src_cnt = tk.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    src_tot = src_cnt.groupBy("source").agg(
+        F.sum("c").cast("double").alias("n")
+    )
+    all_cnt = src_cnt.groupBy("tok").agg(
+        F.sum("c").alias("c_all")
+    )
+    n_all = float(
+        all_cnt.agg(F.sum("c_all")).collect()[0][0]
+    )
+    p = F.col("c") / F.col("n")
+    q = F.col("c_all") / F.lit(n_all)
+    return (
+        src_cnt.join(F.broadcast(src_tot), "source")
+        .join(all_cnt, "tok")
+        .groupBy("source", "n")
+        .agg(
+            F.round(F.sum(p * F.log(p / q)), 5).alias(
+                "kl_from_corpus"
+            )
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "kl_from_corpus",
+        )
+    )
+
+
+@_register(
+    "events_user_entropy",
+    """WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type),
+t AS (SELECT user_id, sum(n)::DOUBLE AS total,
+             count(*)::INT AS n_types
+      FROM c GROUP BY user_id)
+SELECT c.user_id, t.n_types,
+       round(-sum((n / total) * ln(n / total)), 5) AS entropy,
+       round(CASE WHEN t.n_types = 1 THEN 0.0
+                  ELSE -sum((n / total) * ln(n / total))
+                       / ln(t.n_types) END, 5) AS entropy_norm
+FROM c JOIN t ON t.user_id = c.user_id
+WHERE c.user_id % 15 = 0
+GROUP BY c.user_id, t.n_types, t.total""",
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity: Shannon entropy of each user's
+    event-type mix, plus the [0,1] normalization by ln(k) —
+    single-type users pin 0 explicitly (0/0 guard). Segmentation
+    feature for exploration-vs-habit scoring.
+
+    Both aggregates and the join share the user key; the per-user
+    type relation is at most |event_types| rows. Probabilities are
+    exact-integer ratios; only the ln-sum rounds."""
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("user_id").agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("int").alias("n_types"),
+    )
+    p = F.col("n") / F.col("total")
+    ent = -F.sum(p * F.log(p))
+    return (
+        c.join(t, "user_id")
+        .filter(F.col("user_id") % 15 == 0)
+        .groupBy("user_id", "n_types", "total")
+        .agg(
+            F.round(ent, 5).alias("entropy"),
+            F.round(
+                F.when(F.col("n_types") == 1, F.lit(0.0)).otherwise(
+                    ent / F.log(F.col("n_types").cast("double"))
+                ),
+                5,
+            ).alias("entropy_norm"),
+        )
+        .select("user_id", "n_types", "entropy", "entropy_norm")
+    )
+
+
+@_register(
+    "events_theil_sen_trend",
+    """WITH daily AS (
+  SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day_idx,
+         round(avg(value), 6) AS m
+  FROM events GROUP BY day_idx),
+slopes AS (
+  SELECT (b.m - a.m) / (b.day_idx - a.day_idx) AS s
+  FROM daily a JOIN daily b ON b.day_idx > a.day_idx)
+SELECT count(*) AS n_pairs,
+       round(quantile_cont(s, 0.5)::DOUBLE, 6) AS theil_sen_slope
+FROM slopes""",
+)
+def q_events_theil_sen_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily-mean series — immune to the outlier days that drag OLS
+    (compare events_ols_trend). The O(days²) pair join is over the
+    DAY relation (~75 rows at sf0.1 — thousands of pairs, trivially
+    bounded; at 100 TB the day count, not the row count, drives it).
+
+    Daily means round before pairing, so each slope is one exact
+    IEEE division of identical inputs cross-engine; the median
+    interpolates between exact slopes."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        F.expr(
+            "unix_micros(date_trunc('day', ts)) div 86400000000"
+        ).alias("day_idx")
+    ).agg(F.round(F.avg("value"), 6).alias("m"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b, F.col("b.day_idx") > F.col("a.day_idx")
+    ).select(
+        (
+            (F.col("b.m") - F.col("a.m"))
+            / (F.col("b.day_idx") - F.col("a.day_idx"))
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.expr("percentile(s, 0.5)"), 6).alias(
+            "theil_sen_slope"
+        ),
+    )
+
+
+@_register(
+    "dedup_normalized_exact",
+    """WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))),
+           ' +', ' ', 'g') AS canon
+  FROM documents),
+grp AS (
+  SELECT canon, count(*)::BIGINT AS n_docs,
+         min(doc_id) AS keeper_id
+  FROM norm GROUP BY canon)
+SELECT count(*)::BIGINT AS n_canonical,
+       sum(n_docs)::BIGINT AS n_docs_total,
+       sum(n_docs - 1)::BIGINT AS n_removed,
+       count_if(n_docs > 1)::BIGINT AS n_groups_with_dups
+FROM grp""",
+)
+def q_dedup_normalized_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact dedup on NORMALIZED text (casefold, strip punctuation,
+    collapse whitespace) — what production pipelines actually key on:
+    raw-byte dedup misses the 'same doc, different quoting' near-
+    misses that normalization folds together. Reports the dedup
+    yield (removed count, dup-group count) against raw totals.
+
+    Normalization is three scalar regex ops in the scan projection
+    (JVM-side, pushed into the same stage as the read); the dedup
+    itself is one partial-aggregated groupBy on the canonical string.
+    The regex subset ([^a-zA-Z0-9 ], ' +') behaves identically in
+    Java regex and RE2. At 100 TB you'd hash the canonical form to a
+    fixed-width key first (dedup_exact's trick) — kept as the string
+    here so the oracle also pins the normalization itself."""
+    docs = load_docs_wide(spark, sf_dir)
+    canon = F.regexp_replace(
+        F.trim(
+            F.lower(
+                F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", "")
+            )
+        ),
+        " +",
+        " ",
+    )
+    grp = docs.select(canon.alias("canon")).groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return grp.agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_total"),
+        F.sum(F.col("n_docs") - 1).cast("bigint").alias("n_removed"),
+        F.count_if(F.col("n_docs") > 1).alias("n_groups_with_dups"),
+    )
+
+
+@_register(
+    "corpus_token_budget_plan",
+    """WITH src AS (
+  SELECT source,
+         sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total FROM src),
+alloc AS (
+  SELECT source, n_tokens,
+         floor(1000000 * n_tokens / total)::BIGINT AS base_alloc,
+         1000000 * n_tokens / total
+           - floor(1000000 * n_tokens / total) AS frac
+  FROM src, tot),
+extra AS (
+  SELECT (1000000 - sum(base_alloc))::BIGINT AS remainder FROM alloc),
+ranked AS (
+  SELECT source, n_tokens, base_alloc,
+         row_number() OVER (ORDER BY frac DESC, source) AS pos
+  FROM alloc)
+SELECT source, n_tokens, base_alloc,
+       (base_alloc + CASE WHEN pos <= (SELECT remainder FROM extra)
+                          THEN 1 ELSE 0 END)::BIGINT AS final_alloc
+FROM ranked""",
+)
+def q_corpus_token_budget_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Token-budget allocation: distribute a 1M-token training budget
+    across sources proportionally with LARGEST-REMAINDER rounding —
+    floors sum short, and the remainder goes to the largest
+    fractional parts, so the allocations sum EXACTLY to the budget
+    (naive per-source rounding doesn't; the training-mix planner
+    needs the invariant).
+
+    All arithmetic on exact integers and one shared division; the
+    fractional-part ranking is a window over the SOURCE relation
+    with a name tiebreak. The invariant sum(final_alloc) == budget
+    is pinned in pytest."""
+    docs = load_docs_wide(spark, sf_dir)
+    budget = 1000000
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(_text.tokens("text")))
+        .cast("bigint")
+        .alias("n_tokens")
+    )
+    total = float(src.agg(F.sum("n_tokens")).collect()[0][0])
+    share = F.lit(budget) * F.col("n_tokens") / F.lit(total)
+    alloc = src.select(
+        "source",
+        "n_tokens",
+        F.floor(share).cast("bigint").alias("base_alloc"),
+        (share - F.floor(share)).alias("frac"),
+    )
+    remainder = budget - alloc.agg(
+        F.sum("base_alloc")
+    ).collect()[0][0]
+    wr = Window.orderBy(F.col("frac").desc(), "source")
+    return alloc.select(
+        "source",
+        "n_tokens",
+        "base_alloc",
+        (
+            F.col("base_alloc")
+            + F.when(
+                F.row_number().over(wr) <= F.lit(int(remainder)), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_alloc"),
+    )
+
+
+@_register(
+    "part_price_outliers_iqr",
+    """WITH q AS (
+  SELECT p_brand,
+         round(quantile_cont(p_retailprice, 0.25)::DOUBLE, 6) AS q1,
+         round(quantile_cont(p_retailprice, 0.75)::DOUBLE, 6) AS q3
+  FROM part GROUP BY p_brand)
+SELECT p.p_brand,
+       count(*) AS n_parts,
+       round(q1, 2) AS q1, round(q3, 2) AS q3,
+       count_if(p_retailprice < q1 - 1.5 * (q3 - q1)
+                OR p_retailprice > q3 + 1.5 * (q3 - q1))::BIGINT
+         AS n_outliers
+FROM part p JOIN q ON q.p_brand = p.p_brand
+GROUP BY p.p_brand, q1, q3""",
+)
+def q_part_price_outliers_iqr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tukey IQR fences per brand (1.5x IQR beyond the quartiles) —
+    the boxplot outlier rule, completing the robust-outlier family
+    (z-score: rolling_anomaly, MAD: mad_outliers, winsorize:
+    winsorized_stats — each clips a different failure mode).
+    Quartiles round before the fence comparison (the winsorize
+    protocol); the brand-quartile relation broadcasts back."""
+    p = load_table(spark, "part", sf_dir)
+    q = p.groupBy("p_brand").agg(
+        F.round(F.expr("percentile(p_retailprice, 0.25)"), 6).alias(
+            "q1"
+        ),
+        F.round(F.expr("percentile(p_retailprice, 0.75)"), 6).alias(
+            "q3"
+        ),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outside = (
+        F.col("p_retailprice") < F.col("q1") - 1.5 * iqr
+    ) | (F.col("p_retailprice") > F.col("q3") + 1.5 * iqr)
+    return (
+        p.join(F.broadcast(q), "p_brand")
+        .groupBy("p_brand", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count_if(outside).alias("n_outliers"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            F.round("q1", 2).alias("q1"),
+            F.round("q3", 2).alias("q3"),
+            "n_outliers",
+        )
+    )
+
+
+@_register(
+    "orders_backlog_aging",
+    """WITH ref AS (SELECT max(o_orderdate) AS now FROM orders),
+open_o AS (
+  SELECT datediff('day', o_orderdate, now) AS age_days, o_totalprice
+  FROM orders, ref WHERE o_orderstatus = 'O')
+SELECT CASE WHEN age_days <= 30 THEN '00-30'
+            WHEN age_days <= 90 THEN '31-90'
+            WHEN age_days <= 365 THEN '91-365'
+            ELSE '365+' END AS age_bucket,
+       count(*) AS n_orders,
+       sum(o_totalprice::DECIMAL(18,2))::DECIMAL(38,2) AS open_value,
+       min(age_days)::INT AS min_age,
+       max(age_days)::INT AS max_age
+FROM open_o GROUP BY age_bucket""",
+)
+def q_orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog aging report: open orders bucketed by days
+    outstanding, with decimal-exact open value per bucket — the ops
+    dashboard staple. 'Now' is the corpus's max order date (a 1-row
+    aggregate broadcast into the scan) so the query is deterministic
+    and re-runnable; ages are integer datediffs, buckets are CASE on
+    exact integers."""
+    o = load_table(spark, "orders", sf_dir)
+    ref = o.agg(F.max("o_orderdate").alias("now"))
+    open_o = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .join(F.broadcast(ref))
+        .select(
+            F.datediff(F.col("now"), F.col("o_orderdate")).alias(
+                "age_days"
+            ),
+            "o_totalprice",
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "00-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    return open_o.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .alias("open_value"),
+        F.min("age_days").cast("int").alias("min_age"),
+        F.max("age_days").cast("int").alias("max_age"),
+    )
+
+
+@_register(
+    "orders_interarrival_profile",
+    """WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  lag(o_orderdate) OVER
+                    (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey),
+                  o_orderdate) AS gap_days
+  FROM orders),
+per_cust AS (
+  SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+         round(avg(gap_days), 4) AS mean_gap,
+         round(quantile_cont(gap_days, 0.5)::DOUBLE, 4) AS median_gap,
+         max(gap_days)::INT AS max_gap
+  FROM gaps WHERE gap_days IS NOT NULL
+  GROUP BY o_custkey)
+SELECT * FROM per_cust WHERE o_custkey % 25 = 0""",
+)
+def q_orders_interarrival_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order inter-arrival profile: per-customer gaps between
+    consecutive orders (mean/median/max days) — the purchase-rhythm
+    feature behind churn prediction (a gap far beyond the customer's
+    own median is the churn signal, not any global threshold).
+
+    Lag window and aggregate share the customer partitioning — one
+    Exchange; gaps are integer datediffs (ties broken by order key
+    for a deterministic lag), so the only float is the rounded mean
+    and the exact-interpolation median."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_days"), 4).alias("mean_gap"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+                "median_gap"
+            ),
+            F.max("gap_days").cast("int").alias("max_gap"),
+        )
+        .filter(F.col("o_custkey") % 25 == 0)
+    )
+
+
+@_register(
+    "doc_vocab_growth",
+    """WITH bounds AS (
+  SELECT ((max(doc_id) * p) // 10)::BIGINT AS doc_cut, p
+  FROM documents, unnest(generate_series(1, 10)) t(p)
+  GROUP BY p),
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       FROM documents)
+SELECT b.p * 10 AS pct_docs,
+       count(CASE WHEN tk.doc_id <= b.doc_cut THEN 1 END)::BIGINT
+         AS n_tokens,
+       count(DISTINCT CASE WHEN tk.doc_id <= b.doc_cut
+                           THEN tk.tok END)::BIGINT AS vocab_size
+FROM tk CROSS JOIN bounds b
+GROUP BY b.p""",
+)
+def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-vocabulary size
+    at 10%..100% corpus checkpoints (by doc id) — sublinear growth is
+    the expected signature; a LINEAR curve means the corpus keeps
+    introducing novel junk (OCR noise, random ids) and the tokenizer
+    budget will not amortize.
+
+    One pass: the token stream cross-joins the 10-row checkpoint
+    relation (broadcast — fan-out x10 on the vocab-bound stream,
+    the bounded-explode trick again) and each checkpoint's
+    conditional DISTINCT collapses in the same two-phase aggregate.
+    All counts integer-exact."""
+    docs = load_docs_wide(spark, sf_dir)
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    bounds = spark.createDataFrame(
+        [(p, max_id * p // 10) for p in range(1, 11)],
+        "p int, doc_cut bigint",
+    )
+    tk = docs.select(
+        "doc_id", F.explode(_text.tokens("text")).alias("tok")
+    )
+    inside = F.col("doc_id") <= F.col("doc_cut")
+    return (
+        tk.crossJoin(F.broadcast(bounds))
+        .groupBy("p")
+        .agg(
+            F.count(F.when(inside, 1)).cast("bigint").alias(
+                "n_tokens"
+            ),
+            F.count_distinct(
+                F.when(inside, F.col("tok"))
+            ).cast("bigint").alias("vocab_size"),
+        )
+        .select(
+            (F.col("p") * 10).cast("bigint").alias("pct_docs"),
+            "n_tokens",
+            "vocab_size",
+        )
+    )

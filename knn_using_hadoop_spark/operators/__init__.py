@@ -15,7 +15,20 @@ from knn_using_hadoop_spark.operators.knn import (
     knn_predict,
     knn_vote_histogram,
 )
+from knn_using_hadoop_spark.operators.graph import (
+    bfs_depths,
+    bfs_depths_converged,
+    pagerank,
+    pagerank_converged,
+    triangle_count,
+)
 from knn_using_hadoop_spark.operators.joins import bloom_pruned_join
+from knn_using_hadoop_spark.operators.multimodal import (
+    attach_media,
+    binary_stats,
+    decode_media,
+    frame_sample,
+)
 from knn_using_hadoop_spark.operators.knn_approx import (
     knn_approx_neighbors,
     knn_approx_predict,
@@ -78,4 +91,13 @@ __all__ = [
     "dedup_incremental",
     "kmv_distinct",
     "bloom_pruned_join",
+    "pagerank",
+    "pagerank_converged",
+    "bfs_depths",
+    "bfs_depths_converged",
+    "triangle_count",
+    "attach_media",
+    "binary_stats",
+    "decode_media",
+    "frame_sample",
 ]

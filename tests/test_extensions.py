@@ -239,8 +239,12 @@ def test_data_quality_report_flags_planted_violations(spark, monkeypatch):
             "value double, ts timestamp",
         ),
     }
+    # patch the DEFINING module: after the contract split, each
+    # submodule binds load_table in its own globals
+    from knn_using_hadoop_spark.contract import sequences_rfm
+
     monkeypatch.setattr(
-        c, "load_table", lambda spark, name, sf_dir: tables[name]
+        sequences_rfm, "load_table", lambda spark, name, sf_dir: tables[name]
     )
     got = {
         r["check_name"]: r["n_violations"]

@@ -39,9 +39,12 @@ def test_sequence_match_semantics(spark, monkeypatch):
         " value double, props string",
     )
     import knn_using_hadoop_spark.contract as c
+    # patch the DEFINING module: after the contract split, each
+    # submodule binds load_table in its own globals
+    from knn_using_hadoop_spark.contract import sequences_rfm
 
     monkeypatch.setattr(
-        c, "load_table", lambda spark, name, sf_dir: ev
+        sequences_rfm, "load_table", lambda spark, name, sf_dir: ev
     )
     got = {
         r["signup_id"]: (r["matched"], r["hours_to_purchase"])
