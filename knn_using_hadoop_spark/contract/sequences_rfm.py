@@ -471,9 +471,7 @@ def q_doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale), broadcast join on the unigram context counts
     (vocab-sized, always broadcastable)."""
     docs = load_docs_wide(spark, sf_dir)
-    bi = docs.select(
-        "doc_id", F.explode(_text.shingles("text", 2)).alias("bg")
-    )
+    bi = _text.exploded_shingles(docs, 2, out="bg")
     c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt2"))
     c1 = (
         bi.select(F.split("bg", " ").getItem(0).alias("w1"))

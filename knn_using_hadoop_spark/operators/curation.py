@@ -29,7 +29,10 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from knn_using_hadoop_spark.functions.hashing import portable_hash32
-from knn_using_hadoop_spark.operators.text import shingles, tokens
+from knn_using_hadoop_spark.operators.text import (
+    exploded_shingles,
+    tokens,
+)
 
 
 def repetition_metrics(
@@ -70,9 +73,7 @@ def repetition_metrics(
         F.max("c").alias("top_c"),
         F.count(F.lit(1)).alias("n_distinct"),
     )
-    big = docs.select(
-        "doc_id", F.explode(shingles("text", 2)).alias("bg")
-    )
+    big = exploded_shingles(docs, 2, out="bg")
     per_big = big.groupBy("doc_id", "bg").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -307,9 +308,9 @@ def decontaminate(
     broadcasts it — per-task hash-probe, no repartition of the
     training corpus. Left join + count keeps zero-overlap docs.
     """
-    grams = docs.select(
-        "doc_id", F.explode(shingles("text", n)).alias("g")
-    ).select("doc_id", portable_hash32(F.col("g")).alias("h"))
+    grams = exploded_shingles(docs, n, out="g").select(
+        "doc_id", portable_hash32(F.col("g")).alias("h")
+    )
     grams = grams.distinct()
     is_bench = F.col("doc_id") % bench_mod == 0
     bench = grams.filter(is_bench).select("h").distinct()

@@ -27,7 +27,10 @@ from knn_using_hadoop_spark.functions.hashing import (
     MERSENNE_PRIME,
     portable_hash64,
 )
-from knn_using_hadoop_spark.operators.text import minhash_permuted, shingles
+from knn_using_hadoop_spark.operators.text import (
+    exploded_shingles,
+    minhash_permuted,
+)
 
 # Fixed MinHash permutation parameters (odd multipliers, arbitrary
 # offsets — frozen: they are part of the operator contract and are
@@ -63,10 +66,9 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
-    return docs.select(
-        "doc_id", F.explode(shingles("text", n)).alias("shingle")
-    ).distinct()
+    """Distinct (doc_id, shingle) pairs (linear-time shingling —
+    see text.shingles_from_tokens)."""
+    return exploded_shingles(docs, n, out="shingle").distinct()
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
@@ -85,9 +87,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
     the groupBy min combines map-side.
     """
     hashed = (
-        docs.select(
-            "doc_id", F.explode(shingles("text", n)).alias("s")
-        )
+        exploded_shingles(docs, n, out="s")
         .select(
             "doc_id",
             F.conv(F.substring(F.md5("s"), 1, 8), 16, 10)

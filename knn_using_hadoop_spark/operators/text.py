@@ -135,30 +135,44 @@ def doc_fingerprint(docs: DataFrame, shingle_n: int = 3) -> DataFrame:
     ``min_shingle_hash`` = min over word-``shingle_n``-gram hashes — a
     1-permutation MinHash usable as a cheap near-dup blocking key.
     """
-    sh = shingles("text", shingle_n)
+    # two-step projection: bind the token array to a column before the
+    # n-gram lambda reads it element-wise (see shingles_from_tokens on
+    # the inline-lambda re-evaluation trap)
+    staged = docs.select(
+        "doc_id",
+        portable_hash64(F.col("text")).alias("fp64"),
+        tokens("text").alias("__toks"),
+    )
     min_h = F.array_min(
         F.transform(
-            sh,
+            shingles_from_tokens(F.col("__toks"), shingle_n),
             lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast(
                 "bigint"
             ),
         )
     )
-    return docs.select(
-        "doc_id",
-        portable_hash64(F.col("text")).alias("fp64"),
-        min_h.alias("min_shingle_hash"),
+    return staged.select(
+        "doc_id", "fp64", min_h.alias("min_shingle_hash")
     )
 
 
-def shingles(text: Column | str, n: int = 3) -> Column:
-    """Array of word n-gram strings (empty when the doc is too short).
+def shingles_from_tokens(t: Column, n: int = 3) -> Column:
+    """Word n-grams from an ALREADY-BOUND token-array column.
 
-    Spark's ``sequence(1, k)`` counts DOWN when k < 1, so the short-doc
-    case must be guarded explicitly (DuckDB's generate_series just
-    returns empty).
+    ``t`` must be a projected attribute (``tokens(text).alias(...)``
+    in a prior select), not an inline ``tokens(text)`` expression:
+    Catalyst does not hoist loop-invariant subexpressions out of
+    higher-order-function lambdas, so an inline form re-evaluates the
+    tokenizing split once per element access — O(words x doc_len) per
+    doc. On a heavy-tailed corpus (10x skew stress, NOTES r3) that
+    quadratic costs 176s where the bound-column form takes 2.6s (68x).
+    Use ``exploded_shingles`` for the common docs -> (id, shingle)
+    shape.
+
+    Spark's ``sequence(1, k)`` counts DOWN when k < 1, so the
+    short-doc case must be guarded explicitly (DuckDB's
+    generate_series just returns empty).
     """
-    t = tokens(text)
     size = F.size(t)
     idx = F.when(
         size >= n, F.sequence(F.lit(1), size - (n - 1))
@@ -168,6 +182,36 @@ def shingles(text: Column | str, n: int = 3) -> Column:
         lambda i: F.concat_ws(
             " ", *[F.element_at(t, i + j) for j in range(n)]
         ),
+    )
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Array of word n-gram strings (empty when the doc is too short).
+
+    Inline-expression form: ONLY for one-shot array contexts on short
+    texts. Anything that explodes shingles over a corpus must go
+    through ``exploded_shingles`` (see ``shingles_from_tokens`` for
+    the quadratic re-tokenize trap this avoids).
+    """
+    return shingles_from_tokens(tokens(text), n)
+
+
+def exploded_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    out: str = "shingle",
+    keep: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """docs -> (*keep, <out>): one row per word n-gram occurrence.
+
+    Tokenizes ONCE into a bound column, then builds + explodes the
+    n-grams from it — the linear-time shape (the inline-expression
+    form re-tokenizes per element; 68x slower on a heavy-tailed
+    corpus, NOTES r3)."""
+    tk = docs.select(*keep, tokens("text").alias("__toks"))
+    return tk.select(
+        *keep,
+        F.explode(shingles_from_tokens(F.col("__toks"), n)).alias(out),
     )
 
 
