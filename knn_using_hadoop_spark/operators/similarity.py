@@ -852,3 +852,114 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    *,
+    n_centroids: int = 16,
+    iters: int = 1,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540).
+
+    The embedding-space analogue of MinHash dedup: k-means-cluster the
+    corpus, compare pairs only WITHIN a cluster, and prune every
+    vector whose cosine similarity to a keep-worthier clustermate
+    reaches ``threshold``. Keep policy follows the paper: within a
+    cluster, points far from the centroid are kept first (they carry
+    the cluster's diversity), so a vector is removed iff some
+    same-cell vector with lower (centroid_sim, vec_id) — the paper's
+    sorted upper-triangle scan — is ``threshold``-similar to it.
+
+    Returns (vec_id, cell, centroid_sim, keep) for every corpus row.
+
+    Scale shape: centroid fit + assignment are broadcast joins
+    (O(n x C x dim), C small); the pair stage shuffles on ``cell``
+    and is quadratic only in CLUSTER size — the paper's own knob
+    (more centroids => smaller cells). No driver-side data movement.
+    Deterministic end to end: the 6dp-rounded cosine ranking protocol
+    shared with the IVF operators makes it oracle-reproducible.
+    """
+    cents = ivf_kmeans_centroids(
+        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col
+    )
+    cells = ivf_assign_cells(
+        corpus,
+        cents.select("centroid_id", F.col("centv").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    m = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+        )
+        .join(cells, "vec_id")
+        .join(
+            F.broadcast(cents),
+            F.col("cell") == F.col("centroid_id"),
+        )
+    )
+    csim = F.round(
+        _dot_hof(F.col("vv"), F.col("centv"))
+        / (
+            F.sqrt(_sqnorm_hof(F.col("vv")))
+            * F.sqrt(_sqnorm_hof(F.col("centv")))
+        ),
+        6,
+    )
+    members = m.select(
+        "vec_id", "cell", "vv", csim.alias("centroid_sim")
+    )
+    a = members.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("vv").alias("av"),
+        F.col("centroid_sim").alias("a_cs"),
+    )
+    b = members.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("vv").alias("bv"),
+        F.col("centroid_sim").alias("b_cs"),
+    )
+    pair_sim = F.round(
+        _dot_hof(F.col("av"), F.col("bv"))
+        / (
+            F.sqrt(_sqnorm_hof(F.col("av")))
+            * F.sqrt(_sqnorm_hof(F.col("bv")))
+        ),
+        6,
+    )
+    removed = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(pair_sim >= F.lit(threshold))
+        # the LATER point in keep order (higher centroid_sim, ties by
+        # id) is the duplicate
+        .select(
+            F.when(
+                (F.col("a_cs") > F.col("b_cs"))
+                | (
+                    (F.col("a_cs") == F.col("b_cs"))
+                    & (F.col("a_id") > F.col("b_id"))
+                ),
+                F.col("a_id"),
+            )
+            .otherwise(F.col("b_id"))
+            .alias("vec_id")
+        )
+        .distinct()
+        .withColumn("_rm", F.lit(True))
+    )
+    return (
+        members.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            "centroid_sim",
+            F.col("_rm").isNull().alias("keep"),
+        )
+    )

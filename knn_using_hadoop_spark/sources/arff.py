@@ -11,12 +11,17 @@ inside the scan, and the file splits/parallelizes like any text
 source (the reference's eager whole-file read does not).
 
 NUMERIC/REAL/INTEGER attributes map to double columns; nominal
-(``{a,b,c}``) and ``string`` attributes map to string columns,
-matching Weka's ``ArffReader`` on the reference's test-set path
-(``Hadoop.java:66-71``) — though the reference's distance math then
-assumes numeric (``Hadoop.java:155-165``), so the feature projection
-(``read_arff_features``) rejects non-numeric columns with a clear
-error. ``date``/``relational`` attributes raise.
+(``{a,b,c}``) and ``string`` attributes map to string columns;
+``date [format]`` attributes map to timestamp columns (read as
+string at the scan, parsed with ``to_timestamp`` per column so each
+date attribute keeps its own Weka SimpleDateFormat pattern — the
+subset of patterns Weka actually emits, ``yyyy MM dd HH mm ss`` plus
+quoted literals, is valid Spark ``DateTimeFormatter`` syntax too).
+This matches Weka's ``ArffReader`` surface — though the reference's
+distance math assumes numeric (``Hadoop.java:155-165``), so the
+feature projection (``read_arff_features``) rejects non-numeric
+columns with a clear error. ``relational`` attributes raise (no
+counterpart in Weka's own flat-file pipeline either).
 """
 
 from __future__ import annotations
@@ -30,12 +35,20 @@ class ArffFormatError(ValueError):
     pass
 
 
+# Weka's default date pattern (ISO-8601); valid for both Java's
+# SimpleDateFormat (what Weka uses) and Spark's DateTimeFormatter.
+WEKA_DEFAULT_DATE_FORMAT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
 def parse_arff_schema(header_lines: list[str]) -> T.StructType:
     """StructType from ``@attribute`` declarations.
 
     NUMERIC/REAL/INTEGER -> double; ``{a,b,c}`` nominal and
     ``string`` -> string (Weka's reader parses these too,
-    ``Hadoop.java:66-71``); anything else (date, relational) raises.
+    ``Hadoop.java:66-71``); ``date [format]`` -> timestamp, with the
+    declared format kept in the field metadata under
+    ``arff_date_format`` (Weka default ISO-8601 when omitted);
+    ``relational`` raises.
     """
     fields = []
     for line in header_lines:
@@ -47,18 +60,25 @@ def parse_arff_schema(header_lines: list[str]) -> T.StructType:
             raise ArffFormatError(f"malformed attribute line: {line!r}")
         _, name, typ = parts
         typ = typ.strip()
+        metadata: dict | None = None
         if typ.upper() in ("NUMERIC", "REAL", "INTEGER"):
             dtype: T.DataType = T.DoubleType()
         elif typ.startswith("{") and typ.endswith("}") or (
             typ.upper() == "STRING"
         ):
             dtype = T.StringType()
+        elif typ.lower() == "date" or typ.lower().startswith("date "):
+            dtype = T.TimestampType()
+            fmt = typ[4:].strip().strip('"') or WEKA_DEFAULT_DATE_FORMAT
+            metadata = {"arff_date_format": fmt}
         else:
             raise ArffFormatError(
                 f"unsupported ARFF type {typ!r} for {name!r}: numeric, "
-                "nominal {...} and string attributes are supported"
+                "nominal {...}, string and date attributes are supported"
             )
-        fields.append(T.StructField(name, dtype, nullable=False))
+        fields.append(
+            T.StructField(name, dtype, nullable=False, metadata=metadata)
+        )
     if not fields:
         raise ArffFormatError("no @attribute declarations found")
     return T.StructType(fields)
@@ -77,11 +97,33 @@ def read_arff(spark: SparkSession, path: str) -> DataFrame:
         .collect()
     )
     schema = parse_arff_schema([r.value for r in header])
+    # date columns scan as string (each keeps its own declared
+    # format) and parse per-column below; under Spark 4's default
+    # ANSI mode to_timestamp throws on malformed input, preserving
+    # the fail-fast contract through the conversion.
+    date_formats = {
+        f.name: f.metadata["arff_date_format"]
+        for f in schema.fields
+        if isinstance(f.dataType, T.TimestampType)
+    }
+    scan_schema = T.StructType(
+        [
+            T.StructField(f.name, T.StringType(), False)
+            if f.name in date_formats
+            else f
+            for f in schema.fields
+        ]
+    )
     # FAILFAST: the schema declares nullable=False, and PERMISSIVE
     # mode would contradict it by turning malformed/short data lines
     # into nulls that flow on into distance arithmetic (ADVICE r1) —
     # error at the scan instead.
-    return spark.read.csv(path, schema=schema, comment="@", mode="FAILFAST")
+    df = spark.read.csv(
+        path, schema=scan_schema, comment="@", mode="FAILFAST"
+    )
+    for name, fmt in date_formats.items():
+        df = df.withColumn(name, F.to_timestamp(F.col(name), fmt))
+    return df
 
 
 def read_arff_features(

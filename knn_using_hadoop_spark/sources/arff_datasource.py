@@ -59,10 +59,34 @@ class ArffDataSourceReader(DataSourceReader):
         ]
 
     def read(self, partition: _ArffRange):
-        casts = [
-            float if f.dataType.typeName() == "double" else str
-            for f in self.schema.fields
-        ]
+        import datetime
+
+        def _date_cast(java_fmt: str):
+            # The SimpleDateFormat subset Weka emits -> strptime.
+            py_fmt = java_fmt
+            for j, p in (
+                ("yyyy", "%Y"),
+                ("MM", "%m"),
+                ("dd", "%d"),
+                ("HH", "%H"),
+                ("mm", "%M"),
+                ("ss", "%S"),
+                ("'T'", "T"),
+            ):
+                py_fmt = py_fmt.replace(j, p)
+            return lambda v: datetime.datetime.strptime(
+                v.strip("'\""), py_fmt
+            )
+
+        casts = []
+        for f in self.schema.fields:
+            tn = f.dataType.typeName()
+            if tn == "double":
+                casts.append(float)
+            elif tn == "timestamp":
+                casts.append(_date_cast(f.metadata["arff_date_format"]))
+            else:
+                casts.append(str)
         with open(partition.path, "rb") as fh:
             fh.seek(partition.start)
             if partition.start > 0:

@@ -54,9 +54,70 @@ def test_parse_nominal_and_string_as_string_columns():
     ]
 
 
-def test_parse_rejects_date():
+def test_parse_date_attribute_schema():
+    schema = parse_arff_schema(
+        [
+            '@attribute ts date "yyyy-MM-dd HH:mm:ss"',
+            "@attribute ts2 date",  # Weka default ISO-8601
+            "@attribute x NUMERIC",
+        ]
+    )
+    assert [f.dataType.typeName() for f in schema.fields] == [
+        "timestamp",
+        "timestamp",
+        "double",
+    ]
+    assert schema.fields[0].metadata["arff_date_format"] == (
+        "yyyy-MM-dd HH:mm:ss"
+    )
+    assert schema.fields[1].metadata["arff_date_format"] == (
+        "yyyy-MM-dd'T'HH:mm:ss"
+    )
+
+
+def test_parse_rejects_relational():
     with pytest.raises(ArffFormatError, match="unsupported ARFF type"):
-        parse_arff_schema(["@attribute ts date yyyy-MM-dd"])
+        parse_arff_schema(["@attribute bag relational"])
+
+
+def test_read_date_arff_end_to_end(spark, tmp_path):
+    import datetime
+
+    p = tmp_path / "dated.arff"
+    p.write_text(
+        "@relation toy\n"
+        "@attribute ts date\n"
+        '@attribute d2 date "yyyy/MM/dd"\n'
+        "@attribute x NUMERIC\n"
+        "@data\n"
+        "2024-01-15T12:30:00,2024/01/16,1.5\n"
+        "2024-02-01T00:00:00,2024/02/02,2.5\n"
+    )
+    df = read_arff(spark, str(p))
+    rows = df.orderBy("x").collect()
+    assert rows[0].ts == datetime.datetime(2024, 1, 15, 12, 30)
+    assert rows[1].d2 == datetime.datetime(2024, 2, 2)
+    assert rows[1].x == 2.5
+
+
+def test_datasource_date_parity(spark, tmp_path):
+    from knn_using_hadoop_spark.sources.arff_datasource import (
+        ArffDataSource,
+    )
+
+    p = tmp_path / "dated_ds.arff"
+    p.write_text(
+        "@relation toy\n"
+        "@attribute ts date\n"
+        "@attribute x NUMERIC\n"
+        "@data\n"
+        "2024-01-15T12:30:00,1.5\n"
+        "2024-02-01T06:15:30,2.5\n"
+    )
+    spark.dataSource.register(ArffDataSource)
+    via_ds = spark.read.format("arff").load(str(p)).orderBy("x").collect()
+    via_csv = read_arff(spark, str(p)).orderBy("x").collect()
+    assert via_ds == via_csv
 
 
 def test_read_nominal_arff_end_to_end(spark, tmp_path):

@@ -170,3 +170,60 @@ def test_token_budget_allocations_sum_exactly(spark):
     # largest-remainder never moves an allocation by more than 1
     for r in rows:
         assert r["final_alloc"] - r["base_alloc"] in (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (semantic dedup over embeddings)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_planted_duplicates(spark):
+    """Exact duplicate vectors collapse to one kept representative,
+    distinct vectors all survive, and the keep order prefers the
+    point FARTHEST from its centroid (the paper's diversity policy).
+    """
+    from knn_using_hadoop_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    # Two well-separated directions; ids 1/2/3 are copies of one
+    # direction (scaled — cosine ignores magnitude), 10/11 are copies
+    # of another, 20 is alone.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [2.0, 0.0, 0.0, 0.0]),
+        (3, [3.0, 0.0, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 5.0, 0.0, 0.0]),
+        (20, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = semdedup_prune(
+        corpus, n_centroids=2, iters=1, threshold=0.95
+    ).collect()
+    keep = {r.vec_id: r.keep for r in out}
+    assert len(keep) == 6
+    # each duplicate family keeps exactly one member
+    assert sum(keep[i] for i in (1, 2, 3)) == 1
+    assert sum(keep[i] for i in (10, 11)) == 1
+    assert keep[20] is True
+
+
+def test_semdedup_orthogonal_all_kept(spark):
+    from knn_using_hadoop_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    rows = [
+        (i, [1.0 if j == i else 0.0 for j in range(4)])
+        for i in range(4)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = semdedup_prune(
+        corpus, n_centroids=2, iters=1, threshold=0.9
+    ).collect()
+    assert all(r.keep for r in out)
