@@ -72,6 +72,9 @@ BENCH_QUERIES = [
     "lineitem_logreg_returnflag",
     "events_sliding_windowed_agg",
     "lineitem_brand_affinity",
+    # round-3 surface: semantic dedup (k-means cells + within-cell
+    # cosine prune)
+    "embedding_semdedup_prune",
 ]
 
 

@@ -24,6 +24,7 @@ from knn_using_hadoop_spark.contract import (
     tranche_a,
     tranche_b,
     tranche_c,
+    round3,
 )
 
 for _m in (
@@ -43,6 +44,7 @@ for _m in (
     tranche_a,
     tranche_b,
     tranche_c,
+    round3,
 ):
     for _k in vars(_m):
         if not _k.startswith('__'):

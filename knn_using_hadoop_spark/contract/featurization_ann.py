@@ -369,102 +369,3 @@ def q_knn_predict_manhattan(
     )
 
 
-
-# SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): k-means
-# cells (same unrolled CTE protocol as the IVF oracle), within-cell
-# cosine pairs, prune the keep-later point of every pair at/above the
-# threshold. Keep order = (centroid_sim ASC, vec_id ASC) — the
-# paper's "keep points far from the centroid" policy. The 0.35
-# threshold is workload-tuned: the synthetic embeddings are
-# near-orthogonal random vectors (max pairwise cosine ~0.51), so the
-# paper's 0.95 would prune nothing here; the operator default stays
-# 0.95.
-_SEMDEDUP_EPS = 0.35
-
-_SEMDEDUP_SQL = f"""WITH
-cents0 AS (
-  SELECT vec_id AS centroid_id, embedding AS centv
-  FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC}),
-a0s AS (
-  SELECT e.vec_id, c.centroid_id,
-         sum(e.embedding[i]::DOUBLE * c.centv[i]::DOUBLE) AS dot,
-         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
-         sum(c.centv[i]::DOUBLE * c.centv[i]::DOUBLE) AS cc
-  FROM embeddings e, cents0 c, generate_series(1, {_EMB_DIM}) g(i)
-  GROUP BY e.vec_id, c.centroid_id),
-a0 AS (
-  SELECT vec_id, centroid_id AS cell FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id
-             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
-                      centroid_id ASC) AS rn
-    FROM a0s) r
-  WHERE rn = 1),
-cents1 AS (
-  SELECT centroid_id, list(av ORDER BY i) AS centv FROM (
-    SELECT a.cell AS centroid_id, g.i,
-           round(avg(e.embedding[g.i]::DOUBLE), 6) AS av
-    FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id,
-         generate_series(1, {_EMB_DIM}) g(i)
-    GROUP BY a.cell, g.i) c
-  GROUP BY centroid_id),
-a1s AS (
-  SELECT e.vec_id, c.centroid_id,
-         sum(e.embedding[i]::DOUBLE * c.centv[i]) AS dot,
-         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
-         sum(c.centv[i] * c.centv[i]) AS cc
-  FROM embeddings e, cents1 c, generate_series(1, {_EMB_DIM}) g(i)
-  GROUP BY e.vec_id, c.centroid_id),
-cells AS (
-  SELECT vec_id, centroid_id AS cell FROM (
-    SELECT vec_id, centroid_id,
-           row_number() OVER (PARTITION BY vec_id
-             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
-                      centroid_id ASC) AS rn
-    FROM a1s) r
-  WHERE rn = 1),
-members AS (
-  SELECT c.vec_id, c.cell,
-         round(s.dot / (sqrt(s.vv) * sqrt(s.cc)), 6) AS centroid_sim
-  FROM cells c
-  JOIN a1s s ON s.vec_id = c.vec_id AND s.centroid_id = c.cell),
-psums AS (
-  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         a.centroid_sim AS a_cs, b.centroid_sim AS b_cs,
-         sum(ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS dot,
-         sum(ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE) AS aa,
-         sum(eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS bb
-  FROM members a
-  JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id,
-       generate_series(1, {_EMB_DIM}) g(i)
-  GROUP BY 1, 2, 3, 4),
-removed AS (
-  SELECT DISTINCT
-         CASE WHEN (a_cs > b_cs) OR (a_cs = b_cs AND a_id > b_id)
-              THEN a_id ELSE b_id END AS vec_id
-  FROM psums
-  WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= {_SEMDEDUP_EPS})
-SELECT m.vec_id, m.cell, m.centroid_sim,
-       r.vec_id IS NULL AS keep
-FROM members m LEFT JOIN removed r ON r.vec_id = m.vec_id"""
-
-
-@_register("embedding_semdedup_prune", _SEMDEDUP_SQL)
-def q_embedding_semdedup_prune(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """SemDeDup semantic dedup over the embeddings table.
-
-    Cluster -> within-cell cosine pairs -> prune keep-later points at
-    sim >= eps. The quadratic stage is bounded by CLUSTER size (the
-    paper's own scaling knob), never corpus size.
-    """
-    corpus, _ = _sim_queries(spark, sf_dir)
-    return _sim.semdedup_prune(
-        corpus,
-        n_centroids=_IVF_NC,
-        iters=1,
-        threshold=_SEMDEDUP_EPS,
-    )

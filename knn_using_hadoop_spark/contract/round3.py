@@ -1,0 +1,181 @@
+"""Round-3 contract additions.
+
+New registrations go in THIS module, which contract/__init__ imports
+LAST: appended queries land at the registry tail, so the positions of
+every pre-existing entry are untouched (the driver's correctness gate
+snapshots a subset of the registry; keeping historical order stable
+keeps that snapshot meaningful across rounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from knn_using_hadoop_spark.contract._base import _register
+from knn_using_hadoop_spark.contract.featurization_ann import _IVF_NC
+from knn_using_hadoop_spark.contract.knn_core import load_docs_wide
+from knn_using_hadoop_spark.contract.text_dedup import (
+    _EMB_DIM,
+    _H64,
+    _sim_queries,
+)
+from knn_using_hadoop_spark.operators import dedup as _dedup
+from knn_using_hadoop_spark.operators import similarity as _sim
+
+
+# SemDeDup semantic dedup (Abbas et al., arXiv:2303.09540): k-means
+# cells (same unrolled CTE protocol as the IVF oracle), within-cell
+# cosine pairs, prune the keep-later point of every pair at/above the
+# threshold. Keep order = (centroid_sim ASC, vec_id ASC) — the
+# paper's "keep points far from the centroid" policy. The 0.35
+# threshold is workload-tuned: the synthetic embeddings are
+# near-orthogonal random vectors (max pairwise cosine ~0.51), so the
+# paper's 0.95 would prune nothing here; the operator default stays
+# 0.95.
+_SEMDEDUP_EPS = 0.35
+
+_SEMDEDUP_SQL = f"""WITH
+cents0 AS (
+  SELECT vec_id AS centroid_id, embedding AS centv
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_NC}),
+a0s AS (
+  SELECT e.vec_id, c.centroid_id,
+         sum(e.embedding[i]::DOUBLE * c.centv[i]::DOUBLE) AS dot,
+         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+         sum(c.centv[i]::DOUBLE * c.centv[i]::DOUBLE) AS cc
+  FROM embeddings e, cents0 c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.centroid_id),
+a0 AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM a0s) r
+  WHERE rn = 1),
+cents1 AS (
+  SELECT centroid_id, list(av ORDER BY i) AS centv FROM (
+    SELECT a.cell AS centroid_id, g.i,
+           round(avg(e.embedding[g.i]::DOUBLE), 6) AS av
+    FROM a0 a JOIN embeddings e ON e.vec_id = a.vec_id,
+         generate_series(1, {_EMB_DIM}) g(i)
+    GROUP BY a.cell, g.i) c
+  GROUP BY centroid_id),
+a1s AS (
+  SELECT e.vec_id, c.centroid_id,
+         sum(e.embedding[i]::DOUBLE * c.centv[i]) AS dot,
+         sum(e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE) AS vv,
+         sum(c.centv[i] * c.centv[i]) AS cc
+  FROM embeddings e, cents1 c, generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id, c.centroid_id),
+cells AS (
+  SELECT vec_id, centroid_id AS cell FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id
+             ORDER BY round(dot / (sqrt(vv) * sqrt(cc)), 6) DESC,
+                      centroid_id ASC) AS rn
+    FROM a1s) r
+  WHERE rn = 1),
+members AS (
+  SELECT c.vec_id, c.cell,
+         round(s.dot / (sqrt(s.vv) * sqrt(s.cc)), 6) AS centroid_sim
+  FROM cells c
+  JOIN a1s s ON s.vec_id = c.vec_id AND s.centroid_id = c.cell),
+psums AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         a.centroid_sim AS a_cs, b.centroid_sim AS b_cs,
+         sum(ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS dot,
+         sum(ea.embedding[i]::DOUBLE * ea.embedding[i]::DOUBLE) AS aa,
+         sum(eb.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE) AS bb
+  FROM members a
+  JOIN members b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id,
+       generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY 1, 2, 3, 4),
+removed AS (
+  SELECT DISTINCT
+         CASE WHEN (a_cs > b_cs) OR (a_cs = b_cs AND a_id > b_id)
+              THEN a_id ELSE b_id END AS vec_id
+  FROM psums
+  WHERE round(dot / (sqrt(aa) * sqrt(bb)), 6) >= {_SEMDEDUP_EPS})
+SELECT m.vec_id, m.cell, m.centroid_sim,
+       r.vec_id IS NULL AS keep
+FROM members m LEFT JOIN removed r ON r.vec_id = m.vec_id"""
+
+
+@_register("embedding_semdedup_prune", _SEMDEDUP_SQL)
+def q_embedding_semdedup_prune(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table.
+
+    Cluster -> within-cell cosine pairs -> prune keep-later points at
+    sim >= eps. The quadratic stage is bounded by CLUSTER size (the
+    paper's own scaling knob), never corpus size.
+    """
+    corpus, _ = _sim_queries(spark, sf_dir)
+    return _sim.semdedup_prune(
+        corpus,
+        n_centroids=_IVF_NC,
+        iters=1,
+        threshold=_SEMDEDUP_EPS,
+    )
+
+
+# Exact shared-passage spans (Lee et al., arXiv:2107.06499 — suffix-
+# array substring dedup, here as a positional window-hash relation):
+# hash every 20-token window with its position, keep hashes seen in
+# >= 2 docs (and at most 50 occurrences — the boilerplate cap), pair
+# occurrences, coalesce consecutive windows on one alignment diagonal
+# into maximal spans.
+_PASSAGE_WIN = 20
+_PASSAGE_CAP = 50
+
+_PASSAGE_SQL = f"""WITH
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pos AS (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {_PASSAGE_WIN} + 2, 1)))
+                 AS i
+        FROM tok),
+wins AS (
+  SELECT doc_id, (i - 1)::INT AS pos,
+         {_H64.format(x=f"array_to_string(t[i:i+{_PASSAGE_WIN}-1], ' ')")}
+           AS h
+  FROM pos),
+ok AS (SELECT h FROM wins GROUP BY h
+       HAVING count(DISTINCT doc_id) >= 2
+          AND count(*) <= {_PASSAGE_CAP}),
+dup AS (SELECT w.* FROM wins w JOIN ok USING (h)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+         b.doc_id AS doc_b, b.pos AS pos_b
+  FROM dup a JOIN dup b ON a.h = b.h AND a.doc_id < b.doc_id),
+isl AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - row_number() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b
+           ORDER BY pos_a) AS g
+  FROM pairs)
+SELECT doc_a, doc_b, min(pos_a) AS a_start, min(pos_b) AS b_start,
+       count(*) + {_PASSAGE_WIN} - 1 AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, g"""
+
+
+@_register("doc_shared_passage_spans", _PASSAGE_SQL)
+def q_doc_shared_passage_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact shared-passage spans between document pairs.
+
+    The positional complement of the set-based dedup family: not just
+    "these docs overlap" but WHERE — maximal runs of identical
+    20-token windows with exact token offsets in both documents, the
+    unit a contamination or memorization audit needs.
+    """
+    return _dedup.shared_passage_spans(
+        load_docs_wide(spark, sf_dir),
+        win=_PASSAGE_WIN,
+        max_occurrences=_PASSAGE_CAP,
+    )

@@ -622,3 +622,86 @@ def jaccard_prefix_pairs(
     return jaccard_verify(cands, shingle_df).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def shared_passage_spans(
+    docs: DataFrame,
+    win: int = 20,
+    max_occurrences: int = 50,
+) -> DataFrame:
+    """Exact shared-passage detection with positions (substring dedup).
+
+    The relational form of exact-substring training-data dedup (Lee
+    et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499 — there via a suffix array): hash every
+    ``win``-token window WITH its position, keep window hashes seen in
+    >=2 documents, pair up their occurrences, and coalesce runs of
+    consecutive matching windows on the same alignment diagonal into
+    maximal spans. Returns one row per maximal shared passage:
+    (doc_a, doc_b, a_start, b_start, span_tokens) — 0-based token
+    offsets, doc_a < doc_b.
+
+    Scale shape: the window relation is fixed-width (60-bit md5-prefix
+    keys, the `hashed_shingle_sets` argument); the only shuffles key
+    on that hash, and the pair fan-out is bounded by
+    ``max_occurrences`` (boilerplate passages that occur everywhere
+    are exactly the windows a dedup pass should treat as background —
+    same cap argument as `ngram_jaccard_pairs`). Span coalescing is a
+    per-(pair, diagonal) window function — no iteration, no driver
+    involvement.
+    """
+    from knn_using_hadoop_spark.operators.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    tk = docs.select("doc_id", tokens("text").alias("__toks"))
+    wins = tk.select(
+        "doc_id",
+        F.posexplode(
+            shingles_from_tokens(F.col("__toks"), win)
+        ).alias("pos", "g"),
+    )
+    hashed = wins.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    ok = (
+        hashed.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("occ"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(
+            (F.col("nd") >= 2) & (F.col("occ") <= max_occurrences)
+        )
+        .select("h")
+    )
+    dup = hashed.join(ok, "h")
+    a = dup.select(
+        "h",
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("pos_a"),
+    )
+    b = dup.select(
+        "h",
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+    )
+    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = pairs.withColumn(
+        "diag", F.col("pos_a") - F.col("pos_b")
+    ).withColumn("isl", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(win - 1)).alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )

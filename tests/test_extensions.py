@@ -258,3 +258,67 @@ def test_data_quality_report_flags_planted_violations(spark, monkeypatch):
         "events_value_null_or_negative": 2,
         "events_ts_out_of_range": 2,
     }
+
+
+# ---------------------------------------------------------------------------
+# Exact shared-passage spans
+# ---------------------------------------------------------------------------
+
+
+def test_shared_passage_spans_planted(spark):
+    """A passage copied between two docs is reported once, maximal,
+    with exact 0-based token offsets in both documents."""
+    from knn_using_hadoop_spark.operators.dedup import (
+        shared_passage_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(7))  # 7 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c " + passage + " x y z"),  # passage at tokens 3..9
+            (2, passage + " q r s t u v w"),  # passage at tokens 0..6
+            (3, "entirely different words here only once ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = shared_passage_spans(docs, win=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert (r.a_start, r.b_start, r.span_tokens) == (3, 0, 7)
+
+
+def test_shared_passage_spans_two_diagonals(spark):
+    """The same passage appearing twice in one doc yields one span
+    per alignment (both positions are real matches)."""
+    from knn_using_hadoop_spark.operators.dedup import (
+        shared_passage_spans,
+    )
+
+    p = "m n o p q"
+    docs = spark.createDataFrame(
+        [
+            (1, p + " gap1 gap2 " + p),
+            (2, "lead " + p + " tail"),
+        ],
+        "doc_id long, text string",
+    )
+    out = shared_passage_spans(docs, win=5).collect()
+    got = sorted((r.a_start, r.b_start, r.span_tokens) for r in out)
+    assert got == [(0, 1, 5), (7, 1, 5)]
+
+
+def test_shared_passage_spans_cap_drops_boilerplate(spark):
+    from knn_using_hadoop_spark.operators.dedup import (
+        shared_passage_spans,
+    )
+
+    boiler = "same four tokens here"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10)],
+        "doc_id long, text string",
+    )
+    # 10 occurrences > cap 5: the window is background, no pairs
+    assert shared_passage_spans(docs, win=4, max_occurrences=5).count() == 0
+    # raising the cap surfaces all 45 pairs
+    assert shared_passage_spans(docs, win=4, max_occurrences=50).count() == 45
