@@ -179,3 +179,64 @@ def q_doc_shared_passage_spans(
         win=_PASSAGE_WIN,
         max_occurrences=_PASSAGE_CAP,
     )
+
+
+# Media resize + feature extraction: the byte-arithmetic oracle twin
+# of media_features on attach_media's synthesized containers (even
+# doc_ids: 16-wide BMP, height = clamp(len//16, 1, 32), pixels = the
+# doc's bytes; odd: PCM16 WAV, sample[i] = (byte[i]-128)*256 over the
+# first min(len,512) bytes). Image feature = nearest-neighbor 8x8
+# resize; audio = RMS per 64-sample frame. All-integer sums < 2^53
+# then one division + one sqrt: bit-exact cross-engine, no rounding
+# protocol needed.
+_MEDIA_FEAT_SQL = """WITH b AS (
+  SELECT doc_id, length(text)::BIGINT AS len,
+         list_transform(string_split_regex(text, ''), c -> ascii(c)) AS bs
+  FROM documents),
+img AS (
+  SELECT doc_id, 'image' AS kind,
+         least(greatest(len // 16, 1), 32) AS h, bs
+  FROM b WHERE doc_id % 2 = 0),
+imgf AS (
+  SELECT doc_id, kind,
+         list_transform(generate_series(0, 63),
+           k -> bs[(((k // 8) * h) // 8) * 16 + ((k % 8) * 2) + 1]
+                  ::DOUBLE) AS feature
+  FROM img),
+aud AS (
+  SELECT doc_id, 'audio' AS kind,
+         least(greatest(len, 1), 512) AS n,
+         list_transform(bs, x -> ((x - 128) * 256)::DOUBLE) AS s
+  FROM b WHERE doc_id % 2 = 1),
+audf AS (
+  SELECT doc_id, kind,
+         list_transform(generate_series(0, (n + 63) // 64 - 1),
+           f -> sqrt(
+             list_aggregate(
+               list_transform(list_slice(s, f * 64 + 1,
+                                         least((f + 1) * 64, n)),
+                              x -> x * x),
+               'sum')
+             / least((f + 1) * 64 - f * 64, n - f * 64))) AS feature
+  FROM aud)
+SELECT * FROM imgf UNION ALL SELECT * FROM audf"""
+
+
+@_register("multimodal_media_features", _MEDIA_FEAT_SQL)
+def q_multimodal_media_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Resize + feature-extract through the real codec path.
+
+    attach_media synthesizes genuine BMP/WAV containers, decode runs
+    inside media_features' mapInPandas, and the features (8x8
+    nearest-neighbor thumbnail / per-frame RMS contour) are checked
+    against the byte-arithmetic oracle on the original text — any
+    error in the resize index math, raster order, frame split, or
+    sample scaling breaks the match.
+    """
+    from knn_using_hadoop_spark.operators import multimodal as _mm
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    return _mm.media_features(_mm.attach_media(docs))

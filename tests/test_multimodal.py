@@ -147,3 +147,41 @@ def test_decode_media_rejects_unknown_container(spark):
     )
     with pytest.raises(Exception, match="unrecognized media container"):
         mm.decode_media(df).collect()
+
+
+def test_media_features_image_resize(spark):
+    """Nearest-neighbor 8x8 resize picks exact source pixels."""
+    from knn_using_hadoop_spark.operators.multimodal import (
+        bmp_encode,
+        media_features,
+    )
+
+    # 16x16 image whose pixel value encodes its (row, col): v = r*16+c
+    w = h = 16
+    pixels = bytes((r * w + c) % 256 for r in range(h) for c in range(w))
+    df = spark.createDataFrame(
+        [(2, bmp_encode(pixels, w, h))], "doc_id long, payload binary"
+    )
+    (row,) = media_features(df).collect()
+    assert row.kind == "image" and len(row.feature) == 64
+    # feature[k] = pixel at src_row=(k//8 * 16)//8 = 2*(k//8),
+    # src_col=2*(k%8)
+    for k in (0, 7, 8, 35, 63):
+        r, c = 2 * (k // 8), 2 * (k % 8)
+        assert row.feature[k] == float(r * w + c)
+
+
+def test_media_features_audio_rms(spark):
+    """Per-frame RMS: silence frame -> 0, constant frame -> |s|."""
+    from knn_using_hadoop_spark.operators.multimodal import (
+        media_features,
+        wav_encode,
+    )
+
+    samples = [0] * 64 + [1000] * 64 + [-500] * 32  # 2.5 frames
+    df = spark.createDataFrame(
+        [(3, wav_encode(samples))], "doc_id long, payload binary"
+    )
+    (row,) = media_features(df).collect()
+    assert row.kind == "audio"
+    assert row.feature == [0.0, 1000.0, 500.0]
