@@ -17,29 +17,28 @@ from knn_using_hadoop_spark.contract._base import (_register)
 
 from knn_using_hadoop_spark.operators import graph as _graph  # noqa: E402
 
-_EDGES_SQL = """SELECT a.user_id AS src, b.user_id AS dst
-FROM (SELECT m.* FROM
-        (SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
-                user_id
-         FROM events) m
-      JOIN (SELECT event_type, grp_ts, count(*) AS g
-            FROM (SELECT DISTINCT event_type,
-                         date_trunc('hour', ts) AS grp_ts, user_id
-                  FROM events) x
-            GROUP BY event_type, grp_ts) s
-        ON m.event_type = s.event_type AND m.grp_ts = s.grp_ts
-       AND s.g <= 200) a
-JOIN (SELECT m.* FROM
-        (SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
-                user_id
-         FROM events) m
-      JOIN (SELECT event_type, grp_ts, count(*) AS g
-            FROM (SELECT DISTINCT event_type,
-                         date_trunc('hour', ts) AS grp_ts, user_id
-                  FROM events) x
-            GROUP BY event_type, grp_ts) s
-        ON m.event_type = s.event_type AND m.grp_ts = s.grp_ts
-       AND s.g <= 200) b
+# Oversized (event_type, hour) groups are hash-SAMPLED down to 200
+# members (not dropped — drop semantics emptied the graph on a 100x
+# uniform-growth corpus, NOTES r3); rank protocol mirrors
+# operators/graph.py::cooccurrence_edges exactly (md5 of
+# type|formatted-ts|user, ties by user_id).
+_EDGES_SQL = """WITH membr AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
+         user_id
+  FROM events),
+kept AS (
+  SELECT event_type, grp_ts, user_id FROM (
+    SELECT m.*, row_number() OVER (
+        PARTITION BY event_type, grp_ts
+        ORDER BY ('0x' || substr(md5(event_type || '|'
+                    || strftime(grp_ts, '%Y-%m-%d %H:%M:%S') || '|'
+                    || user_id), 1, 8))::BIGINT,
+                 user_id) AS rn
+    FROM membr m) r
+  WHERE rn <= 200)
+SELECT a.user_id AS src, b.user_id AS dst
+FROM kept a
+JOIN kept b
   ON a.event_type = b.event_type AND a.grp_ts = b.grp_ts
  AND a.user_id < b.user_id
 GROUP BY a.user_id, b.user_id

@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,24 +41,46 @@ def cooccurrence_edges(
     Hour granularity keeps group sizes roughly constant as the corpus
     grows (more data = more hours, not bigger groups — day-level
     groups grow linearly with data rate and blow the pair budget).
-    Groups larger than ``max_group`` members are additionally dropped
-    before the pair blow-up (a group of g emits O(g^2) pairs — the
-    cap bounds worst-case fan-out per hot group, exactly like the
-    shingle-frequency cap in the n-gram dedup path). ``min_count``
-    is the edge-strength threshold: requiring repeated co-occurrence
-    both denoises the graph and controls its density — at constant
-    event rate per user, incidental one-off pair overlap grows with
-    corpus size while genuine affinity repeats.
+    Groups larger than ``max_group`` members are deterministically
+    SAMPLED down to ``max_group`` (md5-hash rank per member) before
+    the pair blow-up: a group of g emits O(g^2) pairs, so the cap
+    bounds worst-case fan-out per hot group — but sampling keeps the
+    group's strongest signal instead of dropping it wholesale
+    (earlier drop semantics emptied the whole graph on a 100x
+    uniform-growth corpus where EVERY group outgrew the cap, NOTES
+    r3). ``min_count`` is the edge-strength threshold: requiring
+    repeated co-occurrence both denoises the graph and controls its
+    density — at constant event rate per user, incidental one-off
+    pair overlap grows with corpus size while genuine affinity
+    repeats.
     """
     membership = events.select(
         "event_type", F.date_trunc("hour", "ts").alias("grp_ts"), "user_id"
     ).distinct()
-    sizes = membership.groupBy("event_type", "grp_ts").agg(
-        F.count(F.lit(1)).alias("g")
+    samp_key = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("event_type"),
+                    F.date_format("grp_ts", "yyyy-MM-dd HH:mm:ss"),
+                    F.col("user_id"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("event_type", "grp_ts").orderBy(
+        F.col("_sk").asc(), F.col("user_id").asc()
     )
-    small = membership.join(
-        F.broadcast(sizes.filter(F.col("g") <= max_group)),
-        ["event_type", "grp_ts"],
+    small = (
+        membership.withColumn("_sk", samp_key)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_group)
+        .drop("_sk", "_rn")
     )
     a = small.select(
         "event_type", "grp_ts", F.col("user_id").alias("src")

@@ -400,3 +400,120 @@ SELECT p.item, p.exact_cnt, min(c.cnt) AS cms_est,
        min(c.cnt) - p.exact_cnt AS overestimate
 FROM probe_keys p JOIN counters c USING (r, bucket)
 GROUP BY p.item, p.exact_cnt"""
+
+
+def grid_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    width: int = 64,
+) -> DataFrame:
+    """Mergeable fixed-grid quantile sketch, with the error exposed.
+
+    Completes the sketch family (KMV distinct, Count-Min frequency,
+    Misra-Gries heavy hitters): an equal-width histogram of ``width``
+    bins over [min, max] whose per-partition counts merge by plain
+    summation — the property that lets a 1000-executor cluster build
+    it in one partial-aggregated pass and a coordinator (or a later
+    batch) merge sketches without re-reading data. Estimate for
+    probability p = midpoint of the first bin whose cumulative count
+    reaches ceil(p*n); the deterministic construction means the
+    oracle rebuilds the identical sketch (the randomized KLL/t-digest
+    alternatives trade this reproducibility for better worst-case
+    bounds at equal memory).
+
+    The sketch targets the DISCRETE quantile — the value of rank
+    ``ceil(p*n)`` — which by construction falls inside the selected
+    bin, so ``abs_err <= err_bound = bin width`` is a theorem, not a
+    hope. (Interpolated percentiles can land between two order
+    statistics in distant bins; no histogram can bound that gap.)
+    Returns (p, grid_est, exact, abs_err, err_bound) — like the CMS
+    operator, the sketch answer rides next to the exact one so the
+    error is measurable. The exact rank statistic is computed
+    relationally from the distinct-value distribution (identical
+    formula cross-engine — Spark's PERCENTILE_DISC and DuckDB's
+    quantile_disc follow different rank conventions and diverge,
+    e.g. at p=0.9, n=12), costing O(D^2) tiny rows for D distinct
+    values: a VALIDATION column for bounded-domain testing; a
+    pure-sketch deployment drops it.
+
+    Scale shape: one min/max/count aggregate (broadcast back as a
+    1-row relation), one partial-aggregated groupBy(bucket) — the
+    only corpus-sized passes. Both cumulative sums run as triangular
+    self-joins of tiny relations (width-row bins, D-row distinct
+    values) rather than unpartitioned windows, keeping the plan free
+    of single-partition sorts.
+    """
+    v = F.col(value_col).cast("double")
+    stats = df.agg(
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+        F.count(v).alias("n"),
+    )
+    bin_w = (F.col("hi") - F.col("lo")) / F.lit(width)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("lo")) / bin_w),
+            F.lit(width - 1),
+        )
+    )
+    bins = (
+        df.crossJoin(F.broadcast(stats))
+        .select(bucket.cast("int").alias("bucket"), "lo", "hi", "n")
+        .groupBy("bucket", "lo", "hi", "n")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = (
+        bins.alias("a")
+        .join(
+            bins.select(
+                F.col("bucket").alias("b2"), F.col("cnt").alias("c2")
+            ),
+            F.col("b2") <= F.col("bucket"),
+        )
+        .groupBy("bucket", "lo", "hi", "n")
+        .agg(F.sum("c2").alias("cum"))
+    )
+    probs_df = df.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    sel = (
+        probs_df.crossJoin(cum)
+        .filter(F.col("cum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p", "lo", "hi", "n")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    # exact rank statistic from the distinct-value distribution:
+    # kth = min{val : #(x <= val) >= ceil(p*n)}
+    dv = df.groupBy(v.alias("val")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dcum = (
+        dv.alias("a")
+        .join(
+            dv.select(
+                F.col("val").alias("v2"), F.col("c").alias("c2")
+            ),
+            F.col("v2") <= F.col("val"),
+        )
+        .groupBy("val")
+        .agg(F.sum("c2").alias("ccum"))
+    )
+    exact = (
+        probs_df.crossJoin(dcum)
+        .crossJoin(F.broadcast(stats.select("n")))
+        .filter(F.col("ccum") >= F.ceil(F.col("p") * F.col("n")))
+        .groupBy("p")
+        .agg(F.min("val").alias("exact"))
+    )
+    est = F.col("lo") + (F.col("bucket") + F.lit(0.5)) * bin_w
+    return (
+        sel.join(F.broadcast(exact), "p")
+        .select(
+            "p",
+            F.round(est, 6).alias("grid_est"),
+            F.round(F.col("exact"), 6).alias("exact"),
+            F.round(F.abs(est - F.col("exact")), 6).alias("abs_err"),
+            F.round(bin_w, 6).alias("err_bound"),
+        )
+    )

@@ -222,3 +222,83 @@ def write_globally_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _read_manifests(spark, path: str):
+    """All commit manifests of a versioned table, or None if absent."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.json(f"{path}/_versions/*").select(
+            "version", "mode", "dirs"
+        )
+    except AnalysisException:
+        return None
+
+
+def write_table_version(
+    spark, df: DataFrame, path: str, mode: str = "append"
+) -> int:
+    """Copy-on-write versioned parquet table: Iceberg-style time
+    travel without the table format (jars absent — NOTES.md).
+
+    Every commit writes its rows to a fresh data directory
+    ``<path>/v<N>/`` and a one-row JSON manifest
+    ``<path>/_versions/<N>/`` listing the data directories visible AT
+    version N (``append`` carries the previous version's list
+    forward; ``overwrite`` starts a fresh list). Data files are never
+    rewritten or deleted, so every historical version stays readable
+    forever — time travel is just reading an old manifest
+    (``read_table_version``). Manifests are written BY Spark as JSON
+    datasets, so the whole mechanism works on any Hadoop-compatible
+    filesystem, and reading ``_versions/*`` doubles as the table
+    history. Returns the committed version number.
+
+    Honest limits vs a real table format: commits are not atomic
+    under concurrent writers (Iceberg swaps a metadata pointer;
+    emulating that needs an atomic rename, which object stores lack),
+    and there is no file-level statistics pruning — this is the
+    time-travel/snapshot read model only.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported versioned-write mode {mode!r}")
+    hist = _read_manifests(spark, path)
+    prev_dirs: list[str] = []
+    n = 0
+    if hist is not None:
+        latest = hist.orderBy(F.col("version").desc()).first()
+        n = latest["version"] + 1
+        if mode == "append":
+            prev_dirs = list(latest["dirs"])
+    datadir = f"v{n}"
+    df.write.mode("error").parquet(f"{path}/{datadir}")
+    manifest = spark.createDataFrame(
+        [(n, mode, prev_dirs + [datadir])],
+        "version int, mode string, dirs array<string>",
+    )
+    manifest.coalesce(1).write.mode("error").json(
+        f"{path}/_versions/{n}"
+    )
+    return n
+
+
+def read_table_version(spark, path: str, version: int | None = None):
+    """Read a versioned table as of ``version`` (None = latest)."""
+    hist = _read_manifests(spark, path)
+    if hist is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    if version is None:
+        row = hist.orderBy(F.col("version").desc()).first()
+    else:
+        row = hist.filter(F.col("version") == version).first()
+        if row is None:
+            raise ValueError(f"version {version} not found at {path}")
+    return spark.read.parquet(*[f"{path}/{d}" for d in row["dirs"]])
+
+
+def table_history(spark, path: str):
+    """(version, mode, dirs) per commit, oldest first."""
+    hist = _read_manifests(spark, path)
+    if hist is None:
+        raise FileNotFoundError(f"no versioned table at {path}")
+    return hist.orderBy("version")

@@ -262,3 +262,45 @@ def test_countmin_overestimates_only_and_exact_when_sparse(spark):
         for r in countmin_estimates(small, "tok").collect()
     }
     assert got == {"a": (5, 5), "b": (3, 3), "c": (2, 2)}
+
+
+# ---------------------------------------------------------------------------
+# grid quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_grid_quantiles_error_bound_and_merge(spark):
+    """abs_err <= err_bound is structural (the rank statistic falls
+    in the selected bin), and the sketch is partition-independent
+    (bin counts merge by summation)."""
+    from knn_using_hadoop_spark.operators.sketches import grid_quantiles
+
+    rows = [(float(v),) for v in [1, 1, 2, 3, 5, 8, 13, 21, 34, 55,
+                                  89, 144, 233, 377, 610, 987]]
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.p: r for r in grid_quantiles(df, "x", width=8).collect()}
+    assert len(out) == 5
+    for r in out.values():
+        assert r.abs_err <= r.err_bound + 1e-9
+    # heavily skewed data: the exact rank stats are correct
+    assert out[0.5].exact == 21.0  # rank ceil(0.5*16) = 8 -> 8th value
+    assert out[0.99].exact == 987.0
+    # partition independence
+    again = {
+        r.p: r
+        for r in grid_quantiles(
+            df.repartition(7), "x", width=8
+        ).collect()
+    }
+    assert {p: (v.grid_est, v.exact) for p, v in out.items()} == {
+        p: (v.grid_est, v.exact) for p, v in again.items()
+    }
+
+
+def test_grid_quantiles_constant_column(spark):
+    from knn_using_hadoop_spark.operators.sketches import grid_quantiles
+
+    df = spark.createDataFrame([(42.0,)] * 9, "x double")
+    for r in grid_quantiles(df, "x", width=16).collect():
+        assert r.exact == 42.0
+        assert r.abs_err == 0.0 and r.err_bound == 0.0

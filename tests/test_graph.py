@@ -76,9 +76,24 @@ def test_cooccurrence_group_cap(spark):
         "event_type string, value double",
     )
     # 30 is even, so user u (= i % 30) always lands on day 1 + u % 2:
-    # two disjoint (view, day) groups of 15 users each
-    assert g.cooccurrence_edges(ev, max_group=10).count() == 0
+    # two disjoint (view, day) groups of 15 users each. Oversized
+    # groups are SAMPLED down to the cap (not dropped), so capping at
+    # 10 keeps 10 deterministic members per group.
+    assert (
+        g.cooccurrence_edges(ev, max_group=10).count()
+        == 2 * 10 * 9 / 2
+    )
     assert g.cooccurrence_edges(ev, max_group=200).count() == 2 * 15 * 14 / 2
+    # the sampled subgraph is a subset of the uncapped graph
+    capped = {
+        (r.src, r.dst)
+        for r in g.cooccurrence_edges(ev, max_group=10).collect()
+    }
+    full = {
+        (r.src, r.dst)
+        for r in g.cooccurrence_edges(ev, max_group=200).collect()
+    }
+    assert capped <= full
 
 
 def test_bfs_depths_path_graph(spark):

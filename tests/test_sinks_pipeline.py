@@ -237,3 +237,71 @@ def test_merge_into_parquet_untouched_partition_not_rewritten(
     assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {
         (1, 9.0), (2, 2.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# versioned table (time travel)
+# ---------------------------------------------------------------------------
+
+
+def test_versioned_table_time_travel(spark, tmp_path):
+    import os
+
+    from knn_using_hadoop_spark.sources.sinks import (
+        read_table_version,
+        table_history,
+        write_table_version,
+    )
+
+    path = str(tmp_path / "vt")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    delta = spark.createDataFrame([(3, "c")], "id long, v string")
+    fresh = spark.createDataFrame([(9, "z")], "id long, v string")
+
+    assert write_table_version(spark, base, path, "overwrite") == 0
+    assert write_table_version(spark, delta, path, "append") == 1
+    # record v0's data files before further commits
+    v0_files = {
+        f: os.path.getmtime(os.path.join(path, "v0", f))
+        for f in os.listdir(os.path.join(path, "v0"))
+    }
+    assert write_table_version(spark, fresh, path, "overwrite") == 2
+
+    assert read_table_version(spark, path, 0).count() == 2
+    got_v1 = {
+        (r.id, r.v) for r in read_table_version(spark, path, 1).collect()
+    }
+    assert got_v1 == {(1, "a"), (2, "b"), (3, "c")}
+    # overwrite starts a fresh visible set; latest == explicit v2
+    got_latest = {
+        (r.id, r.v) for r in read_table_version(spark, path).collect()
+    }
+    assert got_latest == {(9, "z")}
+    # copy-on-write: v0's files untouched by later commits
+    for f, mt in v0_files.items():
+        assert os.path.getmtime(os.path.join(path, "v0", f)) == mt
+    hist = table_history(spark, path).collect()
+    assert [r.version for r in hist] == [0, 1, 2]
+    assert [r.mode for r in hist] == ["overwrite", "append", "overwrite"]
+    assert list(hist[1].dirs) == ["v0", "v1"]
+
+
+def test_versioned_table_errors(spark, tmp_path):
+    import pytest
+
+    from knn_using_hadoop_spark.sources.sinks import (
+        read_table_version,
+        write_table_version,
+    )
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(FileNotFoundError):
+        read_table_version(spark, str(tmp_path / "missing"))
+    p = str(tmp_path / "vt2")
+    write_table_version(spark, df, p, "overwrite")
+    with pytest.raises(ValueError, match="version 7 not found"):
+        read_table_version(spark, p, 7)
+    with pytest.raises(ValueError, match="unsupported"):
+        write_table_version(spark, df, p, "merge")
