@@ -41,6 +41,17 @@ def _sqnorm_hof(a: Column) -> Column:
     )
 
 
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """dim=None -> interpreted HOF fold; dim=N -> statically unrolled
+    codegen form (~2x+ throughput, same left-to-right association so
+    results are bit-identical — see cosine_topk's crossover note)."""
+    return _dot_expanded(a, b, dim) if dim else _dot_hof(a, b)
+
+
+def _sqnorm(a: Column, dim: int | None = None) -> Column:
+    return _sqnorm_expanded(a, dim) if dim else _sqnorm_hof(a)
+
+
 def _dot_expanded(a: Column, b: Column, dim: int) -> Column:
     total: Column | None = None
     for i in range(1, dim + 1):
@@ -155,6 +166,7 @@ def ivf_assign_cells(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Coarse quantization: nearest centroid (by cosine) per vector.
 
@@ -171,10 +183,10 @@ def ivf_assign_cells(
     )
     pairs = v.crossJoin(F.broadcast(c))
     sim = F.round(
-        _dot_hof(F.col("vv"), F.col("centv"))
+        _dot(F.col("vv"), F.col("centv"), dim)
         / (
-            F.sqrt(_sqnorm_hof(F.col("vv")))
-            * F.sqrt(_sqnorm_hof(F.col("centv")))
+            F.sqrt(_sqnorm(F.col("vv"), dim))
+            * F.sqrt(_sqnorm(F.col("centv"), dim))
         ),
         6,
     )
@@ -197,6 +209,7 @@ def ivf_topk(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate cosine top-k: (query_id, rank, vec_id, sim).
 
@@ -215,7 +228,7 @@ def ivf_topk(
         )
     )
     cells = ivf_assign_cells(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
+        corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
     )
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
@@ -236,8 +249,8 @@ def ivf_topk(
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = _dot_hof(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_sqnorm_hof(F.col("qv"))) * F.sqrt(_sqnorm_hof(F.col("cv")))
+    sim = _dot(F.col("qv"), F.col("cv"), dim) / (
+        F.sqrt(_sqnorm(F.col("qv"), dim)) * F.sqrt(_sqnorm(F.col("cv"), dim))
     )
     scored = pairs.select(
         "query_id", "vec_id", F.round(sim, 6).alias("sim")
@@ -290,6 +303,7 @@ def ivf_kmeans_centroids(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined IVF centroids: (centroid_id, centv).
 
@@ -318,6 +332,7 @@ def ivf_kmeans_centroids(
             cents.select("centroid_id", F.col("centv").alias(vec_col)),
             id_col=id_col,
             vec_col=vec_col,
+            dim=dim,
         )
         assigned = corpus.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
@@ -338,6 +353,7 @@ def ivf_probe_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF ANN with k-means-refined cells and multi-probe search.
 
@@ -349,13 +365,15 @@ def ivf_probe_topk(
     on cell. Returns (query_id, rank, vec_id, sim).
     """
     cents = ivf_kmeans_centroids(
-        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col
+        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
+        dim=dim,
     )
     cells = ivf_assign_cells(
         corpus,
         cents.select("centroid_id", F.col("centv").alias(vec_col)),
         id_col=id_col,
         vec_col=vec_col,
+        dim=dim,
     )
     # top-nprobe cells per query, ranked on the same rounded cosine
     q = queries.select(
@@ -363,10 +381,10 @@ def ivf_probe_topk(
     )
     qc = q.crossJoin(F.broadcast(cents))
     qsim = F.round(
-        _dot_hof(F.col("qv"), F.col("centv"))
+        _dot(F.col("qv"), F.col("centv"), dim)
         / (
-            F.sqrt(_sqnorm_hof(F.col("qv")))
-            * F.sqrt(_sqnorm_hof(F.col("centv")))
+            F.sqrt(_sqnorm(F.col("qv"), dim))
+            * F.sqrt(_sqnorm(F.col("centv"), dim))
         ),
         6,
     )
@@ -385,8 +403,8 @@ def ivf_probe_topk(
     pairs = c.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
-    sim = _dot_hof(F.col("qv"), F.col("cv")) / (
-        F.sqrt(_sqnorm_hof(F.col("qv"))) * F.sqrt(_sqnorm_hof(F.col("cv")))
+    sim = _dot(F.col("qv"), F.col("cv"), dim) / (
+        F.sqrt(_sqnorm(F.col("qv"), dim)) * F.sqrt(_sqnorm(F.col("cv"), dim))
     )
     scored = pairs.select(
         "query_id", "vec_id", F.round(sim, 6).alias("sim")
@@ -862,6 +880,7 @@ def semdedup_prune(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540).
 
@@ -884,13 +903,15 @@ def semdedup_prune(
     shared with the IVF operators makes it oracle-reproducible.
     """
     cents = ivf_kmeans_centroids(
-        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col
+        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
+        dim=dim,
     )
     cells = ivf_assign_cells(
         corpus,
         cents.select("centroid_id", F.col("centv").alias(vec_col)),
         id_col=id_col,
         vec_col=vec_col,
+        dim=dim,
     )
     m = (
         corpus.select(
@@ -903,10 +924,10 @@ def semdedup_prune(
         )
     )
     csim = F.round(
-        _dot_hof(F.col("vv"), F.col("centv"))
+        _dot(F.col("vv"), F.col("centv"), dim)
         / (
-            F.sqrt(_sqnorm_hof(F.col("vv")))
-            * F.sqrt(_sqnorm_hof(F.col("centv")))
+            F.sqrt(_sqnorm(F.col("vv"), dim))
+            * F.sqrt(_sqnorm(F.col("centv"), dim))
         ),
         6,
     )
@@ -926,10 +947,10 @@ def semdedup_prune(
         F.col("centroid_sim").alias("b_cs"),
     )
     pair_sim = F.round(
-        _dot_hof(F.col("av"), F.col("bv"))
+        _dot(F.col("av"), F.col("bv"), dim)
         / (
-            F.sqrt(_sqnorm_hof(F.col("av")))
-            * F.sqrt(_sqnorm_hof(F.col("bv")))
+            F.sqrt(_sqnorm(F.col("av"), dim))
+            * F.sqrt(_sqnorm(F.col("bv"), dim))
         ),
         6,
     )

@@ -52,10 +52,21 @@ def main() -> None:
         _sim.semdedup_prune(embs, n_centroids=256, iters=1,
                             threshold=0.35),
     )
+    # same, with the statically-unrolled dot (bit-identical results,
+    # JVM codegen instead of the interpreted HOF fold)
+    timed(
+        "semdedup_prune_C256_dim64",
+        _sim.semdedup_prune(embs, n_centroids=256, iters=1,
+                            threshold=0.35, dim=64),
+    )
     queries = embs.filter(F.col("vec_id") % 50 == 0)
     timed(
         "ivf_topk_C256",
         _sim.ivf_topk(embs, queries, 5, n_centroids=256),
+    )
+    timed(
+        "ivf_topk_C256_dim64",
+        _sim.ivf_topk(embs, queries, 5, n_centroids=256, dim=64),
     )
     # pagerank after the sampling-cap fix: the graph survives 100x
     timed(
