@@ -356,3 +356,151 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_table_version(spark, path, 0), 0).unionByName(
         agg(read_table_version(spark, path, 1), 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline: quality -> exact dedup -> near-dup
+# prune -> decontaminate -> split, composed as ONE declarative plan.
+# ---------------------------------------------------------------------------
+
+from knn_using_hadoop_spark.contract.text_dedup import (  # noqa: E402
+    _DOC_CTE,
+    _H32,
+    _LSH_CAND_SQL,
+    _MINHASH_SQL,
+    _STOP_SQL,
+)
+from knn_using_hadoop_spark.operators import curation as _cur  # noqa: E402
+from knn_using_hadoop_spark.operators import text as _text  # noqa: E402
+
+_PIPE_SQL = f"""WITH {_DOC_CTE}, {_MINHASH_SQL}, {_LSH_CAND_SQL},
+agree AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.doc_a
+  JOIN sigs y ON y.doc_id = c.doc_b AND y.h_idx = x.h_idx
+  GROUP BY c.doc_a, c.doc_b),
+pruned AS (
+  SELECT DISTINCT doc_b AS doc_id FROM agree
+  WHERE n_agree::DOUBLE / 8 >= 0.5),
+ek AS (SELECT doc_id, (('0x' || substr(md5(text), 1, 15))::BIGINT) AS k1,
+              (('0x' || substr(md5(text), 17, 15))::BIGINT) AS k2
+       FROM documents),
+rep AS (SELECT k1, k2, min(doc_id) AS rep FROM ek GROUP BY k1, k2),
+qual AS (
+  SELECT doc_id,
+         round(least(len(t), 100)::DOUBLE / 100.0
+               * (1.0 - len(list_filter(t, x -> x IN ({_STOP_SQL})))
+                        ::DOUBLE / len(t) * 0.5)
+               * (1.0 - (length(text)
+                         - length(regexp_replace(text, '[.,!?;:]', '',
+                                                 'g')))
+                        ::DOUBLE / length(text)), 6) AS quality
+  FROM toks),
+g5 AS (SELECT DISTINCT doc_id, {_H32.format(x='gram')} AS h
+       FROM (SELECT toks.doc_id,
+                    unnest(list_transform(
+                      generate_series(1, greatest(len(t) - 4, 0)),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                           || t[i+3] || ' ' || t[i+4])) AS gram
+             FROM toks) u),
+bench AS (SELECT DISTINCT h FROM g5 WHERE doc_id % 10 = 0),
+hit AS (SELECT t.doc_id,
+               sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
+                 / count(*) AS ofrac
+        FROM (SELECT * FROM g5 WHERE doc_id % 10 <> 0) t
+        LEFT JOIN bench b ON b.h = t.h
+        GROUP BY t.doc_id),
+base AS (
+  SELECT d.doc_id, q.quality,
+         (d.doc_id % 10 = 0) AS benchmark,
+         (d.doc_id <> r.rep) AS exact_dup,
+         (p.doc_id IS NOT NULL) AS neardup_pruned,
+         coalesce(h.ofrac >= 0.2, FALSE) AS contaminated,
+         CASE WHEN ('0x' || substr(md5(d.doc_id || ':split'), 1, 8))
+                     ::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(d.doc_id || ':split'), 1, 8))
+                     ::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d
+  JOIN ek e ON e.doc_id = d.doc_id
+  JOIN rep r ON r.k1 = e.k1 AND r.k2 = e.k2
+  JOIN qual q ON q.doc_id = d.doc_id
+  LEFT JOIN pruned p ON p.doc_id = d.doc_id
+  LEFT JOIN hit h ON h.doc_id = d.doc_id)
+SELECT doc_id, quality, benchmark, exact_dup, neardup_pruned,
+       contaminated, split,
+       (NOT benchmark AND NOT exact_dup AND NOT neardup_pruned
+        AND NOT contaminated AND quality >= 0.5) AS keep
+FROM base"""
+
+
+@_register("corpus_curation_pipeline", _PIPE_SQL)
+def q_corpus_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The whole training-data curation pipeline as ONE Spark plan.
+
+    Per document: quality score (Gopher-lite heuristics), exact-dup
+    flag (120-bit content key, min-id representative), near-dup prune
+    (MinHash LSH signature-only estimate — the fixed-width 100 TB
+    path), benchmark membership + contamination (5-gram overlap vs
+    the held-out slice, broadcast bench side), hash-stable
+    train/val/test split, and the final keep verdict. One declarative
+    DAG: Catalyst sees every stage together, shares the tokenize/
+    shingle scans, and schedules the stages' shuffles without any
+    driver-side orchestration — the pipeline a curation job actually
+    ships.
+    """
+    from knn_using_hadoop_spark.contract.knn_core import load_docs_wide
+    from knn_using_hadoop_spark.operators import dedup as _ddp
+
+    docs = load_docs_wide(spark, sf_dir)
+    qual = _text.quality_score(docs).select("doc_id", "quality")
+    k1 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
+    k2 = F.conv(F.substring(F.md5("text"), 17, 15), 16, 10).cast(
+        "bigint"
+    )
+    ek = docs.select("doc_id", k1.alias("k1"), k2.alias("k2"))
+    rep = ek.groupBy("k1", "k2").agg(F.min("doc_id").alias("rep"))
+    pruned = (
+        _ddp.minhash_sig_est_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_pr", F.lit(True))
+    )
+    contam = _cur.decontaminate(docs).select(
+        "doc_id", (F.col("contaminated") == 1).alias("_ct")
+    )
+    split = _cur.split_assign(docs.select("doc_id")).select(
+        "doc_id", "split"
+    )
+    base = (
+        ek.join(rep, ["k1", "k2"])
+        .join(qual, "doc_id")
+        .join(pruned, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(split, "doc_id")
+    )
+    benchmark = F.col("doc_id") % 10 == 0
+    exact_dup = F.col("doc_id") != F.col("rep")
+    neardup = F.coalesce(F.col("_pr"), F.lit(False))
+    contaminated = F.coalesce(F.col("_ct"), F.lit(False))
+    return base.select(
+        "doc_id",
+        "quality",
+        benchmark.alias("benchmark"),
+        exact_dup.alias("exact_dup"),
+        neardup.alias("neardup_pruned"),
+        contaminated.alias("contaminated"),
+        "split",
+        (
+            ~benchmark
+            & ~exact_dup
+            & ~neardup
+            & ~contaminated
+            & (F.col("quality") >= 0.5)
+        ).alias("keep"),
+    )

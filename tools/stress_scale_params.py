@@ -32,8 +32,12 @@ from knn_using_hadoop_spark.session import get_spark  # noqa: E402
 DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale100"
 
 
-def timed(name, df):
+def timed(name, thunk):
+    # thunk, not DataFrame: operators with eager localCheckpoints
+    # (pagerank) do their work at CONSTRUCTION time, which must land
+    # inside the timer
     t0 = time.perf_counter()
+    df = thunk()
     df.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     n = df.count()
@@ -49,29 +53,29 @@ def main() -> None:
     # 200k vectors -> C=256 keeps cells ~800 (vs 12.5k at the demo 16)
     timed(
         "semdedup_prune_C256",
-        _sim.semdedup_prune(embs, n_centroids=256, iters=1,
+        lambda: _sim.semdedup_prune(embs, n_centroids=256, iters=1,
                             threshold=0.35),
     )
     # same, with the statically-unrolled dot (bit-identical results,
     # JVM codegen instead of the interpreted HOF fold)
     timed(
         "semdedup_prune_C256_dim64",
-        _sim.semdedup_prune(embs, n_centroids=256, iters=1,
+        lambda: _sim.semdedup_prune(embs, n_centroids=256, iters=1,
                             threshold=0.35, dim=64),
     )
     queries = embs.filter(F.col("vec_id") % 50 == 0)
     timed(
         "ivf_topk_C256",
-        _sim.ivf_topk(embs, queries, 5, n_centroids=256),
+        lambda: _sim.ivf_topk(embs, queries, 5, n_centroids=256),
     )
     timed(
         "ivf_topk_C256_dim64",
-        _sim.ivf_topk(embs, queries, 5, n_centroids=256, dim=64),
+        lambda: _sim.ivf_topk(embs, queries, 5, n_centroids=256, dim=64),
     )
     # pagerank after the sampling-cap fix: the graph survives 100x
     timed(
         "graph_pagerank_sampled_cap",
-        _graph.pagerank(
+        lambda: _graph.pagerank(
             _graph.cooccurrence_edges(events, min_count=3), iters=3
         ),
     )
