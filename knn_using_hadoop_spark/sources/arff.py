@@ -209,3 +209,72 @@ def _with_file_order_id(df: DataFrame) -> DataFrame:
         )
         .drop("_pid", "_mid", "_off")
     )
+
+
+def write_arff(
+    df: DataFrame,
+    path: str,
+    relation: str = "spark",
+    *,
+    single_file: bool = True,
+) -> None:
+    """ARFF sink: the write half of the connector (Weka interchange).
+
+    Emits ``@relation`` / ``@attribute`` header lines followed by the
+    CSV data section. Type mapping inverts the reader's: double ->
+    NUMERIC (integral doubles print without a trailing ``.0`` like
+    Weka's own writer), int/long -> NUMERIC, string -> string,
+    timestamp -> ``date`` with the Weka default ISO-8601 format.
+    The header rides as ordered rows unioned ahead of the data
+    relation, so the file is produced by the distributed text sink —
+    no driver-side buffering of data rows. ``single_file=True``
+    (default) coalesces to Weka's one-file expectation; with it off
+    you get a part-file directory where only part-00000 carries the
+    header (concatenate to feed Weka).
+    """
+    header_lines = [f"@relation {relation}"]
+    cols = []
+    for f in df.schema.fields:
+        tn = f.dataType.typeName()
+        if tn in ("double", "float", "integer", "long", "short", "byte"):
+            atype = "NUMERIC"
+            # Weka prints integral numerics without the double
+            # suffix; format_number would add commas, so strip the
+            # trailing '.0' textually.
+            cexpr = F.regexp_replace(
+                F.col(f.name).cast("double").cast("string"),
+                r"\.0$",
+                "",
+            )
+        elif tn == "string":
+            atype = "string"
+            cexpr = F.col(f.name)
+        elif tn == "timestamp":
+            atype = f"date \"{WEKA_DEFAULT_DATE_FORMAT}\""
+            cexpr = F.date_format(f.name, WEKA_DEFAULT_DATE_FORMAT)
+        else:
+            raise ArffFormatError(
+                f"cannot write column {f.name!r} of type {tn} to ARFF"
+            )
+        header_lines.append(f"@attribute {f.name} {atype}")
+        cols.append(cexpr)
+    header_lines.append("@data")
+
+    spark = df.sparkSession
+    header = spark.createDataFrame(
+        [(i, line) for i, line in enumerate(header_lines)],
+        "ord long, value string",
+    )
+    data = df.select(
+        F.lit(len(header_lines)).alias("ord"),
+        F.concat_ws(",", *cols).alias("value"),
+    )
+    out = header.unionByName(data)
+    if single_file:
+        out = out.coalesce(1)
+    (
+        out.sortWithinPartitions("ord")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )

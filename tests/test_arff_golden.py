@@ -200,3 +200,41 @@ def test_reference_golden_parity(spark):
         .accuracy
     )
     assert acc == pytest.approx(0.85)  # 68/80, BASELINE.md golden accuracy
+
+
+def test_write_arff_round_trip(spark, tmp_path):
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (1.5, "yes", datetime.datetime(2024, 1, 15, 12, 30)),
+            (2.0, "no", datetime.datetime(2024, 2, 1, 6, 0)),
+        ],
+        "x double, cls string, ts timestamp",
+    )
+    from knn_using_hadoop_spark.sources.arff import write_arff
+
+    p = str(tmp_path / "out.arff")
+    write_arff(df, p, relation="toy")
+    back = read_arff(spark, p).orderBy("x").collect()
+    assert [f.dataType.typeName() for f in read_arff(spark, p).schema] \
+        == ["double", "string", "timestamp"]
+    assert back[0].x == 1.5 and back[0].cls == "yes"
+    assert back[0].ts == datetime.datetime(2024, 1, 15, 12, 30)
+    assert back[1].x == 2.0  # integral double survives the .0 strip
+
+
+def test_write_arff_golden_reference_shape(spark, tmp_path):
+    """Writing the reference's own dataset back out re-reads
+    identically (full read -> write -> read fixpoint)."""
+    src = f"{REF}/small-test.arff"
+    df = read_arff(spark, src)
+    from knn_using_hadoop_spark.sources.arff import write_arff
+
+    p = str(tmp_path / "rt.arff")
+    write_arff(df, p, relation="small")
+    again = read_arff(spark, p)
+    assert again.schema == df.schema
+    assert sorted(map(tuple, again.collect())) == sorted(
+        map(tuple, df.collect())
+    )
