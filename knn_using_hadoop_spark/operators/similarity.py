@@ -92,25 +92,26 @@ def cosine_topk(
     loss below that (compile time dominates). Both forms share the
     same left-to-right float association, so results are identical.
     """
+    d = dim if expand else None
+    # norms factored out of the pair stage: once per query / corpus
+    # row instead of once per pair; sim = dot / (qn * cn) keeps the
+    # float shape, so results are bit-identical to the inline form
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_sqnorm(F.col(vec_col), d)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_sqnorm(F.col(vec_col), d)).alias("cn"),
     )
     pairs = c.crossJoin(F.broadcast(q))
     if exclude_self:
         pairs = pairs.filter(F.col("vec_id") != F.col("query_id"))
-    if expand:
-        sim = _dot_expanded(F.col("qv"), F.col("cv"), dim) / (
-            F.sqrt(_sqnorm_expanded(F.col("qv"), dim))
-            * F.sqrt(_sqnorm_expanded(F.col("cv"), dim))
-        )
-    else:
-        sim = _dot_hof(F.col("qv"), F.col("cv")) / (
-            F.sqrt(_sqnorm_hof(F.col("qv")))
-            * F.sqrt(_sqnorm_hof(F.col("cv")))
-        )
+    sim = _dot(F.col("qv"), F.col("cv"), d) / (
+        F.col("qn") * F.col("cn")
+    )
     scored = pairs.select(
         "query_id", "vec_id", F.round(sim, 6).alias("sim")
     )
@@ -173,21 +174,28 @@ def ivf_assign_cells(
     ``centroids`` = (centroid_id, embedding). Returns (vec_id, cell).
     Deterministic: similarity rounded to 6dp, ties to the lowest
     centroid_id — the same ranking protocol as the top-k operators.
-    One broadcast join; cost O(|vectors| x |centroids| x dim).
+    One broadcast join; cost O(|vectors| x |centroids| x dim) for the
+    dots. Norms are FACTORED OUT of the pair stage — computed once
+    per vector / per centroid before the join, not once per
+    (vector, centroid) pair, removing a C-fold share of the
+    assignment arithmetic; sim = dot / (vn * cn) keeps the exact
+    float shape of the inline form, so results (and oracles) are
+    bit-identical.
     """
     c = centroids.select(
-        F.col("centroid_id"), F.col(vec_col).alias("centv")
+        F.col("centroid_id"),
+        F.col(vec_col).alias("centv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cn"),
     )
     v = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("vn"),
     )
     pairs = v.crossJoin(F.broadcast(c))
     sim = F.round(
         _dot(F.col("vv"), F.col("centv"), dim)
-        / (
-            F.sqrt(_sqnorm(F.col("vv"), dim))
-            * F.sqrt(_sqnorm(F.col("centv"), dim))
-        ),
+        / (F.col("vn") * F.col("cn")),
         6,
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -231,12 +239,15 @@ def ivf_topk(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
     )
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
     ).join(cells, "vec_id")
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
+            F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("qvn"),
         )
         .join(
             cells.select(
@@ -249,8 +260,9 @@ def ivf_topk(
     pairs = c.join(F.broadcast(q), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # norms factored out of the per-pair stage (see ivf_assign_cells)
     sim = _dot(F.col("qv"), F.col("cv"), dim) / (
-        F.sqrt(_sqnorm(F.col("qv"), dim)) * F.sqrt(_sqnorm(F.col("cv"), dim))
+        F.col("qvn") * F.col("cvn")
     )
     scored = pairs.select(
         "query_id", "vec_id", F.round(sim, 6).alias("sim")
@@ -375,36 +387,48 @@ def ivf_probe_topk(
         vec_col=vec_col,
         dim=dim,
     )
-    # top-nprobe cells per query, ranked on the same rounded cosine
+    # top-nprobe cells per query, ranked on the same rounded cosine;
+    # norms factored out of both pair stages (see ivf_assign_cells)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("qvn"),
     )
-    qc = q.crossJoin(F.broadcast(cents))
+    qc = q.crossJoin(
+        F.broadcast(
+            cents.withColumn(
+                "cnn", F.sqrt(_sqnorm(F.col("centv"), dim))
+            )
+        )
+    )
     qsim = F.round(
         _dot(F.col("qv"), F.col("centv"), dim)
-        / (
-            F.sqrt(_sqnorm(F.col("qv"), dim))
-            * F.sqrt(_sqnorm(F.col("centv"), dim))
-        ),
+        / (F.col("qvn") * F.col("cnn")),
         6,
     )
     wprobe = Window.partitionBy("query_id").orderBy(
         F.col("psim").desc(), F.col("centroid_id").asc()
     )
     probes = (
-        qc.select("query_id", "qv", "centroid_id", qsim.alias("psim"))
+        qc.select(
+            "query_id", "qv", "qvn", "centroid_id", qsim.alias("psim")
+        )
         .withColumn("pn", F.row_number().over(wprobe))
         .filter(F.col("pn") <= nprobe)
-        .select("query_id", "qv", F.col("centroid_id").alias("cell"))
+        .select(
+            "query_id", "qv", "qvn", F.col("centroid_id").alias("cell")
+        )
     )
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
     ).join(cells, "vec_id")
     pairs = c.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = _dot(F.col("qv"), F.col("cv"), dim) / (
-        F.sqrt(_sqnorm(F.col("qv"), dim)) * F.sqrt(_sqnorm(F.col("cv"), dim))
+        F.col("qvn") * F.col("cvn")
     )
     scored = pairs.select(
         "query_id", "vec_id", F.round(sim, 6).alias("sim")
@@ -913,45 +937,50 @@ def semdedup_prune(
         vec_col=vec_col,
         dim=dim,
     )
+    # norms factored out: computed once per member, reused by the
+    # centroid-sim projection AND both sides of the pair join
+    # (see ivf_assign_cells — float shape preserved, bit-identical)
     m = (
         corpus.select(
-            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vv"),
+            F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("vn"),
         )
         .join(cells, "vec_id")
         .join(
-            F.broadcast(cents),
+            F.broadcast(
+                cents.withColumn(
+                    "cnn", F.sqrt(_sqnorm(F.col("centv"), dim))
+                )
+            ),
             F.col("cell") == F.col("centroid_id"),
         )
     )
     csim = F.round(
         _dot(F.col("vv"), F.col("centv"), dim)
-        / (
-            F.sqrt(_sqnorm(F.col("vv"), dim))
-            * F.sqrt(_sqnorm(F.col("centv"), dim))
-        ),
+        / (F.col("vn") * F.col("cnn")),
         6,
     )
     members = m.select(
-        "vec_id", "cell", "vv", csim.alias("centroid_sim")
+        "vec_id", "cell", "vv", "vn", csim.alias("centroid_sim")
     )
     a = members.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
         F.col("vv").alias("av"),
+        F.col("vn").alias("an"),
         F.col("centroid_sim").alias("a_cs"),
     )
     b = members.select(
         F.col("cell"),
         F.col("vec_id").alias("b_id"),
         F.col("vv").alias("bv"),
+        F.col("vn").alias("bn"),
         F.col("centroid_sim").alias("b_cs"),
     )
     pair_sim = F.round(
         _dot(F.col("av"), F.col("bv"), dim)
-        / (
-            F.sqrt(_sqnorm(F.col("av"), dim))
-            * F.sqrt(_sqnorm(F.col("bv"), dim))
-        ),
+        / (F.col("an") * F.col("bn")),
         6,
     )
     removed = (
