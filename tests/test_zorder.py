@@ -73,3 +73,49 @@ def test_zordered_layout_has_tight_bounding_boxes(spark, tmp_path):
     assert avg_span(zpath, "x") + avg_span(zpath, "y") < avg_span(
         xpath, "x"
     ) + avg_span(xpath, "y")
+
+
+def test_zorder_rowgroup_pruning_both_dims(spark, tmp_path):
+    """The point of the layout: a range predicate on EITHER dimension
+    can skip most row groups via parquet min/max stats. Measured
+    directly from the footers (what any engine's reader consults),
+    not inferred from spans."""
+    import glob
+    import random
+
+    import pyarrow.parquet as pq
+
+    random.seed(11)
+    rows = [
+        (random.randrange(1024), random.randrange(1024))
+        for _ in range(40_000)
+    ]
+    df = spark.createDataFrame(rows, "x long, y long")
+    zpath = str(tmp_path / "z")
+    xpath = str(tmp_path / "xs")
+    write_zordered(
+        df, morton_code(F.col("x"), F.col("y"), bits=10), zpath,
+        n_files=16,
+    )
+    df.repartitionByRange(16, "x").write.parquet(xpath)
+
+    def surviving_fraction(path: str, col: str, lo: int, hi: int):
+        total = hit = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ci = [md.schema.column(i).name for i in
+                  range(md.num_columns)].index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                total += 1
+                if not (st.max < lo or st.min > hi):
+                    hit += 1
+        assert total >= 16
+        return hit / total
+
+    # a 1/8th-range predicate on y: x-sorted layout can skip nothing
+    # (every row group spans all of y); the Z-layout skips most
+    assert surviving_fraction(xpath, "y", 0, 127) == 1.0
+    assert surviving_fraction(zpath, "y", 0, 127) <= 0.5
+    # and the Z-layout still prunes on x too (shared budget)
+    assert surviving_fraction(zpath, "x", 0, 127) <= 0.5
