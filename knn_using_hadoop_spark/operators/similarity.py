@@ -1013,3 +1013,126 @@ def semdedup_prune(
             F.col("_rm").isNull().alias("keep"),
         )
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_centroids: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Persist an IVF index: build once, query many.
+
+    Writes ``<path>/centroids`` (the k-means-refined coarse quantizer)
+    and ``<path>/cells`` — the corpus vectors WITH their precomputed
+    norms, hive-partitioned BY CELL. The partitioning is the point:
+    a query that probes ``nprobe`` cells reads only those directories
+    (partition pruning at the scan), so query cost is independent of
+    corpus size given balanced cells. This is the batch-index
+    workflow every production ANN deployment uses — the inline
+    ``ivf_*_topk`` operators rebuild the quantizer per query batch.
+    """
+    cents = ivf_kmeans_centroids(
+        corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
+        dim=dim,
+    )
+    cells = ivf_assign_cells(
+        corpus,
+        cents.select("centroid_id", F.col("centv").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
+        )
+        .join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Search a persisted IVF index: (query_id, rank, vec_id, sim).
+
+    Ranks the stored centroids per query (broadcast, same 6dp-rounded
+    protocol as ``ivf_probe_topk``), collects the probed cell ids —
+    a bounded parameter fetch, <= min(|queries| x nprobe, C) values —
+    and turns them into a STATIC partition filter on the cell store,
+    so the scan reads only the probed directories. Exact rerank
+    within candidates; excludes self-matches by id.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("qvn"),
+    )
+    qc = q.crossJoin(
+        F.broadcast(
+            cents.withColumn(
+                "cnn", F.sqrt(_sqnorm(F.col("centv"), dim))
+            )
+        )
+    )
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("centv"), dim)
+        / (F.col("qvn") * F.col("cnn")),
+        6,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.select(
+            "query_id", "qv", "qvn", "centroid_id", qsim.alias("psim")
+        )
+        .withColumn("pn", F.row_number().over(wprobe))
+        .filter(F.col("pn") <= nprobe)
+        .select(
+            "query_id", "qv", "qvn", F.col("centroid_id").alias("cell")
+        )
+        .localCheckpoint(eager=True)  # reused: cell fetch + join
+    )
+    probed_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    members = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    pairs = members.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("qv"), F.col("cv"), dim) / (
+        F.col("qvn") * F.col("cvn")
+    )
+    scored = pairs.select(
+        "query_id", "vec_id", F.round(sim, 6).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "sim")
+    )

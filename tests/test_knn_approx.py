@@ -55,3 +55,72 @@ def test_approx_predict_contract(clustered):
     # deterministic under a fixed seed
     again = knn_approx_predict(train, test, 5, bucket_length=8.0).collect()
     assert sorted(map(tuple, preds)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once / query many)
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_index_equals_inline_and_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        query_ivf_index,
+    )
+
+    rows = [
+        (i, [float((i * 13 + j * 5) % 23) + 0.5 for j in range(8)])
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "ivfidx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+
+    got = query_ivf_index(spark, path, queries, 5, nprobe=2)
+    want = ivf_probe_topk(
+        corpus, queries, 5, n_centroids=8, iters=1, nprobe=2
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+    # the probed-cell filter reaches the scan as a partition filter:
+    # only the probed cell directories are read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+
+
+def test_ivf_index_single_probe_subset(spark, tmp_path):
+    """nprobe=1 candidates are a subset of nprobe=2's."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 11) % 19) + 1.0 for j in range(6)])
+        for i in range(200)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0)
+    path = str(tmp_path / "ivfidx1")
+    build_ivf_index(corpus, path, n_centroids=6, iters=1)
+    one = query_ivf_index(spark, path, queries, 200, nprobe=1)
+    two = query_ivf_index(spark, path, queries, 200, nprobe=2)
+    s1 = {(r.query_id, r.vec_id) for r in one.collect()}
+    s2 = {(r.query_id, r.vec_id) for r in two.collect()}
+    assert s1 <= s2 and len(s2) > len(s1)
