@@ -73,8 +73,11 @@ BENCH_QUERIES = [
     "events_sliding_windowed_agg",
     "lineitem_brand_affinity",
     # round-3 surface: semantic dedup (k-means cells + within-cell
-    # cosine prune)
+    # cosine prune), positional substring dedup, and the end-to-end
+    # curation pipeline (5 stages, one plan)
     "embedding_semdedup_prune",
+    "doc_shared_passage_spans",
+    "corpus_curation_pipeline",
 ]
 
 

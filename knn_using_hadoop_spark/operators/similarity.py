@@ -43,8 +43,14 @@ def _sqnorm_hof(a: Column) -> Column:
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """dim=None -> interpreted HOF fold; dim=N -> statically unrolled
-    codegen form (~2x+ throughput, same left-to-right association so
-    results are bit-identical — see cosine_topk's crossover note)."""
+    expression form. Results are bit-identical (same left-to-right
+    association). MEASURED guidance (100x corpus, NOTES r3): with
+    norms factored out, the HOF fold WINS in the join-heavy IVF/
+    semdedup shapes (one fold per pair beats a 128-element_at
+    unrolled tree: semdedup C=256 81s HOF vs 932s unrolled; ivf_topk
+    28.6s vs 264s); the unrolled form only pays off in cosine_topk's
+    simple broadcast-NL scan when |pairs| reaches hundreds of
+    millions. Default None everywhere."""
     return _dot_expanded(a, b, dim) if dim else _dot_hof(a, b)
 
 
@@ -237,7 +243,7 @@ def ivf_topk(
     )
     cells = ivf_assign_cells(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
-    )
+    ).localCheckpoint(eager=True)  # feeds corpus AND query joins
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -379,7 +385,7 @@ def ivf_probe_topk(
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
-    )
+    ).localCheckpoint(eager=True)  # feeds assignment AND probe rank
     cells = ivf_assign_cells(
         corpus,
         cents.select("centroid_id", F.col("centv").alias(vec_col)),
@@ -929,7 +935,7 @@ def semdedup_prune(
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
-    )
+    ).localCheckpoint(eager=True)  # feeds assignment AND member join
     cells = ivf_assign_cells(
         corpus,
         cents.select("centroid_id", F.col("centv").alias(vec_col)),
@@ -961,9 +967,13 @@ def semdedup_prune(
         / (F.col("vn") * F.col("cnn")),
         6,
     )
+    # members feeds THREE consumers (both sides of the pair self-join
+    # and the final keep join); without a cut each branch would
+    # recompute the entire kmeans + assignment lineage. Same pattern
+    # as the dedup module's reused signature relation.
     members = m.select(
         "vec_id", "cell", "vv", "vn", csim.alias("centroid_sim")
-    )
+    ).localCheckpoint(eager=True)
     a = members.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
