@@ -17,25 +17,29 @@ from knn_using_hadoop_spark.contract._base import (_register)
 
 from knn_using_hadoop_spark.operators import graph as _graph  # noqa: E402
 
-# Oversized (event_type, hour) groups are hash-SAMPLED down to 200
-# members (not dropped — drop semantics emptied the graph on a 100x
-# uniform-growth corpus, NOTES r3); rank protocol mirrors
-# operators/graph.py::cooccurrence_edges exactly (md5 of
-# type|formatted-ts|user, ties by user_id).
+# Oversized (event_type, hour) groups are hash-threshold-SAMPLED to
+# ~200 expected members (not dropped — drop semantics emptied the
+# graph on a 100x uniform-growth corpus, NOTES r3): member survives
+# iff md5(type|ts|user) < (200/g)*2^32. No window, no sort — mirrors
+# operators/graph.py::cooccurrence_edges verbatim.
 _EDGES_SQL = """WITH membr AS (
   SELECT DISTINCT event_type, date_trunc('hour', ts) AS grp_ts,
          user_id
   FROM events),
+sizes AS (
+  SELECT event_type, grp_ts, count(*) AS g FROM membr
+  GROUP BY event_type, grp_ts),
 kept AS (
-  SELECT event_type, grp_ts, user_id FROM (
-    SELECT m.*, row_number() OVER (
-        PARTITION BY event_type, grp_ts
-        ORDER BY ('0x' || substr(md5(event_type || '|'
-                    || strftime(grp_ts, '%Y-%m-%d %H:%M:%S') || '|'
-                    || user_id), 1, 8))::BIGINT,
-                 user_id) AS rn
-    FROM membr m) r
-  WHERE rn <= 200)
+  SELECT m.event_type, m.grp_ts, m.user_id
+  FROM membr m
+  LEFT JOIN sizes s
+    ON s.event_type = m.event_type AND s.grp_ts = m.grp_ts
+   AND s.g > 200
+  WHERE s.g IS NULL
+     OR (('0x' || substr(md5(m.event_type || '|'
+           || strftime(m.grp_ts, '%Y-%m-%d %H:%M:%S') || '|'
+           || m.user_id), 1, 8))::BIGINT::DOUBLE
+         < 200.0 * 4294967296.0 / s.g))
 SELECT a.user_id AS src, b.user_id AS dst
 FROM kept a
 JOIN kept b

@@ -57,6 +57,18 @@ def cooccurrence_edges(
     membership = events.select(
         "event_type", F.date_trunc("hour", "ts").alias("grp_ts"), "user_id"
     ).distinct()
+    # Threshold sampling, no window: a member of a group of size g
+    # survives iff its 32-bit md5 key < (max_group / g) * 2^32 —
+    # expected kept size = max_group with binomial (exponential-tail)
+    # concentration, which is all the O(g^2) pair bound needs. Only
+    # the OVERSIZED group list broadcasts (one row per hot group);
+    # in-cap groups skip the arithmetic via the null branch. Fully
+    # deterministic (keyed md5, no RNG) and reproduced verbatim by
+    # the oracle SQL — and the whole guard is one tiny aggregate +
+    # broadcast probe + filter: no sort anywhere.
+    sizes = membership.groupBy("event_type", "grp_ts").agg(
+        F.count(F.lit(1)).alias("_g")
+    )
     samp_key = F.conv(
         F.substring(
             F.md5(
@@ -72,15 +84,21 @@ def cooccurrence_edges(
         ),
         16,
         10,
-    ).cast("bigint")
-    w = Window.partitionBy("event_type", "grp_ts").orderBy(
-        F.col("_sk").asc(), F.col("user_id").asc()
-    )
+    ).cast("double")
     small = (
-        membership.withColumn("_sk", samp_key)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_group)
-        .drop("_sk", "_rn")
+        membership.join(
+            F.broadcast(sizes.filter(F.col("_g") > max_group)),
+            ["event_type", "grp_ts"],
+            "left",
+        )
+        .filter(
+            F.col("_g").isNull()
+            | (
+                samp_key
+                < F.lit(float(max_group) * 4294967296.0) / F.col("_g")
+            )
+        )
+        .drop("_g")
     )
     a = small.select(
         "event_type", "grp_ts", F.col("user_id").alias("src")

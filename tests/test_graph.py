@@ -77,23 +77,26 @@ def test_cooccurrence_group_cap(spark):
     )
     # 30 is even, so user u (= i % 30) always lands on day 1 + u % 2:
     # two disjoint (view, day) groups of 15 users each. Oversized
-    # groups are SAMPLED down to the cap (not dropped), so capping at
-    # 10 keeps 10 deterministic members per group.
-    assert (
-        g.cooccurrence_edges(ev, max_group=10).count()
-        == 2 * 10 * 9 / 2
-    )
-    assert g.cooccurrence_edges(ev, max_group=200).count() == 2 * 15 * 14 / 2
-    # the sampled subgraph is a subset of the uncapped graph
-    capped = {
-        (r.src, r.dst)
-        for r in g.cooccurrence_edges(ev, max_group=10).collect()
-    }
+    # groups are hash-threshold SAMPLED toward the cap (expected
+    # size = cap, binomial tails), never dropped wholesale.
     full = {
         (r.src, r.dst)
         for r in g.cooccurrence_edges(ev, max_group=200).collect()
     }
+    assert len(full) == 2 * 15 * 14 / 2  # in-cap groups: exact identity
+    capped = {
+        (r.src, r.dst)
+        for r in g.cooccurrence_edges(ev, max_group=10).collect()
+    }
+    # sampled graph: nonempty, strictly smaller, and a subset
+    assert 0 < len(capped) < len(full)
     assert capped <= full
+    # determinism: same result on every evaluation
+    again = {
+        (r.src, r.dst)
+        for r in g.cooccurrence_edges(ev, max_group=10).collect()
+    }
+    assert again == capped
 
 
 def test_bfs_depths_path_graph(spark):
