@@ -28,7 +28,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -42,10 +42,11 @@ def cooccurrence_edges(
     grows (more data = more hours, not bigger groups — day-level
     groups grow linearly with data rate and blow the pair budget).
     Groups larger than ``max_group`` members are deterministically
-    SAMPLED down to ``max_group`` (md5-hash rank per member) before
+    hash-threshold SAMPLED to ~``max_group`` expected members before
     the pair blow-up: a group of g emits O(g^2) pairs, so the cap
-    bounds worst-case fan-out per hot group — but sampling keeps the
-    group's strongest signal instead of dropping it wholesale
+    bounds fan-out per hot group (binomial concentration around the
+    cap) — and sampling keeps a representative subset of the group
+    instead of dropping it wholesale
     (earlier drop semantics emptied the whole graph on a 100x
     uniform-growth corpus where EVERY group outgrew the cap, NOTES
     r3). ``min_count`` is the edge-strength threshold: requiring
@@ -56,7 +57,7 @@ def cooccurrence_edges(
     """
     # membership is consumed by the size aggregate, the sampling
     # probe, AND both sides of the pair self-join — without a cut the
-    # corpus-sized distinct re-executes 4-6x (measured 104s vs 24s at
+    # corpus-sized distinct re-executes 4-6x (measured 104s vs 76s at
     # the 100x corpus). One eager materialization of the (group,
     # member) relation; everything downstream reads it.
     membership = (

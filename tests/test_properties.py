@@ -144,3 +144,70 @@ def test_gap_fill_dense_and_count_preserving(spark, seed):
     assert len(out) == len(keys) * span
     assert sum(r.n_events for r in out) == n
     assert all(r.n_events >= 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# shared_passage_spans == pure-Python replica
+# ---------------------------------------------------------------------------
+
+
+def _py_spans(docs, win, cap):
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for doc_id, text in docs:
+        t = text.split(" ")
+        for i in range(len(t) - win + 1):
+            occ[" ".join(t[i : i + win])].append((doc_id, i))
+    diag = defaultdict(list)
+    for g, o in occ.items():
+        if len({d for d, _ in o}) < 2 or len(o) > cap:
+            continue
+        for da, pa in o:
+            for db, pb in o:
+                if da < db:
+                    diag[(da, db, pa - pb)].append((pa, pb))
+    out = []
+    for (da, db, d), ps in diag.items():
+        ps = sorted(set(p for p, _ in ps))
+        start = prev = ps[0]
+        for p in ps[1:]:
+            if p == prev + 1:
+                prev = p
+            else:
+                out.append((da, db, start, start - d, prev - start + win))
+                start = prev = p
+        out.append((da, db, start, start - d, prev - start + win))
+    return sorted(out)
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_shared_passage_spans_match_python_replica(spark, seed):
+    """Random tiny-alphabet corpora (collisions + real shared runs
+    arise naturally): the operator's maximal spans equal a
+    brute-force positional replica, island-for-island."""
+    from knn_using_hadoop_spark.operators.dedup import (
+        shared_passage_spans,
+    )
+
+    rng = np.random.default_rng(seed)
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(list("abcd"), size=rng.integers(4, 25))
+            ),
+        )
+        for i in range(int(rng.integers(2, 6)))
+    ]
+    win, cap = 3, 50
+    got = sorted(
+        (r.doc_a, r.doc_b, r.a_start, r.b_start, r.span_tokens)
+        for r in shared_passage_spans(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            win=win,
+            max_occurrences=cap,
+        ).collect()
+    )
+    assert got == _py_spans(docs, win, cap)
