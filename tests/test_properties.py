@@ -211,3 +211,52 @@ def test_shared_passage_spans_match_python_replica(spark, seed):
         ).collect()
     )
     assert got == _py_spans(docs, win, cap)
+
+
+# ---------------------------------------------------------------------------
+# grid_quantiles == pure-Python replica
+# ---------------------------------------------------------------------------
+
+
+def _py_grid_quantiles(vals, probs, width):
+    import math
+
+    n = len(vals)
+    lo, hi = min(vals), max(vals)
+    bw = (hi - lo) / width
+    buckets = [
+        0 if hi == lo else min(math.floor((v - lo) / bw), width - 1)
+        for v in vals
+    ]
+    s = sorted(vals)
+    out = {}
+    for p in probs:
+        k = math.ceil(p * n)
+        cum = 0
+        for b in range(width):
+            cum += sum(1 for x in buckets if x == b)
+            if cum >= k:
+                est = lo + (b + 0.5) * bw
+                break
+        exact = s[k - 1]
+        out[p] = (round(est, 6), round(exact, 6))
+    return out
+
+
+@given(seed=st.integers(0, 10_000))
+@settings(**_SETTINGS)
+def test_grid_quantiles_match_python_replica(spark, seed):
+    from knn_using_hadoop_spark.operators.sketches import grid_quantiles
+
+    rng = np.random.default_rng(seed)
+    vals = [
+        float(v)
+        for v in rng.integers(-50, 5_000, size=int(rng.integers(3, 60)))
+    ]
+    probs = (0.25, 0.5, 0.9)
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.p: (r.grid_est, r.exact)
+        for r in grid_quantiles(df, "x", probs=probs, width=16).collect()
+    }
+    assert got == _py_grid_quantiles(vals, probs, 16)
