@@ -334,7 +334,10 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     cutoff = F.lit(_TT_CUTOFF).cast("timestamp")
     tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = f"/tmp/spark_graft_timetravel/{tag}/events"
+    # pid-scoped path: two concurrent gate runs must not share a
+    # version chain (the manifest counter is not concurrency-safe —
+    # documented limit of the emulation)
+    path = f"/tmp/spark_graft_timetravel/{tag}-{_os.getpid()}/events"
     import shutil
 
     shutil.rmtree(path, ignore_errors=True)
