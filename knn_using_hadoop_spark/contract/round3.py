@@ -337,9 +337,25 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-scoped path: two concurrent gate runs must not share a
     # version chain (the manifest counter is not concurrency-safe —
     # documented limit of the emulation)
-    path = f"/tmp/spark_graft_timetravel/{tag}-{_os.getpid()}/events"
+    root = "/tmp/spark_graft_timetravel"
+    path = f"{root}/{tag}-{_os.getpid()}/events"
     import shutil
 
+    # prune dirs left by DEAD pids (crashed runs) so repeated gate/
+    # bench invocations don't accumulate event-table copies in /tmp
+    # (ADVICE r3 #4); live concurrent runs are left alone
+    for d in _os.listdir(root) if _os.path.isdir(root) else []:
+        pid_s = d.rsplit("-", 1)[-1]
+        if not pid_s.isdigit():
+            # pre-pid-scoping layout (no -<pid> suffix): always stale
+            shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+        elif int(pid_s) != _os.getpid():
+            try:
+                _os.kill(int(pid_s), 0)
+            except ProcessLookupError:
+                shutil.rmtree(f"{root}/{d}", ignore_errors=True)
+            except PermissionError:
+                pass
     shutil.rmtree(path, ignore_errors=True)
     write_table_version(
         spark, ev.filter(F.col("ts") < cutoff), path, mode="overwrite"
@@ -356,9 +372,15 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(version).alias("version"), "event_type", "n",
             "total_value",
         )
-    return agg(read_table_version(spark, path, 0), 0).unionByName(
+    out = agg(read_table_version(spark, path, 0), 0).unionByName(
         agg(read_table_version(spark, path, 1), 1)
     )
+    # the aggregate is a few rows: materialize it NOW (lineage cut off
+    # the /tmp files) so this run's table copy can be deleted before
+    # the DataFrame is returned — no per-run /tmp accumulation
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(f"{root}/{tag}-{_os.getpid()}", ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -118,8 +118,12 @@ def read_arff(spark: SparkSession, path: str) -> DataFrame:
     # mode would contradict it by turning malformed/short data lines
     # into nulls that flow on into distance arithmetic (ADVICE r1) —
     # error at the scan instead.
+    # quote="'" — ARFF quotes values Weka-style with SINGLE quotes
+    # (write_arff emits them for values containing separators); the
+    # default escape char is already backslash, matching Weka's \'
     df = spark.read.csv(
-        path, schema=scan_schema, comment="@", mode="FAILFAST"
+        path, schema=scan_schema, comment="@", mode="FAILFAST",
+        quote="'",
     )
     for name, fmt in date_formats.items():
         df = df.withColumn(name, F.to_timestamp(F.col(name), fmt))
@@ -231,6 +235,18 @@ def write_arff(
     (default) coalesces to Weka's one-file expectation; with it off
     you get a part-file directory where only part-00000 carries the
     header (concatenate to feed Weka).
+
+    Weka-conformant value encoding (ADVICE r3 #1): string values
+    containing separators (comma, whitespace, quotes, braces, ``%``,
+    backslash — all legal inside Weka string attributes) are wrapped
+    in single quotes with backslash-escaped quotes/backslashes, and
+    NULL fields are written as ARFF's missing marker ``?`` — unquoted
+    nulls would otherwise be silently DROPPED by concat_ws, shifting
+    every later column one slot left. Note this module's own reader
+    deliberately rejects missing values (nullable=False + FAILFAST,
+    ADVICE r1), so files written from null-bearing frames are for
+    Weka interchange; round-tripping through ``read_arff`` requires
+    null-free input.
     """
     header_lines = [f"@relation {relation}"]
     cols = []
@@ -248,7 +264,17 @@ def write_arff(
             )
         elif tn == "string":
             atype = "string"
-            cexpr = F.col(f.name)
+            v = F.col(f.name)
+            escaped = F.concat(
+                F.lit("'"),
+                F.regexp_replace(
+                    F.regexp_replace(v, r"\\", r"\\\\"), "'", r"\\'"
+                ),
+                F.lit("'"),
+            )
+            cexpr = F.when(
+                (v == "") | v.rlike("[ ,\t'\"{}%\\\\]"), escaped
+            ).otherwise(v)
         elif tn == "timestamp":
             atype = f"date \"{WEKA_DEFAULT_DATE_FORMAT}\""
             cexpr = F.date_format(f.name, WEKA_DEFAULT_DATE_FORMAT)
@@ -257,7 +283,7 @@ def write_arff(
                 f"cannot write column {f.name!r} of type {tn} to ARFF"
             )
         header_lines.append(f"@attribute {f.name} {atype}")
-        cols.append(cexpr)
+        cols.append(F.coalesce(cexpr, F.lit("?")))  # ARFF missing mark
     header_lines.append("@data")
 
     spark = df.sparkSession
@@ -265,8 +291,16 @@ def write_arff(
         [(i, line) for i, line in enumerate(header_lines)],
         "ord long, value string",
     )
+    # ord is TOTAL over data rows (header offset + the partition-major
+    # monotonic id), not one shared constant: sortWithinPartitions is
+    # not stable, so a shared ord left the single-file row order
+    # unspecified while the reader assigns doc ids BY file order
+    # (ADVICE r3 #3)
     data = df.select(
-        F.lit(len(header_lines)).alias("ord"),
+        (
+            F.lit(len(header_lines))
+            + F.monotonically_increasing_id()
+        ).alias("ord"),
         F.concat_ws(",", *cols).alias("value"),
     )
     out = header.unionByName(data)
