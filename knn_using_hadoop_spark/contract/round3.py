@@ -188,10 +188,16 @@ def q_doc_shared_passage_spans(
 # first min(len,512) bytes). Image feature = nearest-neighbor 8x8
 # resize; audio = RMS per 64-sample frame. All-integer sums < 2^53
 # then one division + one sqrt: bit-exact cross-engine, no rounding
-# protocol needed.
+# protocol needed. Byte semantics match the operator exactly (ADVICE
+# r3 #2): bs = the UTF-8 octets via hex(encode(text)) — NOT
+# per-character codepoints, which diverge on any non-ASCII text —
+# and out-of-range indexes coalesce to 0, the operator's zero-pad
+# (len < 16 images; the len=0 audio body).
 _MEDIA_FEAT_SQL = """WITH b AS (
-  SELECT doc_id, length(text)::BIGINT AS len,
-         list_transform(string_split_regex(text, ''), c -> ascii(c)) AS bs
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS len,
+         list_transform(generate_series(1, octet_length(encode(text))),
+           i -> ('0x' || substr(hex(encode(text)), (i-1)*2+1, 2))
+                  ::BIGINT) AS bs
   FROM documents),
 img AS (
   SELECT doc_id, 'image' AS kind,
@@ -200,13 +206,16 @@ img AS (
 imgf AS (
   SELECT doc_id, kind,
          list_transform(generate_series(0, 63),
-           k -> bs[(((k // 8) * h) // 8) * 16 + ((k % 8) * 2) + 1]
-                  ::DOUBLE) AS feature
+           k -> coalesce(
+                  bs[(((k // 8) * h) // 8) * 16 + ((k % 8) * 2) + 1],
+                  0)::DOUBLE) AS feature
   FROM img),
 aud AS (
   SELECT doc_id, 'audio' AS kind,
          least(greatest(len, 1), 512) AS n,
-         list_transform(bs, x -> ((x - 128) * 256)::DOUBLE) AS s
+         list_transform(generate_series(1,
+                          least(greatest(len, 1), 512)::INT),
+           i -> ((coalesce(bs[i], 0) - 128) * 256)::DOUBLE) AS s
   FROM b WHERE doc_id % 2 = 1),
 audf AS (
   SELECT doc_id, kind,
@@ -397,6 +406,23 @@ from knn_using_hadoop_spark.contract.text_dedup import (  # noqa: E402
 )
 from knn_using_hadoop_spark.operators import curation as _cur  # noqa: E402
 from knn_using_hadoop_spark.operators import text as _text  # noqa: E402
+from knn_using_hadoop_spark.operators.dedup import (  # noqa: E402
+    NUM_HASHES as _PIPE_NH,
+)
+
+# Shared stage constants, interpolated into BOTH the Spark plan and
+# the oracle from their defining modules (ADVICE r3 #5) — a change to
+# any module default now breaks parity loudly instead of silently:
+_PIPE_NEARDUP_T = 0.5  # near-dup prune threshold (passed explicitly)
+_sig = __import__("inspect").signature
+_DECON = {
+    k: p.default for k, p in _sig(_cur.decontaminate).parameters.items()
+}
+_SPLIT = {
+    k: p.default for k, p in _sig(_cur.split_assign).parameters.items()
+}
+_DECON_N = _DECON["n"]  # contamination n-gram width
+_GRAM_SQL = " || ' ' || ".join(f"t[i+{j}]" for j in range(_DECON_N))
 
 _PIPE_SQL = f"""WITH {_DOC_CTE}, {_MINHASH_SQL}, {_LSH_CAND_SQL},
 agree AS (
@@ -409,7 +435,7 @@ agree AS (
   GROUP BY c.doc_a, c.doc_b),
 pruned AS (
   SELECT DISTINCT doc_b AS doc_id FROM agree
-  WHERE n_agree::DOUBLE / 8 >= 0.5),
+  WHERE n_agree::DOUBLE / {_PIPE_NH} >= {_PIPE_NEARDUP_T}),
 ek AS (SELECT doc_id, (('0x' || substr(md5(text), 1, 15))::BIGINT) AS k1,
               (('0x' || substr(md5(text), 17, 15))::BIGINT) AS k2
        FROM documents),
@@ -420,34 +446,41 @@ qual AS (
                * (1.0 - len(list_filter(t, x -> x IN ({_STOP_SQL})))
                         ::DOUBLE / len(t) * 0.5)
                * (1.0 - (length(text)
-                         - length(regexp_replace(text, '[.,!?;:]', '',
-                                                 'g')))
+                         - length(regexp_replace(text,
+                                                 '{_text.PUNCT_CLASS}',
+                                                 '', 'g')))
                         ::DOUBLE / length(text)), 6) AS quality
   FROM toks),
 g5 AS (SELECT DISTINCT doc_id, {_H32.format(x='gram')} AS h
        FROM (SELECT toks.doc_id,
                     unnest(list_transform(
-                      generate_series(1, greatest(len(t) - 4, 0)),
-                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
-                           || t[i+3] || ' ' || t[i+4])) AS gram
+                      generate_series(1,
+                        greatest(len(t) - {_DECON_N - 1}, 0)),
+                      i -> {_GRAM_SQL})) AS gram
              FROM toks) u),
-bench AS (SELECT DISTINCT h FROM g5 WHERE doc_id % 10 = 0),
+bench AS (SELECT DISTINCT h FROM g5
+          WHERE doc_id % {_DECON["bench_mod"]} = 0),
 hit AS (SELECT t.doc_id,
                sum(CASE WHEN b.h IS NULL THEN 0 ELSE 1 END)::DOUBLE
                  / count(*) AS ofrac
-        FROM (SELECT * FROM g5 WHERE doc_id % 10 <> 0) t
+        FROM (SELECT * FROM g5
+              WHERE doc_id % {_DECON["bench_mod"]} <> 0) t
         LEFT JOIN bench b ON b.h = t.h
         GROUP BY t.doc_id),
 base AS (
   SELECT d.doc_id, q.quality,
-         (d.doc_id % 10 = 0) AS benchmark,
+         (d.doc_id % {_DECON["bench_mod"]} = 0) AS benchmark,
          (d.doc_id <> r.rep) AS exact_dup,
          (p.doc_id IS NOT NULL) AS neardup_pruned,
-         coalesce(h.ofrac >= 0.2, FALSE) AS contaminated,
-         CASE WHEN ('0x' || substr(md5(d.doc_id || ':split'), 1, 8))
-                     ::BIGINT % 100 < 80 THEN 'train'
-              WHEN ('0x' || substr(md5(d.doc_id || ':split'), 1, 8))
-                     ::BIGINT % 100 < 90 THEN 'val'
+         coalesce(h.ofrac >= {_DECON["min_frac"]}, FALSE)
+           AS contaminated,
+         CASE WHEN ('0x' || substr(md5(d.doc_id || '{_SPLIT["salt"]}'),
+                                   1, 8))
+                     ::BIGINT % 100 < {_SPLIT["train_pct"]} THEN 'train'
+              WHEN ('0x' || substr(md5(d.doc_id || '{_SPLIT["salt"]}'),
+                                   1, 8))
+                     ::BIGINT % 100
+                   < {_SPLIT["train_pct"] + _SPLIT["val_pct"]} THEN 'val'
               ELSE 'test' END AS split
   FROM documents d
   JOIN ek e ON e.doc_id = d.doc_id
@@ -491,7 +524,7 @@ def q_corpus_curation_pipeline(
     ek = docs.select("doc_id", k1.alias("k1"), k2.alias("k2"))
     rep = ek.groupBy("k1", "k2").agg(F.min("doc_id").alias("rep"))
     pruned = (
-        _ddp.minhash_sig_est_pairs(docs, threshold=0.5)
+        _ddp.minhash_sig_est_pairs(docs, threshold=_PIPE_NEARDUP_T)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("_pr", F.lit(True))

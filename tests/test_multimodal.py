@@ -185,3 +185,42 @@ def test_media_features_audio_rms(spark):
     (row,) = media_features(df).collect()
     assert row.kind == "audio"
     assert row.feature == [0.0, 1000.0, 500.0]
+
+
+def test_media_features_oracle_parity_hostile_docs(spark, tmp_path):
+    """ADVICE r3 #2: the byte-arithmetic oracle must agree with the
+    codec-path operator on short (< 16 byte) and non-ASCII documents,
+    not just the benign gate corpus — bs comes from UTF-8 octets with
+    zero-pad semantics on out-of-range indexes."""
+    import duckdb
+
+    from knn_using_hadoop_spark.contract.round3 import _MEDIA_FEAT_SQL
+    from knn_using_hadoop_spark.operators.multimodal import (
+        attach_media,
+        media_features,
+    )
+
+    rows = [
+        (0, "tiny"),            # image, len < 16 -> zero-padded row
+        (1, ""),                # audio, len 0 -> single zero sample
+        (2, "héllo wörld ✓"),   # image, multi-byte UTF-8
+        (3, "ünïcode àudio"),   # audio, multi-byte UTF-8
+        (4, "x" * 40),          # image, h > 1
+        (5, "y" * 700),         # audio, capped at 512 samples
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    p = str(tmp_path / "documents.parquet")
+    docs.write.parquet(p)
+
+    got = sorted(
+        (r.doc_id, r.kind, tuple(r.feature))
+        for r in media_features(attach_media(docs)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{p}/*.parquet'"
+    )
+    want = sorted(
+        (d, k, tuple(f)) for d, k, f in con.sql(_MEDIA_FEAT_SQL).fetchall()
+    )
+    assert got == want
