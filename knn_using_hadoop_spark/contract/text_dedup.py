@@ -340,6 +340,11 @@ _LSH_SIGN_SQL = (
     "THEN 1.0 ELSE -1.0 END"
 )
 
+# plane count shared by the Spark call and the oracle CTE: the
+# operator's auto-knob (similarity._auto_n_planes) must NOT reach the
+# frozen registry queries, so both sides pin this value explicitly
+_LSH_PLANES = 8
+
 _LSH_BUCKETS_SQL = f"""
 allb AS (
   SELECT vec_id,
@@ -347,7 +352,7 @@ allb AS (
            ::BIGINT AS bucket
   FROM (
     SELECT vec_id, p, sum({_LSH_SIGN_SQL} * embedding[i]::DOUBLE) AS proj
-    FROM embeddings, generate_series(0, 7) gp(p),
+    FROM embeddings, generate_series(0, {_LSH_PLANES - 1}) gp(p),
          generate_series(1, {_EMB_DIM}) gi(i)
     GROUP BY vec_id, p) pr
   GROUP BY vec_id)
@@ -389,6 +394,8 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an ANN method.
     """
     corpus, queries = _sim_queries(spark, sf_dir)
-    return _sim.lsh_bucket_topk(corpus, queries, 5, _EMB_DIM)
+    return _sim.lsh_bucket_topk(
+        corpus, queries, 5, _EMB_DIM, n_planes=_LSH_PLANES
+    )
 
 

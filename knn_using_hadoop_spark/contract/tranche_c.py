@@ -16,6 +16,7 @@ from knn_using_hadoop_spark.contract.relational import (queries)
 from knn_using_hadoop_spark.contract.text_dedup import (
     _EMB_DIM,
     _LSH_BUCKETS_SQL,
+    _LSH_PLANES,
     _SIM_QUERY_MOD,
     _sim_queries,
 )
@@ -438,7 +439,9 @@ def q_similarity_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _sim.cosine_topk(corpus, queries, 1, _EMB_DIM).select(
         "query_id", F.col("vec_id").alias("true_nn")
     )
-    cand = _sim.lsh_bucket_topk(corpus, queries, 5, _EMB_DIM).select(
+    cand = _sim.lsh_bucket_topk(
+        corpus, queries, 5, _EMB_DIM, n_planes=_LSH_PLANES
+    ).select(
         "query_id", "vec_id", "rank"
     )
     hit = truth.join(

@@ -19,8 +19,45 @@ candidates.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _auto_n_centroids(corpus: DataFrame) -> int:
+    """Data-dependent cell count: C = clamp(round(sqrt(n)), 4, 4096).
+
+    The r3 100x stress (NOTES.md "stress find #2") proved a FIXED
+    cell count is a scale bug, not a tuning nit: 16 cells over 200k
+    vectors makes every within-cell stage quadratic in n/16, turning
+    the "bucketed" operators back into all-pairs. sqrt(n) is both
+    papers' own guidance (IVF: n/C candidates per probe and C
+    assignment dots balance at C=sqrt(n); SemDeDup: cluster count
+    grows with corpus) — per-cell work then stays O(sqrt(n)).
+    Derivation costs ONE corpus count() (a metadata-cheap job, no
+    data shuffle) and only runs when the caller leaves the knob
+    unset; explicit values — e.g. every registry oracle query — skip
+    it entirely.
+    """
+    n = corpus.count()
+    return max(4, min(4096, math.isqrt(max(n, 1))))
+
+
+def _auto_n_planes(corpus: DataFrame, k: int) -> int:
+    """Data-dependent hyperplane count for sign-LSH buckets.
+
+    Expected bucket occupancy is n / 2^p; fixed p therefore degrades
+    BOTH ways as n moves — tiny buckets (recall collapse) or huge
+    ones (quadratic rerank). Target occupancy max(32, 4k) keeps the
+    rerank bounded while leaving enough same-bucket candidates to
+    fill top-k: p = clamp(round(log2(n / target)), 3, 24). One
+    count() when the knob is unset, as in ``_auto_n_centroids``.
+    """
+    n = max(corpus.count(), 1)
+    target = max(32, 4 * k)
+    p = round(math.log2(max(n / target, 1.0))) if n > target else 3
+    return max(3, min(24, p))
 
 
 def _dot_hof(a: Column, b: Column) -> Column:
@@ -220,7 +257,7 @@ def ivf_topk(
     queries: DataFrame,
     k: int,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -233,7 +270,12 @@ def ivf_topk(
     Search visits only the query's own cell (nprobe=1), then reranks
     exactly. Sub-quadratic: each corpus vector is scored against
     centroids once, and queries only meet their own cell's candidates.
+    ``n_centroids=None`` (default) derives C = sqrt(n) from a corpus
+    count — see ``_auto_n_centroids`` for why a fixed C is a scale
+    bug.
     """
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(corpus)
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -366,7 +408,7 @@ def ivf_probe_topk(
     queries: DataFrame,
     k: int,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 1,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -381,7 +423,10 @@ def ivf_probe_topk(
     Cost: |corpus| x C assignment (broadcast join, C tiny), then each
     query meets ~nprobe/C of the corpus — sub-quadratic, shuffle keyed
     on cell. Returns (query_id, rank, vec_id, sim).
+    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``).
     """
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(corpus)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
@@ -455,7 +500,7 @@ def lsh_bucket_topk(
     k: int,
     dim: int,
     *,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -466,8 +511,12 @@ def lsh_bucket_topk(
     engines and runs with no RNG state. Vectors sharing the query's
     sign-pattern bucket are reranked exactly; recall < 1 by design
     (bucket miss) — this is the scale path, the exact path is
-    ``cosine_topk``.
+    ``cosine_topk``. ``n_planes=None`` derives the plane count from
+    the corpus size so expected bucket occupancy tracks max(32, 4k)
+    as n grows (``_auto_n_planes``).
     """
+    if n_planes is None:
+        n_planes = _auto_n_planes(corpus, k)
     import hashlib
 
     def plane_sign(p: int, i: int) -> float:
@@ -905,7 +954,7 @@ def ivfpq_topk(
 def semdedup_prune(
     corpus: DataFrame,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 1,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -931,7 +980,13 @@ def semdedup_prune(
     (more centroids => smaller cells). No driver-side data movement.
     Deterministic end to end: the 6dp-rounded cosine ranking protocol
     shared with the IVF operators makes it oracle-reproducible.
+    ``n_centroids=None`` derives C = sqrt(n) — the paper's own knob
+    guidance, promoted to the default after the r3 100x stress showed
+    fixed C degrades the within-cell stage to all-pairs
+    (``_auto_n_centroids``).
     """
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(corpus)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
@@ -1029,7 +1084,7 @@ def build_ivf_index(
     corpus: DataFrame,
     path: str,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1045,7 +1100,10 @@ def build_ivf_index(
     corpus size given balanced cells. This is the batch-index
     workflow every production ANN deployment uses — the inline
     ``ivf_*_topk`` operators rebuild the quantizer per query batch.
+    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``).
     """
+    if n_centroids is None:
+        n_centroids = _auto_n_centroids(corpus)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
