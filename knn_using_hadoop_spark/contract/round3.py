@@ -523,12 +523,14 @@ def q_corpus_curation_pipeline(
     )
     ek = docs.select("doc_id", k1.alias("k1"), k2.alias("k2"))
     rep = ek.groupBy("k1", "k2").agg(F.min("doc_id").alias("rep"))
-    pruned = (
-        _ddp.minhash_sig_est_pairs(docs, threshold=_PIPE_NEARDUP_T)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("_pr", F.lit(True))
-    )
+    # signature-group-collapsed pruned set (NOT the pair relation —
+    # a duplicated corpus makes pairs inherently quadratic; the r3
+    # 100x stress hit 27.5M candidate pairs in this stage). Exact
+    # rewrite of distinct-doc_b of minhash_sig_est_pairs, pytest- and
+    # oracle-pinned.
+    pruned = _ddp.minhash_sig_est_pruned(
+        docs, threshold=_PIPE_NEARDUP_T
+    ).withColumn("_pr", F.lit(True))
     contam = _cur.decontaminate(docs).select(
         "doc_id", (F.col("contaminated") == 1).alias("_ct")
     )

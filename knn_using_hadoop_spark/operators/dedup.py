@@ -316,6 +316,109 @@ def minhash_sig_est_pairs(
     )
 
 
+def minhash_sig_est_pruned(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """Distinct near-dup-PRUNED doc_ids (signature-estimated Jaccard)
+    at duplicate-pile-up scale: (doc_id) — exactly the distinct
+    ``doc_b`` set of ``minhash_sig_est_pairs``.
+
+    Why a separate operator: the pair relation is inherently
+    quadratic on a duplicated corpus — a cluster of m copies IS
+    m(m-1)/2 true pairs, so no pair-returning plan can beat that.
+    A curation pipeline only needs the pruned SET, which is linear,
+    and the estimated Jaccard of a pair depends only on the two
+    SIGNATURES. So collapse docs into signature groups first and do
+    all pairwise work between DISTINCT signatures:
+
+    1. pivot each doc's 8 minhashes to one fixed-width row;
+    2. group identical signatures: (m0..m7, rep = min doc_id) — a
+       pile of m exact copies becomes ONE row here, which is the
+       whole fix: the r3 100x stress corpus produced 27.5M candidate
+       pairs from exactly these piles;
+    3. LSH-band self-join between group reps only; agreement is
+       computed INLINE from the pivoted columns (no 8-way h_idx
+       re-join — also removes the old plan's biggest shuffle);
+    4. doc d in group g is pruned iff a smaller doc with an
+       est-similar signature exists:
+       ``d > rep(g)`` (a same-signature partner, agreement 8/8) or
+       ``d > min(rep(g'))`` over band-colliding groups g' with
+       agreement >= threshold. Both conditions are exact rewrites of
+       the pair definition — min over a group's members equals its
+       rep, so existential "some smaller doc_a" becomes one min.
+
+    Every relation after step 1 is sized by DISTINCT signatures, not
+    docs; the doc-level work is two fixed-width-key shuffles.
+    """
+    mcols = [f"m{i}" for i in range(NUM_HASHES)]
+    wide = (
+        minhash_signatures(docs, n)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("h_idx") == i, F.col("minhash"))
+                ).alias(f"m{i}")
+                for i in range(NUM_HASHES)
+            ]
+        )
+    )
+    # one row per distinct signature; feeds both band-join sides AND
+    # the member join -> cheap to materialize (fixed width, <= |docs|)
+    groups = (
+        wide.groupBy(*mcols)
+        .agg(F.min("doc_id").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    bands = None
+    for b in range(NUM_HASHES // BAND_ROWS):
+        sel = groups.select(
+            "rep",
+            *mcols,
+            F.lit(b).alias("band"),
+            F.col(f"m{b * BAND_ROWS}").alias("sig0"),
+            F.col(f"m{b * BAND_ROWS + 1}").alias("sig1"),
+        )
+        bands = sel if bands is None else bands.unionByName(sel)
+    left = bands.select(
+        F.col("rep").alias("rep_a"),
+        *[F.col(m).alias(f"a_{m}") for m in mcols],
+        "band",
+        "sig0",
+        "sig1",
+    )
+    right = bands.select(
+        F.col("rep").alias("rep_b"),
+        *[F.col(m).alias(f"b_{m}") for m in mcols],
+        "band",
+        "sig0",
+        "sig1",
+    )
+    agreement = None
+    for m in mcols:
+        t = (F.col(f"a_{m}") == F.col(f"b_{m}")).cast("int")
+        agreement = t if agreement is None else agreement + t
+    min_ext = (
+        left.join(right, ["band", "sig0", "sig1"])
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .filter(
+            agreement.cast("double") / F.lit(NUM_HASHES)
+            >= F.lit(threshold)
+        )
+        .groupBy(F.col("rep_b").alias("rep"))
+        .agg(F.min("rep_a").alias("ext"))
+    )
+    members = wide.join(groups, mcols).select("doc_id", "rep")
+    return (
+        members.join(min_ext, "rep", "left")
+        .filter(
+            (F.col("doc_id") > F.col("rep"))
+            | (F.col("doc_id") > F.col("ext"))
+        )
+        .select("doc_id")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

@@ -322,3 +322,54 @@ def test_shared_passage_spans_cap_drops_boilerplate(spark):
     assert shared_passage_spans(docs, win=4, max_occurrences=5).count() == 0
     # raising the cap surfaces all 45 pairs
     assert shared_passage_spans(docs, win=4, max_occurrences=50).count() == 45
+
+
+def test_sig_est_pruned_equals_pairs_doc_b(spark):
+    """minhash_sig_est_pruned is an exact rewrite of 'distinct doc_b
+    of minhash_sig_est_pairs' — on the real corpus AND on a
+    duplicate-pile-up corpus (the case it exists for)."""
+    from knn_using_hadoop_spark import contract
+    from knn_using_hadoop_spark.operators import dedup
+
+    docs = contract.load_docs_wide(spark, "/root/testdata/sf0.001")
+    for t in (0.5, 0.75, 1.0):
+        want = {
+            r.doc_b
+            for r in dedup.minhash_sig_est_pairs(docs, threshold=t)
+            .select("doc_b")
+            .distinct()
+            .collect()
+        }
+        got = {
+            r.doc_id
+            for r in dedup.minhash_sig_est_pruned(
+                docs, threshold=t
+            ).collect()
+        }
+        assert got == want, f"threshold {t}"
+
+    # hostile: every doc gets 5 exact copies (ids interleaved so reps
+    # and externals mix), plus a near-dup variant
+    piles = (
+        docs.crossJoin(
+            spark.range(5).select(F.col("id").alias("c"))
+        )
+        .select(
+            (F.col("doc_id") * 5 + F.col("c")).alias("doc_id"),
+            "text",
+        )
+    )
+    want = {
+        r.doc_b
+        for r in dedup.minhash_sig_est_pairs(piles, threshold=0.5)
+        .select("doc_b")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in dedup.minhash_sig_est_pruned(
+            piles, threshold=0.5
+        ).collect()
+    }
+    assert got == want
