@@ -752,6 +752,13 @@ def shared_passage_spans(
     same cap argument as `ngram_jaccard_pairs`). Span coalescing is a
     per-(pair, diagonal) window function — no iteration, no driver
     involvement.
+
+    Measured cap trade (hostile-10x corpus, exact uncapped oracle —
+    NOTES r4): the default cap=50 suppresses 6.6% of true spans
+    (7.7% of span-tokens), all anchored on >50-occurrence boilerplate
+    windows, for a ~4x wall-time win (13.5s vs 52-69s). Raise the cap
+    when completeness beats cost; a cap above the corpus's max window
+    occurrence makes the result exactly complete.
     """
     from knn_using_hadoop_spark.operators.text import (
         shingles_from_tokens,
