@@ -284,6 +284,12 @@ def minhash_sig_est_pairs(
     document length. Estimator granularity is 1/NUM_HASHES; use the
     exact variant when the threshold needs finer resolution.
     Output (doc_a, doc_b, n_agree, est_jaccard) with doc_a < doc_b.
+
+    If you only need WHICH docs to drop (not the pairs), use
+    ``minhash_sig_est_pruned``: the pair relation is inherently
+    quadratic on duplicated corpora (m copies = m(m-1)/2 pairs),
+    while the pruned SET is linear and computable from distinct
+    signatures (measured 11.5x at 100x — NOTES r4).
     """
     # materialize the signature relation once: it feeds the band
     # self-join AND both sides of the agreement join, and it is
