@@ -369,11 +369,18 @@ def minhash_sig_est_pruned(
             ]
         )
     )
-    # one row per distinct signature; feeds both band-join sides AND
-    # the member join -> cheap to materialize (fixed width, <= |docs|)
+    # rep via a min-window over the signature partition: ONE shuffle
+    # gives every member row its rep (a groupBy + 8-column member
+    # re-join costs a second shuffle of all docs — measured slower at
+    # both sf0.1 and 100x); groups then falls out as the rep's own
+    # row. Groups feeds all four band-join selects -> materialize
+    # (fixed width, one row per distinct signature).
+    members = wide.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(*mcols))
+    )
     groups = (
-        wide.groupBy(*mcols)
-        .agg(F.min("doc_id").alias("rep"))
+        members.filter(F.col("doc_id") == F.col("rep"))
+        .select("rep", *mcols)
         .localCheckpoint(eager=True)
     )
     bands = None
@@ -414,9 +421,9 @@ def minhash_sig_est_pruned(
         .groupBy(F.col("rep_b").alias("rep"))
         .agg(F.min("rep_a").alias("ext"))
     )
-    members = wide.join(groups, mcols).select("doc_id", "rep")
     return (
-        members.join(min_ext, "rep", "left")
+        members.select("doc_id", "rep")
+        .join(min_ext, "rep", "left")
         .filter(
             (F.col("doc_id") > F.col("rep"))
             | (F.col("doc_id") > F.col("ext"))
