@@ -260,3 +260,56 @@ def test_grid_quantiles_match_python_replica(spark, seed):
         for r in grid_quantiles(df, "x", probs=probs, width=16).collect()
     }
     assert got == _py_grid_quantiles(vals, probs, 16)
+
+
+# ---------------------------------------------------------------------------
+# minhash_sig_est_pruned == distinct doc_b of minhash_sig_est_pairs
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(_WORDS), min_size=0, max_size=8
+            ),
+            st.integers(0, 3),  # number of extra copies of this doc
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    threshold=st.sampled_from([0.25, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_sig_est_pruned_equals_pairs_property(spark, data, threshold):
+    """The signature-group-collapsed pruned set is an exact rewrite
+    of 'distinct doc_b of the pair operator' for ANY corpus —
+    including empty docs, sub-shingle-width docs, and duplicate
+    piles with arbitrary id interleavings."""
+    from knn_using_hadoop_spark.operators import dedup
+
+    rows = []
+    i = 0
+    for words, copies in data:
+        text = " ".join(words)
+        for _ in range(copies + 1):
+            rows.append((i, text))
+            i += 7  # non-contiguous ids: rep/min arithmetic must not
+            # depend on density
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        r.doc_b
+        for r in dedup.minhash_sig_est_pairs(docs, threshold=threshold)
+        .select("doc_b")
+        .distinct()
+        .collect()
+    }
+    got = {
+        r.doc_id
+        for r in dedup.minhash_sig_est_pruned(
+            docs, threshold=threshold
+        ).collect()
+    }
+    assert got == want
