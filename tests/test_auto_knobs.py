@@ -142,3 +142,25 @@ def test_semdedup_auto_runs_and_prunes_twins(emb_10x):
     # per family ~2k; cell-boundary splits leave some extra
     assert kept <= total * 0.35
     assert kept >= total * 0.08
+
+
+def test_auto_knobs_degenerate_corpora(spark):
+    """Auto derivation must not crash on tiny/empty corpora: the
+    clamp floors keep C/planes valid and the operators return
+    well-formed (possibly empty) results."""
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert sim._auto_n_centroids(empty) == 4
+    assert sim._auto_n_planes(empty, k=10) == 3
+    tiny = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    assert sim._auto_n_centroids(tiny) == 4
+    out = sim.ivf_topk(tiny, tiny, 2)  # auto knob on a 3-row corpus
+    assert out.count() >= 0 and out.columns == [
+        "query_id", "rank", "vec_id", "sim",
+    ]
+    pruned = sim.semdedup_prune(tiny, iters=1, threshold=0.999)
+    assert pruned.count() == 3  # one row per corpus vector
