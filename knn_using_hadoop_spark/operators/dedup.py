@@ -373,15 +373,17 @@ def minhash_sig_est_pruned(
     # gives every member row its rep (a groupBy + 8-column member
     # re-join costs a second shuffle of all docs — measured slower at
     # both sf0.1 and 100x); groups then falls out as the rep's own
-    # row. Groups feeds all four band-join selects -> materialize
-    # (fixed width, one row per distinct signature).
+    # row. Checkpoint MEMBERS, not groups: every downstream consumer
+    # (four band selects + the final prune join) then reads the one
+    # materialized fixed-width relation, so the expensive signature
+    # lineage runs exactly once (checkpointing groups instead leaves
+    # the prune join recomputing it — measured: sf0.1 2.8 -> 2.0s,
+    # 100x 9.5 -> 6.4s).
     members = wide.withColumn(
         "rep", F.min("doc_id").over(Window.partitionBy(*mcols))
-    )
-    groups = (
-        members.filter(F.col("doc_id") == F.col("rep"))
-        .select("rep", *mcols)
-        .localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)
+    groups = members.filter(F.col("doc_id") == F.col("rep")).select(
+        "rep", *mcols
     )
     bands = None
     for b in range(NUM_HASHES // BAND_ROWS):
