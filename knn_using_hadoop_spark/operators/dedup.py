@@ -259,15 +259,90 @@ def minhash_lsh_pairs(
     Measured at 10x skew: 80s (string verify) -> see NOTES r3; at
     sf0.1 unchanged. The minhash over the DISTINCT set equals the
     multiset minhash (min ignores duplicates).
+
+    CONTENT COLLAPSE (r4): identical texts have identical shingle
+    sets, hence identical signatures, candidacy, and Jaccard — so
+    shingling + LSH + verification run on one REPRESENTATIVE per
+    distinct text (120-bit content key, same as ``dedup_exact``) and
+    the verified rep pairs expand back to doc pairs:
+
+    * cross-content: (ra, rb) verified -> every (da in content(ra),
+      db in content(rb)) with least/greatest ordering, same
+      n_common/jaccard (both content-determined);
+    * within-content: a pile of m copies is m(m-1)/2 pairs with
+      jaccard exactly 1.0 and n_common = the set size — emitted iff
+      the pile has >= 1 shingle (shorter docs produce no signatures
+      and were never candidates) and 1.0 passes the threshold,
+      matching the uncollapsed semantics exactly.
+
+    The expansion joins are output-sized (the pair relation IS
+    quadratic in pile size — that is the true answer); everything
+    BEFORE them is sized by distinct texts. Hostile-10x corpus (50k
+    docs, 10,234 distinct texts): measured in NOTES r4. Output is
+    provably identical to the uncollapsed plan — pytest pins it
+    against the brute-force replica and this module's own history.
     """
-    hs = hashed_shingle_sets(docs, n)
+    ck = (
+        docs.select(
+            "doc_id",
+            portable_hash64(F.col("text")).alias("k1"),
+            portable_hash64(F.col("text"), pos=17).alias("k2"),
+        )
+        .withColumn(
+            "crep",
+            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
+        )
+        .select("doc_id", "crep")
+        .localCheckpoint(eager=True)  # doc-level, fixed-width; feeds
+        # the rep filter + both expansion joins + the within self-join
+    )
+    reps = docs.join(
+        ck.filter(F.col("doc_id") == F.col("crep")).select("doc_id"),
+        "doc_id",
+    )
+    hs = hashed_shingle_sets(reps, n)
     sigs = _signatures_from_h32(
         hs.select("doc_id", F.shiftright("h", 28).alias("h"))
     )
     candidates = _lsh_candidates(sigs)
-    return jaccard_verify(
+    rep_pairs = jaccard_verify(
         candidates, hs.withColumnRenamed("h", "shingle")
     ).filter(F.col("jaccard") >= threshold)
+
+    ma = ck.select(
+        F.col("crep").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mb = ck.select(
+        F.col("crep").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    sizes = hs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    wa = ck.select("crep", F.col("doc_id").alias("doc_a"))
+    wb = ck.select("crep", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "crep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(
+            sizes.withColumnRenamed("doc_id", "crep"), "crep"
+        )
+        .select(
+            "doc_a", "doc_b", "n_common", F.lit(1.0).alias("jaccard")
+        )
+    )
+    return cross.unionByName(within)
 
 
 def minhash_sig_est_pairs(

@@ -373,3 +373,72 @@ def test_sig_est_pruned_equals_pairs_doc_b(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_lsh_pairs_content_collapse_equals_uncollapsed(spark):
+    """The content-collapsed minhash_lsh_pairs (r4) returns EXACTLY
+    the uncollapsed plan's pairs — cross-content, within-pile
+    (jaccard 1.0, n_common = set size), and the no-shingle-pile
+    exclusion — on a corpus with interleaved duplicate piles."""
+    from knn_using_hadoop_spark import contract
+    from knn_using_hadoop_spark.operators import dedup
+    from knn_using_hadoop_spark.operators.dedup import (
+        _lsh_candidates,
+        _signatures_from_h32,
+        hashed_shingle_sets,
+        jaccard_verify,
+    )
+
+    base = contract.load_docs_wide(spark, "/root/testdata/sf0.001")
+    piles = (
+        base.limit(60)
+        .crossJoin(spark.range(4).select(F.col("id").alias("c")))
+        # copies 0-2 keep the text verbatim (piles of 3); copy 3 is
+        # perturbed (near-dup of its pile, distinct content)
+        .select(
+            (F.col("doc_id") * 4 + F.col("c")).alias("doc_id"),
+            F.when(
+                F.col("c") < 3, F.col("text")
+            ).otherwise(F.concat(F.col("text"), F.lit(" tail"))).alias(
+                "text"
+            ),
+        )
+    )
+    # short/no-shingle pile: 2 copies of a 2-word doc (3-shingles
+    # need >= 3 tokens -> must NOT appear in the output)
+    extra = spark.createDataFrame(
+        [(100001, "too short"), (100002, "too short")],
+        "doc_id long, text string",
+    )
+    docs = piles.unionByName(extra)
+
+    def uncollapsed(d, threshold):
+        hs = hashed_shingle_sets(d, 3)
+        sigs = _signatures_from_h32(
+            hs.select("doc_id", F.shiftright("h", 28).alias("h"))
+        )
+        return jaccard_verify(
+            _lsh_candidates(sigs), hs.withColumnRenamed("h", "shingle")
+        ).filter(F.col("jaccard") >= threshold)
+
+    for t in (0.5, 1.0):
+        want = {
+            (r.doc_a, r.doc_b, r.n_common, round(r.jaccard, 9))
+            for r in uncollapsed(docs, t).collect()
+        }
+        got = {
+            (r.doc_a, r.doc_b, r.n_common, round(r.jaccard, 9))
+            for r in dedup.minhash_lsh_pairs(docs, threshold=t).collect()
+        }
+        assert got == want, f"threshold {t}"
+    assert all(
+        r.doc_id not in (100001, 100002)
+        for r in dedup.minhash_lsh_pairs(docs, 0.5)
+        .selectExpr("doc_a as doc_id")
+        .union(
+            dedup.minhash_lsh_pairs(docs, 0.5).selectExpr(
+                "doc_b as doc_id"
+            )
+        )
+        .collect()
+    )
