@@ -243,6 +243,82 @@ def _lsh_candidates(signatures: DataFrame) -> DataFrame:
     )
 
 
+def _content_collapse(docs: DataFrame):
+    """(ck, reps): doc -> content representative, and the rep docs.
+
+    ck = (doc_id, crep) where crep = min doc_id sharing the 120-bit
+    content key (``dedup_exact``'s argument for collision odds) —
+    checkpointed: doc-level fixed-width, feeds the rep filter + both
+    expansion joins + the within self-join. reps = one full doc row
+    per distinct text.
+    """
+    ck = (
+        docs.select(
+            "doc_id",
+            portable_hash64(F.col("text")).alias("k1"),
+            portable_hash64(F.col("text"), pos=17).alias("k2"),
+        )
+        .withColumn(
+            "crep",
+            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
+        )
+        .select("doc_id", "crep")
+        .localCheckpoint(eager=True)
+    )
+    reps = docs.join(
+        ck.filter(F.col("doc_id") == F.col("crep")).select("doc_id"),
+        "doc_id",
+    )
+    return ck, reps
+
+
+def _expand_content_pairs(
+    rep_pairs: DataFrame,
+    ck: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Expand rep-level verified pairs to doc-level pairs.
+
+    ``rep_pairs`` = (doc_a, doc_b, n_common, jaccard) between content
+    representatives; ``sizes`` = (doc_id, n_common) per rep with >= 1
+    shingle. Cross-content expansion keeps the (content-determined)
+    n_common/jaccard with least/greatest id ordering; within-content
+    piles emit their m(m-1)/2 pairs directly at jaccard exactly 1.0
+    iff the pile has >= 1 shingle and 1.0 passes the threshold — both
+    exactly what the uncollapsed plan produces.
+    """
+    ma = ck.select(
+        F.col("crep").alias("doc_a"), F.col("doc_id").alias("da")
+    )
+    mb = ck.select(
+        F.col("crep").alias("doc_b"), F.col("doc_id").alias("db")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:
+        return cross
+    wa = ck.select("crep", F.col("doc_id").alias("doc_a"))
+    wb = ck.select("crep", F.col("doc_id").alias("doc_b"))
+    within = (
+        wa.join(wb, "crep")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .join(sizes.withColumnRenamed("doc_id", "crep"), "crep")
+        .select(
+            "doc_a", "doc_b", "n_common", F.lit(1.0).alias("jaccard")
+        )
+    )
+    return cross.unionByName(within)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, threshold: float = 0.5, n: int = 3
 ) -> DataFrame:
@@ -282,24 +358,7 @@ def minhash_lsh_pairs(
     provably identical to the uncollapsed plan — pytest pins it
     against the brute-force replica and this module's own history.
     """
-    ck = (
-        docs.select(
-            "doc_id",
-            portable_hash64(F.col("text")).alias("k1"),
-            portable_hash64(F.col("text"), pos=17).alias("k2"),
-        )
-        .withColumn(
-            "crep",
-            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
-        )
-        .select("doc_id", "crep")
-        .localCheckpoint(eager=True)  # doc-level, fixed-width; feeds
-        # the rep filter + both expansion joins + the within self-join
-    )
-    reps = docs.join(
-        ck.filter(F.col("doc_id") == F.col("crep")).select("doc_id"),
-        "doc_id",
-    )
+    ck, reps = _content_collapse(docs)
     hs = hashed_shingle_sets(reps, n)
     sigs = _signatures_from_h32(
         hs.select("doc_id", F.shiftright("h", 28).alias("h"))
@@ -308,41 +367,10 @@ def minhash_lsh_pairs(
     rep_pairs = jaccard_verify(
         candidates, hs.withColumnRenamed("h", "shingle")
     ).filter(F.col("jaccard") >= threshold)
-
-    ma = ck.select(
-        F.col("crep").alias("doc_a"), F.col("doc_id").alias("da")
-    )
-    mb = ck.select(
-        F.col("crep").alias("doc_b"), F.col("doc_id").alias("db")
-    )
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("da", "db").alias("doc_a"),
-            F.greatest("da", "db").alias("doc_b"),
-            "n_common",
-            "jaccard",
-        )
-    )
-    if threshold > 1.0:
-        return cross
     sizes = hs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_common")
     )
-    wa = ck.select("crep", F.col("doc_id").alias("doc_a"))
-    wb = ck.select("crep", F.col("doc_id").alias("doc_b"))
-    within = (
-        wa.join(wb, "crep")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .join(
-            sizes.withColumnRenamed("doc_id", "crep"), "crep"
-        )
-        .select(
-            "doc_a", "doc_b", "n_common", F.lit(1.0).alias("jaccard")
-        )
-    )
-    return cross.unionByName(within)
+    return _expand_content_pairs(rep_pairs, ck, sizes, threshold)
 
 
 def minhash_sig_est_pairs(
@@ -782,8 +810,20 @@ def jaccard_prefix_pairs(
     halves the join input, and because prefixes hold the RAREST
     shingles, bucket sizes collapse (the hot shingle that makes the
     naive join quadratic is in nobody's prefix).
+
+    CONTENT COLLAPSE (r4, same as ``minhash_lsh_pairs``): prefixes,
+    candidacy and Jaccard are all functions of the shingle SET, so
+    the whole machinery runs on one representative per distinct text
+    and verified rep pairs expand back to doc pairs. Exactness is
+    preserved by the prefix theorem itself: it holds under ANY global
+    total order, so the rep-corpus document frequencies being smaller
+    than the full-corpus ones changes only the order statistics, not
+    the guaranteed-complete candidate set; verification then restores
+    precision as before. Identical piles skip the prefix machinery
+    entirely (within-content expansion at jaccard exactly 1.0).
     """
-    shingle_df = shingle_sets(docs, n)
+    ck, reps = _content_collapse(docs)
+    shingle_df = shingle_sets(reps, n)
     freq = shingle_df.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )
@@ -812,8 +852,16 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return jaccard_verify(cands, shingle_df).filter(
+    rep_pairs = jaccard_verify(cands, shingle_df).filter(
         F.col("jaccard") >= threshold
+    )
+    return _expand_content_pairs(
+        rep_pairs,
+        ck,
+        shingle_df.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_common")
+        ),
+        threshold,
     )
 
 
