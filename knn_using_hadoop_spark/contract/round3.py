@@ -358,12 +358,19 @@ def q_events_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not pid_s.isdigit():
             # pre-pid-scoping layout (no -<pid> suffix): always stale
             shutil.rmtree(f"{root}/{d}", ignore_errors=True)
-        elif int(pid_s) != _os.getpid():
+        else:
+            # str.isdigit accepts Unicode digits int() rejects (e.g.
+            # '²'), and a forged suffix beyond C-int range overflows
+            # os.kill — the root lives in world-writable /tmp, so
+            # skip anything unparseable instead of crashing (ADVICE
+            # r4 #3)
             try:
-                _os.kill(int(pid_s), 0)
+                pid = int(pid_s)
+                if pid != _os.getpid():
+                    _os.kill(pid, 0)
             except ProcessLookupError:
                 shutil.rmtree(f"{root}/{d}", ignore_errors=True)
-            except PermissionError:
+            except (ValueError, OverflowError, PermissionError):
                 pass
     shutil.rmtree(path, ignore_errors=True)
     write_table_version(

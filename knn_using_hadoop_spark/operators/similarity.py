@@ -35,10 +35,14 @@ def _auto_n_centroids(corpus: DataFrame) -> int:
     papers' own guidance (IVF: n/C candidates per probe and C
     assignment dots balance at C=sqrt(n); SemDeDup: cluster count
     grows with corpus) — per-cell work then stays O(sqrt(n)).
-    Derivation costs ONE corpus count() (a metadata-cheap job, no
-    data shuffle) and only runs when the caller leaves the knob
-    unset; explicit values — e.g. every registry oracle query — skip
-    it entirely.
+    Derivation costs ONE corpus count() and only runs when the
+    caller leaves the knob unset; explicit values — e.g. every
+    registry oracle query — skip it entirely. Cost caveat (ADVICE
+    r4 #4): the count is metadata-cheap only for a direct parquet
+    scan; when the corpus is derived lineage (filters, joins,
+    transforms) it executes the full upstream plan as an extra job —
+    pipeline composers should pass explicit knobs or checkpoint the
+    corpus first.
     """
     n = corpus.count()
     return max(4, min(4096, math.isqrt(max(n, 1))))
@@ -52,7 +56,8 @@ def _auto_n_planes(corpus: DataFrame, k: int) -> int:
     ones (quadratic rerank). Target occupancy max(32, 4k) keeps the
     rerank bounded while leaving enough same-bucket candidates to
     fill top-k: p = clamp(round(log2(n / target)), 3, 24). One
-    count() when the knob is unset, as in ``_auto_n_centroids``.
+    count() when the knob is unset, as in ``_auto_n_centroids``
+    (same derived-lineage cost caveat applies).
     """
     n = max(corpus.count(), 1)
     target = max(32, 4 * k)

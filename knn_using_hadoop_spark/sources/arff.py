@@ -265,15 +265,24 @@ def write_arff(
         elif tn == "string":
             atype = "string"
             v = F.col(f.name)
-            escaped = F.concat(
-                F.lit("'"),
-                F.regexp_replace(
-                    F.regexp_replace(v, r"\\", r"\\\\"), "'", r"\\'"
-                ),
-                F.lit("'"),
+            # escape chain per Weka Utils.backQuoteChars: backslash
+            # first, then quote, then newline/CR as literal \n / \r
+            # (they would break the line-oriented format otherwise)
+            esc = F.regexp_replace(
+                F.regexp_replace(v, r"\\", r"\\\\"), "'", r"\\'"
             )
+            esc = F.regexp_replace(esc, "\n", r"\\n")
+            esc = F.regexp_replace(esc, "\r", r"\\r")
+            escaped = F.concat(F.lit("'"), esc, F.lit("'"))
+            # quote triggers: separators/specials, empty, and the
+            # literal '?' — unquoted it reads back as the missing
+            # marker, making a real "?" string and NULL
+            # indistinguishable (Weka quotes it too; ADVICE r4 #1)
             cexpr = F.when(
-                (v == "") | v.rlike("[ ,\t'\"{}%\\\\]"), escaped
+                (v == "")
+                | (v == "?")
+                | v.rlike("[ ,\t'\"{}%\n\r\\\\]"),
+                escaped,
             ).otherwise(v)
         elif tn == "timestamp":
             atype = f"date \"{WEKA_DEFAULT_DATE_FORMAT}\""

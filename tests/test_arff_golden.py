@@ -279,6 +279,41 @@ def test_write_arff_quoting_and_nulls(spark, tmp_path):
     ]
 
 
+def test_write_arff_question_mark_and_newlines(spark, tmp_path):
+    """ADVICE r4 #1: a literal '?' string must be QUOTED (unquoted it
+    reads back as the missing marker, so a real "?" and NULL become
+    indistinguishable — Weka's Utils.quote quotes it too), and
+    newlines/CRs are escaped as \\n / \\r so a value can never break
+    the line-oriented format."""
+    from knn_using_hadoop_spark.sources.arff import write_arff
+
+    df = spark.createDataFrame(
+        [
+            (1.0, "?"),
+            (2.0, None),
+            (3.0, "line1\nline2"),
+            (4.0, "cr\rhere"),
+            (5.0, "ok"),
+        ],
+        "x double, s string",
+    )
+    p = str(tmp_path / "qm.arff")
+    write_arff(df, p, relation="qm")
+    import glob
+
+    text = open(glob.glob(f"{p}/part-*")[0]).read()
+    lines = text.strip().splitlines()
+    data = lines[lines.index("@data") + 1:]
+    # exactly one physical line per row: embedded newlines never leak
+    assert data == [
+        "1,'?'",
+        "2,?",
+        r"3,'line1\nline2'",
+        r"4,'cr\rhere'",
+        "5,ok",
+    ]
+
+
 def test_write_arff_single_file_preserves_row_order(spark, tmp_path):
     """single_file=True writes data rows in DataFrame order (ADVICE
     r3 #3): ord is now total, so the reader's file-order ids equal the

@@ -227,3 +227,58 @@ def test_semdedup_orthogonal_all_kept(spark):
         corpus, n_centroids=2, iters=1, threshold=0.9
     ).collect()
     assert all(r.keep for r in out)
+
+
+def _decon_rows(df):
+    return sorted(
+        (
+            r["doc_id"],
+            r["n_grams"],
+            r["n_overlap"],
+            r["overlap_frac"],
+            r["contaminated"],
+        )
+        for r in df.collect()
+    )
+
+
+def test_decontaminate_collapse_equals_direct(spark):
+    """The content-collapsed plan is an exact rewrite of the direct
+    per-doc plan — pinned on a hostile corpus: duplicate piles that
+    straddle the bench/train boundary (same text as both a benchmark
+    doc and training docs), piles entirely in train, partial-overlap
+    near-copies, clean docs, and zero-gram (short) docs."""
+    bench_text = " ".join(f"tok{i}" for i in range(40))
+    clean = " ".join(f"other{i}" for i in range(40))
+    near = bench_text + " extra1 extra2"
+    rows = [
+        (10, bench_text),  # benchmark
+        (11, bench_text),  # train copy of a benchmark text
+        (21, bench_text),  # second member of that pile
+        (12, near),        # near-copy -> contaminated
+        (13, near),        # pile of near-copies
+        (14, clean),       # clean
+        (15, clean),       # clean pile
+        (16, "too short"), # < n tokens -> zero grams -> no output row
+        (20, "tiny"),      # zero-gram BENCHMARK doc
+        (17, " ".join(f"third{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    direct = _decon_rows(curation.decontaminate(df, collapse=False))
+    collapsed = _decon_rows(curation.decontaminate(df, collapse=True))
+    assert collapsed == direct
+    ids = [t[0] for t in collapsed]
+    assert 16 not in ids and 20 not in ids and 10 not in ids
+    by_id = {t[0]: t for t in collapsed}
+    # exact train copies of benchmark text: overlap_frac == 1.0
+    assert by_id[11][3] == 1.0 and by_id[21][3] == 1.0
+    assert by_id[14][4] == 0 and by_id[15][4] == 0
+
+
+def test_decontaminate_collapse_equals_direct_on_testdata(spark, sf_dir):
+    from knn_using_hadoop_spark.contract.knn_core import load_docs_wide
+
+    docs = load_docs_wide(spark, sf_dir)
+    direct = _decon_rows(curation.decontaminate(docs, collapse=False))
+    collapsed = _decon_rows(curation.decontaminate(docs, collapse=True))
+    assert collapsed == direct and len(collapsed) > 0

@@ -374,6 +374,16 @@ def test_sig_est_pruned_equals_pairs_doc_b(spark):
     }
     assert got == want
 
+    # degenerate threshold > 1.0 (ADVICE r4 #2): sig_est_pairs
+    # returns nothing, so the pruned set must be empty too — the
+    # same-signature `doc_id > rep` branch must not fire
+    assert (
+        dedup.minhash_sig_est_pairs(piles, threshold=1.5).count() == 0
+    )
+    assert (
+        dedup.minhash_sig_est_pruned(piles, threshold=1.5).count() == 0
+    )
+
 
 def test_lsh_pairs_content_collapse_equals_uncollapsed(spark):
     """The content-collapsed minhash_lsh_pairs (r4) returns EXACTLY
