@@ -1,0 +1,77 @@
+"""10x/100x scale regressions behind ``--run-scale`` (VERDICT r4
+stretch ask #8): the same evidence ``tools/scale_report.py``
+regenerates, wired into a command reviewers already run.
+
+Skipped by default (the corpora are GBs under /tmp and a full run is
+tens of minutes); opt in with::
+
+    python -m pytest tests/test_scale.py --run-scale -q
+
+Each test asserts a WALL-CLOCK CEILING well above the measured band
+(NOTES.md / SCALE_REPORT.md) — loose enough to survive this box's
+documented 2-4x background-load swings, tight enough to catch the
+class of regression these corpora exist for (quadratic blowup,
+lost cap, fixed knob): those fail by 10-100x, not 2x.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+pytestmark = pytest.mark.scale
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SKEW_DIR = "/tmp/spark_graft_skew10"
+SCALE_DIR = "/tmp/spark_graft_scale100"
+
+
+@pytest.fixture(scope="module")
+def corpora():
+    for path, gen in (
+        (SKEW_DIR, "gen_skew_data.py"),
+        (SCALE_DIR, "gen_scale_data.py"),
+    ):
+        if not os.path.isdir(os.path.join(path, "documents.parquet")):
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", gen)],
+                check=True,
+            )
+    return SKEW_DIR, SCALE_DIR
+
+
+def _timed(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+# (query, corpus, ceiling_s) — ceilings = ~4x the measured warm band
+SCENARIOS = [
+    ("dedup_minhash_sigonly_pairs", "skew", 120),
+    ("dedup_minhash_lsh_pairs", "skew", 120),
+    ("doc_shared_passage_spans", "skew", 120),
+    ("corpus_curation_pipeline", "skew", 180),
+    ("graph_pagerank", "scale", 400),
+    ("corpus_curation_pipeline", "scale", 300),
+    ("events_time_travel", "scale", 120),
+    ("embedding_semdedup_prune", "skew", 150),
+]
+
+
+@pytest.mark.parametrize("name,corpus,ceiling", SCENARIOS)
+def test_scale_ceiling(spark, corpora, name, corpus, ceiling):
+    from knn_using_hadoop_spark import contract
+
+    skew, scale = corpora
+    sf_dir = skew if corpus == "skew" else scale
+    qs = contract.queries()
+    dt = _timed(qs[name](spark, sf_dir))
+    assert dt < ceiling, (
+        f"{name}@{corpus}: {dt:.0f}s >= ceiling {ceiling}s — "
+        "scale regression (see NOTES.md band for this query)"
+    )
