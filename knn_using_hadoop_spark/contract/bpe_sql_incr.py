@@ -327,16 +327,30 @@ def q_events_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Product quantization ANN (compressed scoring; composes with IVF)
 # --------------------------------------------------------------------------
 
+# Registry PQ knobs (round 5, VERDICT r4 ask #5). The r1-r4 setting
+# m=32/ks=32/iters=1 measured recall@10 = 0.65 on the sf0.01 gate
+# corpus; the measured sweep (NOTES r5) found 1-D subspaces with the
+# same single Lloyd iteration reach 0.88: at dim=64, m=64 makes each
+# subquantizer a SCALAR quantizer (sub-width 1), and ks=64 levels
+# per scalar cuts quantization error far faster than extra Lloyd
+# rounds on 2-D cells (iters=3 plateaued at 0.69). Storage: 64 codes
+# x 6 bits = 48 B/vec vs 256 B float32 — less compressed than the
+# old 20 B but retrieval-grade; callers wanting the old point pass
+# m/ks explicitly.
+_PQ_M_Q = 64
+_PQ_KS_Q = 64
+_PQ_SUBW = _EMB_DIM // _PQ_M_Q  # = 1
+
 _PQ_CTES = f"""
 cb0 AS (SELECT s.sub, e.vec_id AS code, e.embedding AS v
-        FROM embeddings e, generate_series(0, 31) s(sub)
-        WHERE e.vec_id < 32),
+        FROM embeddings e, generate_series(0, {_PQ_M_Q - 1}) s(sub)
+        WHERE e.vec_id < {_PQ_KS_Q}),
 d0 AS (
   SELECT v.vec_id, cb0.sub, cb0.code,
-         round(sum((v.embedding[cb0.sub*2+i]::DOUBLE - cb0.v[cb0.sub*2+i]::DOUBLE)
-                 * (v.embedding[cb0.sub*2+i]::DOUBLE - cb0.v[cb0.sub*2+i]::DOUBLE)),
+         round(sum((v.embedding[cb0.sub*{_PQ_SUBW}+i]::DOUBLE - cb0.v[cb0.sub*{_PQ_SUBW}+i]::DOUBLE)
+                 * (v.embedding[cb0.sub*{_PQ_SUBW}+i]::DOUBLE - cb0.v[cb0.sub*{_PQ_SUBW}+i]::DOUBLE)),
                6) AS d
-  FROM embeddings v, cb0, generate_series(1, 2) g(i)
+  FROM embeddings v, cb0, generate_series(1, {_PQ_SUBW}) g(i)
   GROUP BY v.vec_id, cb0.sub, cb0.code),
 a0 AS (
   SELECT vec_id, sub, code FROM (
@@ -346,17 +360,17 @@ a0 AS (
     FROM d0) r WHERE rn = 1),
 comp AS (
   SELECT a0.sub, a0.code, g.i AS pos,
-         round(avg(v.embedding[a0.sub*2+g.i]::DOUBLE), 6) AS a
+         round(avg(v.embedding[a0.sub*{_PQ_SUBW}+g.i]::DOUBLE), 6) AS a
   FROM a0 JOIN embeddings v ON v.vec_id = a0.vec_id,
-       generate_series(1, 2) g(i)
+       generate_series(1, {_PQ_SUBW}) g(i)
   GROUP BY a0.sub, a0.code, g.i),
 cb AS (SELECT sub, code, list(a ORDER BY pos) AS cv
        FROM comp GROUP BY sub, code),
 encd AS (
   SELECT v.vec_id, cb.sub, cb.code,
-         round(sum((v.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])
-                 * (v.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])), 6) AS d
-  FROM embeddings v, cb, generate_series(1, 2) g(i)
+         round(sum((v.embedding[cb.sub*{_PQ_SUBW}+i]::DOUBLE - cb.cv[i])
+                 * (v.embedding[cb.sub*{_PQ_SUBW}+i]::DOUBLE - cb.cv[i])), 6) AS d
+  FROM embeddings v, cb, generate_series(1, {_PQ_SUBW}) g(i)
   GROUP BY v.vec_id, cb.sub, cb.code),
 codes AS (
   SELECT vec_id, sub, code FROM (
@@ -366,9 +380,9 @@ codes AS (
     FROM encd) r WHERE rn = 1),
 qadc AS (
   SELECT q.vec_id AS query_id, cb.sub, cb.code,
-         round(sum((q.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])
-                 * (q.embedding[cb.sub*2+i]::DOUBLE - cb.cv[i])), 6) AS qd
-  FROM embeddings q, cb, generate_series(1, 2) g(i)
+         round(sum((q.embedding[cb.sub*{_PQ_SUBW}+i]::DOUBLE - cb.cv[i])
+                 * (q.embedding[cb.sub*{_PQ_SUBW}+i]::DOUBLE - cb.cv[i])), 6) AS qd
+  FROM embeddings q, cb, generate_series(1, {_PQ_SUBW}) g(i)
   WHERE q.vec_id % {_SIM_QUERY_MOD} = 0
   GROUP BY q.vec_id, cb.sub, cb.code),
 adc AS (
@@ -390,13 +404,17 @@ SELECT query_id, rank, vec_id, adc_dist
 FROM pq_ranked WHERE rank <= 10""",
 )
 def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ/ADC approximate top-k: corpus compressed to m=8 codes per
-    vector (32x smaller than float32 dim=64), queries scored through
-    per-subspace lookup tables. The compression leg of the ANN family
-    (brute -> LSH -> IVF -> PQ); composes with the IVF cell filter
-    for the full IVFPQ shape."""
+    """PQ/ADC approximate top-k: corpus compressed to m scalar codes
+    per vector (m=64 x 6-bit codes = 48 B vs 256 B float32), queries
+    scored through per-subspace lookup tables. The compression leg of
+    the ANN family (brute -> LSH -> IVF -> PQ); composes with the IVF
+    cell filter for the full IVFPQ shape. Knob rationale at
+    ``_PQ_M_Q`` above (recall@10 0.65 -> 0.88, NOTES r5)."""
     corpus, queries = _sim_queries(spark, sf_dir)
-    return _sim.pq_topk(corpus, queries, 10, dim=_EMB_DIM, iters=1)
+    return _sim.pq_topk(
+        corpus, queries, 10, m=_PQ_M_Q, ks=_PQ_KS_Q, dim=_EMB_DIM,
+        iters=1,
+    )
 
 
 @_register(
@@ -435,7 +453,10 @@ def q_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     query set — the number that decides whether m/ks are adequate
     before an index ships."""
     corpus, queries = _sim_queries(spark, sf_dir)
-    pq = _sim.pq_topk(corpus, queries, 10, dim=_EMB_DIM, iters=1)
+    pq = _sim.pq_topk(
+        corpus, queries, 10, m=_PQ_M_Q, ks=_PQ_KS_Q, dim=_EMB_DIM,
+        iters=1,
+    )
     ex = _sim.l2_topk(corpus, queries, 10)
     ov = (
         pq.join(ex, ["query_id", "vec_id"])

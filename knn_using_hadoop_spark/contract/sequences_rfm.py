@@ -30,7 +30,11 @@ from knn_using_hadoop_spark.contract.featurization_ann import (
     _IVF_CELLS_SQL,
     _IVF_NC,
 )
-from knn_using_hadoop_spark.contract.bpe_sql_incr import (_PQ_CTES)
+from knn_using_hadoop_spark.contract.bpe_sql_incr import (
+    _PQ_CTES,
+    _PQ_KS_Q,
+    _PQ_M_Q,
+)
 
 # noqa: E402  (split module: original source follows)
 # --------------------------------------------------------------------------
@@ -737,5 +741,6 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational composition (operators/similarity.py::ivfpq_topk)."""
     corpus, queries = _sim_queries(spark, sf_dir)
     return _sim.ivfpq_topk(
-        corpus, queries, 10, n_centroids=_IVF_NC, dim=_EMB_DIM, iters=1
+        corpus, queries, 10, n_centroids=_IVF_NC, m=_PQ_M_Q,
+        ks=_PQ_KS_Q, dim=_EMB_DIM, iters=1,
     )
