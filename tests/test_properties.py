@@ -313,3 +313,54 @@ def test_sig_est_pruned_equals_pairs_property(spark, data, threshold):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# decontaminate(collapse=True) == decontaminate(collapse=False)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.lists(
+                st.sampled_from(_WORDS), min_size=0, max_size=10
+            ),
+            st.integers(0, 3),  # extra copies of this text
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_decontaminate_collapse_property(spark, data):
+    """Content-collapsed decontamination is an exact rewrite of the
+    direct per-doc plan for ANY corpus — duplicate piles that land on
+    either side of the doc_id%bench_mod boundary, zero-gram docs,
+    empty texts (r5; same contract as the sig_est_pruned rewrite)."""
+    from knn_using_hadoop_spark.operators import curation
+
+    rows = []
+    i = 0
+    for words, copies in data:
+        text = " ".join(words)
+        for _ in range(copies + 1):
+            rows.append((i, text))
+            i += 3  # ids stride across the bench_mod classes
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def key(df):
+        return sorted(
+            (
+                r["doc_id"],
+                r["n_grams"],
+                r["n_overlap"],
+                r["overlap_frac"],
+                r["contaminated"],
+            )
+            for r in df.collect()
+        )
+
+    direct = key(curation.decontaminate(docs, n=2, collapse=False))
+    collapsed = key(curation.decontaminate(docs, n=2, collapse=True))
+    assert collapsed == direct
