@@ -219,7 +219,15 @@ def q_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter tokens (freq > n/40) with exact counts, via
     bounded-memory Misra-Gries candidates + broadcast-semi-join exact
     rescue — the output provably equals the plain groupBy-filter the
-    oracle runs (operators/sketches.py::mg_heavy_hitters)."""
+    oracle runs (operators/sketches.py::mg_heavy_hitters).
+
+    Measured r5: the sketch's per-batch ``value_counts`` collapse cut
+    the 100x wall 8.4-8.7s -> 4.9-5.4s; a distinct-text pile collapse
+    ahead of the explode was REJECTED — it shuffles the full text
+    strings for nothing on the (typical) mostly-distinct corpus
+    (10.0-11.6s at 100x) and only ties the direct plan at 5x pile-up.
+    Callers with known-heavy duplication can collapse themselves and
+    pass ``weight_col``."""
     toks = load_docs_wide(spark, sf_dir).select(
         F.explode(_text.tokens("text")).alias("tok")
     )

@@ -965,6 +965,7 @@ def semdedup_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    collapse: bool | str = "auto",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540).
 
@@ -989,6 +990,40 @@ def semdedup_prune(
     guidance, promoted to the default after the r3 100x stress showed
     fixed C degrades the within-cell stage to all-pairs
     (``_auto_n_centroids``).
+
+    ``collapse`` handles the OTHER quadratic
+    driver, duplicate pile-up, which smaller cells cannot fix: m
+    exact copies of a vector are m(m-1)/2 within-cell pairs. Content
+    piles (identical vector bytes, keyed by the 120-bit hash of the
+    array's string form) share cell assignment and centroid_sim by
+    determinism of both, so a pile's effect on any other vector — and
+    the keep decision of each member — is fully determined by the
+    pile's (centroid_sim, min vec_id): member x of pile P is removed
+    iff some threshold-similar pile Q has (cs_Q, rep_Q) lexicographic-
+    below (cs_P, x), or a same-pile partner with smaller id exists
+    (pair sim of identical vectors rounds to exactly 1.0 at 6dp).
+    The k-means FIT stays on the FULL corpus (duplicates weight the
+    centroids — collapsing before the fit would change the output);
+    only assignment + the pair stage run per distinct content.
+    NaN-component and zero-norm vectors are forced into singleton
+    piles: their pair sims are NaN, and Spark's total-order NaN
+    semantics (NaN greatest, NaN == NaN) must keep flowing through
+    the ORIGINAL pair comparisons for them. Exact rewrite pinned by
+    pytest on pile-up corpora; the within-pile branch is gated off
+    for threshold > 1.0 (mirrors ``dedup._expand_content_pairs``).
+
+    ``collapse="auto"`` (the default) probes the duplication ratio
+    with one cheap aggregate over the content keys and collapses only
+    when rows / distinct-contents >= 2: on an all-distinct corpus the
+    collapsed plan is pure overhead (measured +38% at 200k distinct
+    vectors — string-cast + two hashes of every array, a window, a
+    checkpoint, and two extra joins that buy nothing), while at 10x
+    pile-up it wins ~1.8x (38.3 -> 20.9s min, same keep set). The
+    probe costs one (count, countDistinct) job over 16-byte keys —
+    single-digit % of the pair stage it protects. Note the probe
+    executes the corpus lineage once extra; pipeline composers should
+    pass explicit True/False or checkpoint the corpus first (same
+    caveat as the auto ANN knobs).
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus)
@@ -996,8 +1031,54 @@ def semdedup_prune(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
     ).localCheckpoint(eager=True)  # feeds assignment AND member join
+    ck = None
+    pair_src = corpus
+    from knn_using_hadoop_spark.functions.hashing import (
+        portable_hash64,
+    )
+
+    s = F.col(vec_col).cast("string")
+    if collapse == "auto":
+        n_rows, n_distinct = (
+            corpus.agg(
+                F.count(F.lit(1)),
+                F.count_distinct(
+                    portable_hash64(s), portable_hash64(s, pos=17)
+                ),
+            ).first()
+        )
+        collapse = n_distinct > 0 and n_rows / n_distinct >= 2.0
+    if collapse:
+        # content-determined flag: NaN/zero-norm vectors keep their
+        # original singleton pair semantics (their sims are NaN and
+        # must flow through the unchanged comparisons)
+        own = F.exists(
+            F.col(vec_col), lambda x: F.isnan(x.cast("double"))
+        ) | (_sqnorm(F.col(vec_col), dim) == F.lit(0.0))
+        ck = (
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                portable_hash64(s).alias("k1"),
+                portable_hash64(s, pos=17).alias("k2"),
+                own.alias("own"),
+            )
+            .withColumn(
+                "crep",
+                F.when(F.col("own"), F.col("vec_id")).otherwise(
+                    F.min("vec_id").over(Window.partitionBy("k1", "k2"))
+                ),
+            )
+            .select("vec_id", "crep")
+            .localCheckpoint(eager=True)
+        )
+        pair_src = corpus.join(
+            ck.filter(F.col("vec_id") == F.col("crep")).select(
+                F.col("vec_id").alias(id_col)
+            ),
+            id_col,
+        )
     cells = ivf_assign_cells(
-        corpus,
+        pair_src,
         cents.select("centroid_id", F.col("centv").alias(vec_col)),
         id_col=id_col,
         vec_col=vec_col,
@@ -1007,7 +1088,7 @@ def semdedup_prune(
     # centroid-sim projection AND both sides of the pair join
     # (see ivf_assign_cells — float shape preserved, bit-identical)
     m = (
-        corpus.select(
+        pair_src.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("vv"),
             F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("vn"),
@@ -1053,35 +1134,77 @@ def semdedup_prune(
         / (F.col("an") * F.col("bn")),
         6,
     )
-    removed = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .filter(pair_sim >= F.lit(threshold))
-        # the LATER point in keep order (higher centroid_sim, ties by
-        # id) is the duplicate
-        .select(
-            F.when(
-                (F.col("a_cs") > F.col("b_cs"))
-                | (
-                    (F.col("a_cs") == F.col("b_cs"))
-                    & (F.col("a_id") > F.col("b_id"))
-                ),
-                F.col("a_id"),
+    if not collapse:
+        removed = (
+            a.join(b, "cell")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .filter(pair_sim >= F.lit(threshold))
+            # the LATER point in keep order (higher centroid_sim,
+            # ties by id) is the duplicate
+            .select(
+                F.when(
+                    (F.col("a_cs") > F.col("b_cs"))
+                    | (
+                        (F.col("a_cs") == F.col("b_cs"))
+                        & (F.col("a_id") > F.col("b_id"))
+                    ),
+                    F.col("a_id"),
+                )
+                .otherwise(F.col("b_id"))
+                .alias("vec_id")
             )
-            .otherwise(F.col("b_id"))
-            .alias("vec_id")
+            .distinct()
+            .withColumn("_rm", F.lit(True))
         )
-        .distinct()
-        .withColumn("_rm", F.lit(True))
+        return (
+            members.join(removed, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cell",
+                "centroid_sim",
+                F.col("_rm").isNull().alias("keep"),
+            )
+        )
+    # collapsed: per target pile a, summarize every threshold-similar
+    # pile b by the two numbers that decide its members' fates —
+    # "some pile sits strictly below in keep order" and "the smallest
+    # id among equal-centroid-sim piles" (all of b's members share
+    # cs_b; their smallest id IS rep_b). Comparisons are the SAME
+    # operators as the uncollapsed plan, so Spark's NaN total order
+    # carries over.
+    threats = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .filter(pair_sim >= F.lit(threshold))
+        .groupBy("a_id")
+        .agg(
+            F.max(
+                (F.col("b_cs") < F.col("a_cs")).cast("int")
+            ).alias("any_lower"),
+            F.min(
+                F.when(F.col("b_cs") == F.col("a_cs"), F.col("b_id"))
+            ).alias("min_eq"),
+        )
     )
-    return (
-        members.join(removed, "vec_id", "left")
-        .select(
-            "vec_id",
-            "cell",
-            "centroid_sim",
-            F.col("_rm").isNull().alias("keep"),
-        )
+    stats = members.join(
+        threats, members.vec_id == threats.a_id, "left"
+    ).select(
+        F.col("vec_id").alias("crep"),
+        "cell",
+        "centroid_sim",
+        "any_lower",
+        "min_eq",
+    )
+    expanded = ck.join(stats, "crep")
+    removed_x = F.coalesce(
+        F.col("any_lower") == 1, F.lit(False)
+    ) | F.coalesce(F.col("min_eq") < F.col("vec_id"), F.lit(False))
+    if threshold <= 1.0:
+        # within-pile: identical vectors' pair sim rounds to exactly
+        # 1.0, equal cs -> every non-rep member is removed by the rep
+        removed_x = removed_x | (F.col("crep") < F.col("vec_id"))
+    return expanded.select(
+        "vec_id", "cell", "centroid_sim", (~removed_x).alias("keep")
     )
 
 

@@ -69,61 +69,85 @@ def kmv_distinct(
 
 
 def mg_heavy_hitters(
-    items: DataFrame, item_col: str, k: int = 40
+    items: DataFrame, item_col: str, k: int = 40,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Exact heavy hitters via a Misra-Gries candidate pass + exact
     rescue.
 
-    Finds every item whose frequency strictly exceeds n/k, with exact
-    counts, WITHOUT a full-width shuffle of the tail:
+    Finds every item whose frequency (sum of ``weight_col`` if given,
+    else row count) strictly exceeds W/k, with exact counts, WITHOUT a
+    full-width shuffle of the tail:
 
-    1. Per partition, a Misra-Gries summary with k counters (Arrow-
-       batched ``mapInPandas``; bounded memory, one pass). MG
-       guarantees any item with local count > n_p/k survives locally;
-       since a global count > n/k = Σ n_p/k forces some partition over
-       its local threshold (pigeonhole), the union of per-partition
-       candidates contains every global heavy hitter.
+    1. Per partition, a weighted Misra-Gries summary with k counters
+       (Arrow-batched ``mapInPandas``; bounded memory, one pass). Each
+       batch is first collapsed vectorized (``value_counts`` /
+       groupby-sum — C speed), so the Python loop runs per DISTINCT
+       item per batch, not per row. The weighted-MG update (add, then
+       on overflow decrement all k+1 counters by their min and drop
+       zeros) undercounts any item by at most Σd ≤ W_p/(k+1): every
+       overflow removes (k+1)·d of counter mass, charged against the
+       partition's total added weight W_p. So any item with local
+       weight > W_p/k > W_p/(k+1) survives locally; a global weight
+       > W/k = Σ W_p/k forces some partition over its local threshold
+       (pigeonhole), so the union of per-partition candidates contains
+       every global heavy hitter.
     2. Exact counts of the candidates only, via a broadcast semi join
        — the long tail (most of a Zipf distribution's mass) never
        enters the aggregation shuffle.
-    3. Filter cnt * k > n against the exact global total.
+    3. Filter cnt * k > W against the exact global total.
 
     The candidate SET depends on partitioning, but the OUTPUT doesn't:
     step 2/3 return exactly the items the plain groupBy-filter would —
     which is the DuckDB oracle. At 100 TB this is the difference
     between shuffling |distinct items| rows and shuffling
     ≤ partitions×k candidate keys plus one small broadcast.
+
+    ``weight_col`` is the duplicate-pile-up hook (r5): a caller that
+    collapses identical payloads upstream (e.g. distinct texts with
+    pile sizes) feeds (item, weight) and gets the same answer as the
+    uncollapsed stream — counts are additive — at the collapsed
+    stream's cost.
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
     def mg_partition(batches):
         counters: dict = {}
         for pdf in batches:
-            for v in pdf[item_col]:
-                if v in counters:
-                    counters[v] += 1
-                elif len(counters) < k:
-                    counters[v] = 1
-                else:
-                    dead = [key for key in counters if counters[key] == 1]
-                    for key in counters:
-                        counters[key] -= 1
-                    for key in dead:
-                        del counters[key]
+            if weight_col is None:
+                vc = pdf[item_col].value_counts(sort=False)
+            else:
+                vc = pdf.groupby(item_col, sort=False)[weight_col].sum()
+            for v, w in vc.items():
+                counters[v] = counters.get(v, 0) + int(w)
+                if len(counters) > k:
+                    d = min(counters.values())
+                    counters = {
+                        key: c - d
+                        for key, c in counters.items()
+                        if c > d
+                    }
         import pandas as pd
 
         yield pd.DataFrame({item_col: list(counters.keys())})
 
-    src = items.select(item_col)
+    cols = [item_col] if weight_col is None else [item_col, weight_col]
+    src = items.select(*cols)
+    w_expr = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(weight_col)
+    )
     candidates = (
-        src.mapInPandas(mg_partition, schema=src.schema)
+        src.mapInPandas(
+            mg_partition, schema=src.select(item_col).schema
+        )
         .distinct()
     )
-    total = src.agg(F.count(F.lit(1)).alias("n_total"))
+    total = src.agg(w_expr.cast("bigint").alias("n_total"))
     exact = (
         src.join(F.broadcast(candidates), on=item_col, how="left_semi")
         .groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(w_expr.cast("bigint").alias("cnt"))
     )
     return (
         exact.crossJoin(F.broadcast(total))

@@ -304,3 +304,37 @@ def test_grid_quantiles_constant_column(spark):
     for r in grid_quantiles(df, "x", width=16).collect():
         assert r.exact == 42.0
         assert r.abs_err == 0.0 and r.err_bound == 0.0
+
+
+def test_mg_weighted_equals_unweighted(spark):
+    """Weighted MG over collapsed (item, pile-weight) rows returns
+    exactly the unweighted answer over the expanded stream (r5):
+    counts are additive, and the weighted-MG overflow rule keeps the
+    candidate-superset guarantee (undercount <= W_p/(k+1))."""
+    vals = (
+        ["a"] * 60 + ["b"] * 25 + [f"t{i}" for i in range(15)]
+    ) * 3
+    flat = spark.createDataFrame([(v,) for v in vals], "item string")
+    piled = flat.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
+
+    def key(df):
+        return sorted(
+            (r["item"], r["cnt"], r["n_total"]) for r in df.collect()
+        )
+
+    want = key(mg_heavy_hitters(flat, "item", k=10))
+    for parts in (1, 7):
+        got = key(
+            mg_heavy_hitters(
+                piled.repartition(parts), "item", k=10, weight_col="w"
+            )
+        )
+        assert got == want
+    # piles split across rows (same item appears with several
+    # weights) must still sum correctly through the sketch + rescue
+    split = flat.groupBy(
+        "item", (F.crc32(F.col("item")) % 2).alias("half")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    assert key(
+        mg_heavy_hitters(split, "item", k=10, weight_col="w")
+    ) == want

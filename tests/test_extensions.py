@@ -452,3 +452,48 @@ def test_lsh_pairs_content_collapse_equals_uncollapsed(spark):
         )
         .collect()
     )
+
+
+def test_semdedup_collapse_equals_uncollapsed(spark):
+    """semdedup_prune(collapse=True) is an exact rewrite of the
+    direct within-cell pair plan (r5): duplicate piles share cell and
+    centroid_sim by determinism, so a pile's threat to any member is
+    (cs, rep) — pinned on the real corpus, a 3x interleaved-id
+    pile-up, and the degenerate threshold > 1.0 (within-pile branch
+    must gate off)."""
+    from knn_using_hadoop_spark.operators import similarity as S
+    from knn_using_hadoop_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+
+    def key(df):
+        return sorted(
+            (r["vec_id"], r["cell"], r["centroid_sim"], r["keep"])
+            for r in df.collect()
+        )
+
+    def run(src, t, collapse):
+        return key(
+            S.semdedup_prune(
+                src, n_centroids=8, iters=1, threshold=t,
+                collapse=collapse,
+            )
+        )
+
+    assert run(emb, 0.35, True) == run(emb, 0.35, False)
+
+    piled = emb.crossJoin(
+        spark.range(3).select(F.col("id").alias("cc"))
+    ).select(
+        (F.col("vec_id") * 3 + F.col("cc")).alias("vec_id"), "embedding"
+    )
+    d = run(piled, 0.35, False)
+    c = run(piled, 0.35, True)
+    assert c == d
+    # "auto" probes the duplication ratio: 3x piles -> collapse fires;
+    # either way the output is pinned equal above
+    assert run(piled, 0.35, "auto") == d
+    # piles actually exercised: at least the non-rep members of every
+    # pile must be pruned (identical vectors are 1.0-similar)
+    assert sum(1 for t_ in d if t_[3]) < len(d) / 2
+    assert run(piled, 1.5, True) == run(piled, 1.5, False)
