@@ -60,6 +60,9 @@ SCENARIOS = [
     ("corpus_curation_pipeline", "scale", 300),
     ("events_time_travel", "scale", 120),
     ("embedding_semdedup_prune", "skew", 150),
+    # r5 session 2: auto collapse absorbs the 10x vector piles
+    # (warm band 21-40s); vectorized MG at 100x (warm band ~5s)
+    ("token_heavy_hitters", "scale", 60),
 ]
 
 
