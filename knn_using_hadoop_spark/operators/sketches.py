@@ -68,6 +68,29 @@ def kmv_distinct(
     )
 
 
+def _mg_update(counters: dict, pairs, k: int) -> None:
+    """Weighted Misra-Gries update, in place.
+
+    For each (item, weight): add, then while more than k counters
+    live, decrement ALL by the current min and drop the zeros. Every
+    overflow removes (k+1)·d of counter mass, so the cumulative
+    decrement Σd ≤ W/(k+1) where W is the total weight fed in — any
+    item with true weight > W/(k+1) ends with a positive counter
+    (present in ``counters``). Pure-Python core of
+    ``mg_heavy_hitters``'s per-partition pass, kept module-level so
+    the superset guarantee is property-testable without a JVM.
+    """
+    for v, w in pairs:
+        counters[v] = counters.get(v, 0) + int(w)
+        if len(counters) > k:
+            d = min(counters.values())
+            dead = [key for key, c in counters.items() if c <= d]
+            for key in counters:
+                counters[key] -= d
+            for key in dead:
+                del counters[key]
+
+
 def mg_heavy_hitters(
     items: DataFrame, item_col: str, k: int = 40,
     weight_col: str | None = None,
@@ -118,15 +141,7 @@ def mg_heavy_hitters(
                 vc = pdf[item_col].value_counts(sort=False)
             else:
                 vc = pdf.groupby(item_col, sort=False)[weight_col].sum()
-            for v, w in vc.items():
-                counters[v] = counters.get(v, 0) + int(w)
-                if len(counters) > k:
-                    d = min(counters.values())
-                    counters = {
-                        key: c - d
-                        for key, c in counters.items()
-                        if c > d
-                    }
+            _mg_update(counters, vc.items(), k)
         import pandas as pd
 
         yield pd.DataFrame({item_col: list(counters.keys())})

@@ -338,3 +338,49 @@ def test_mg_weighted_equals_unweighted(spark):
     assert key(
         mg_heavy_hitters(split, "item", k=10, weight_col="w")
     ) == want
+
+
+def test_mg_update_superset_guarantee_property():
+    """Pure-Python property pin of the weighted-MG guarantee that
+    makes mg_heavy_hitters' exact rescue complete: for ANY weighted
+    stream, ANY batch split, and ANY partitioning, every item whose
+    global weight strictly exceeds W/k survives in the union of
+    per-partition candidate sets (undercount <= W_p/(k+1) per
+    partition + pigeonhole across partitions)."""
+    from hypothesis import given, settings, strategies as st
+
+    from knn_using_hadoop_spark.operators.sketches import _mg_update
+
+    stream = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),  # item
+            st.integers(min_value=1, max_value=9),   # weight
+        ),
+        min_size=1,
+        max_size=120,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        pairs=stream,
+        k=st.integers(min_value=1, max_value=6),
+        n_parts=st.integers(min_value=1, max_value=4),
+        batch=st.integers(min_value=1, max_value=7),
+    )
+    def check(pairs, k, n_parts, batch):
+        total: dict = {}
+        for v, w in pairs:
+            total[v] = total.get(v, 0) + w
+        W = sum(total.values())
+        heavy = {v for v, c in total.items() if c * k > W}
+
+        candidates: set = set()
+        for p in range(n_parts):
+            part = [vw for i, vw in enumerate(pairs) if i % n_parts == p]
+            counters: dict = {}
+            for i in range(0, len(part), batch):
+                _mg_update(counters, part[i : i + batch], k)
+            candidates |= set(counters)
+        assert heavy <= candidates
+
+    check()
