@@ -497,3 +497,13 @@ def test_semdedup_collapse_equals_uncollapsed(spark):
     # pile must be pruned (identical vectors are 1.0-similar)
     assert sum(1 for t_ in d if t_[3]) < len(d) / 2
     assert run(piled, 1.5, True) == run(piled, 1.5, False)
+    # the collapsed plan stays JVM-side end to end
+    plan = (
+        S.semdedup_prune(
+            piled, n_centroids=8, iters=1, threshold=0.35, collapse=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
