@@ -531,14 +531,27 @@ def q_corpus_curation_pipeline(
     from knn_using_hadoop_spark.contract.knn_core import load_docs_wide
     from knn_using_hadoop_spark.operators import dedup as _ddp
 
+    from pyspark.sql import Window
+
     docs = load_docs_wide(spark, sf_dir)
     qual = _text.quality_score(docs).select("doc_id", "quality")
     k1 = F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("bigint")
     k2 = F.conv(F.substring(F.md5("text"), 17, 15), 16, 10).cast(
         "bigint"
     )
-    ek = docs.select("doc_id", k1.alias("k1"), k2.alias("k2"))
-    rep = ek.groupBy("k1", "k2").agg(F.min("doc_id").alias("rep"))
+    # ONE content-key relation (min doc_id per 120-bit text key)
+    # feeds the exact-dup verdict AND decontaminate's collapse (r5 —
+    # previously each hashed + shuffled the corpus separately; the
+    # keys are the same md5 slices). Eager checkpoint: multi-consumer.
+    ck = (
+        docs.select("doc_id", k1.alias("k1"), k2.alias("k2"))
+        .withColumn(
+            "crep",
+            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
+        )
+        .select("doc_id", "crep")
+        .localCheckpoint(eager=True)
+    )
     # signature-group-collapsed pruned set (NOT the pair relation —
     # a duplicated corpus makes pairs inherently quadratic; the r3
     # 100x stress hit 27.5M candidate pairs in this stage). Exact
@@ -547,21 +560,20 @@ def q_corpus_curation_pipeline(
     pruned = _ddp.minhash_sig_est_pruned(
         docs, threshold=_PIPE_NEARDUP_T
     ).withColumn("_pr", F.lit(True))
-    contam = _cur.decontaminate(docs).select(
+    contam = _cur.decontaminate(docs, content_keys=ck).select(
         "doc_id", (F.col("contaminated") == 1).alias("_ct")
     )
     split = _cur.split_assign(docs.select("doc_id")).select(
         "doc_id", "split"
     )
     base = (
-        ek.join(rep, ["k1", "k2"])
-        .join(qual, "doc_id")
+        ck.join(qual, "doc_id")
         .join(pruned, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(split, "doc_id")
     )
     benchmark = F.col("doc_id") % 10 == 0
-    exact_dup = F.col("doc_id") != F.col("rep")
+    exact_dup = F.col("doc_id") != F.col("crep")
     neardup = F.coalesce(F.col("_pr"), F.lit(False))
     contaminated = F.coalesce(F.col("_ct"), F.lit(False))
     return base.select(

@@ -299,6 +299,7 @@ def decontaminate(
     bench_mod: int = 10,
     min_frac: float = 0.2,
     collapse: bool = True,
+    content_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap.
 
@@ -331,8 +332,18 @@ def decontaminate(
     union over benchmark docs. ``collapse=False`` keeps the direct
     per-doc plan (cheaper below ~10k docs where texts are mostly
     distinct and the collapse window is pure overhead).
+
+    ``content_keys`` (r5): a precomputed (doc_id, crep) relation —
+    crep = min doc_id per exact text content — lets a caller that
+    already paid for content keys (the curation pipeline computes
+    them for its exact-dup stage, same 120-bit md5 slices) share ONE
+    relation instead of hashing + windowing the corpus twice. Implies
+    ``collapse=True``. The caller should eagerly checkpoint it if it
+    feeds other consumers too; this function uses it as-is.
     """
     is_bench = F.col("doc_id") % bench_mod == 0
+    if content_keys is not None:
+        collapse = True
     if not collapse:
         grams = exploded_shingles(docs, n, out="g").select(
             "doc_id", portable_hash32(F.col("g")).alias("h")
@@ -366,19 +377,22 @@ def decontaminate(
     # 120-bit text key). ck is doc-level fixed-width and feeds three
     # consumers (rep filter, bench-flag agg, expansion join) — one
     # eager checkpoint, the dedup module's sig-relation pattern.
-    ck = (
-        docs.select(
-            "doc_id",
-            portable_hash64(F.col("text")).alias("k1"),
-            portable_hash64(F.col("text"), pos=17).alias("k2"),
+    if content_keys is not None:
+        ck = content_keys.select("doc_id", "crep")
+    else:
+        ck = (
+            docs.select(
+                "doc_id",
+                portable_hash64(F.col("text")).alias("k1"),
+                portable_hash64(F.col("text"), pos=17).alias("k2"),
+            )
+            .withColumn(
+                "crep",
+                F.min("doc_id").over(Window.partitionBy("k1", "k2")),
+            )
+            .select("doc_id", "crep")
+            .localCheckpoint(eager=True)
         )
-        .withColumn(
-            "crep",
-            F.min("doc_id").over(Window.partitionBy("k1", "k2")),
-        )
-        .select("doc_id", "crep")
-        .localCheckpoint(eager=True)
-    )
     reps = docs.join(
         ck.filter(F.col("doc_id") == F.col("crep")).select("doc_id"),
         "doc_id",
