@@ -1039,12 +1039,14 @@ def semdedup_prune(
 
     s = F.col(vec_col).cast("string")
     if collapse == "auto":
+        # HLL, not exact count_distinct: the ratio only picks a plan
+        # (both plans are output-equal, pytest-pinned), and the sketch
+        # merges fixed-width partials instead of shuffling every
+        # distinct 16-byte key — the probe stays cheap at any scale.
         n_rows, n_distinct = (
             corpus.agg(
                 F.count(F.lit(1)),
-                F.count_distinct(
-                    portable_hash64(s), portable_hash64(s, pos=17)
-                ),
+                F.approx_count_distinct(portable_hash64(s)),
             ).first()
         )
         collapse = n_distinct > 0 and n_rows / n_distinct >= 2.0
