@@ -1019,7 +1019,8 @@ def semdedup_prune(
     vectors — string-cast + two hashes of every array, a window, a
     checkpoint, and two extra joins that buy nothing), while at 10x
     pile-up it wins ~1.8x (38.3 -> 20.9s min, same keep set). The
-    probe costs one (count, countDistinct) job over 16-byte keys —
+    probe costs one (count, HLL approx-distinct) aggregate over the
+    content hashes — fixed-width sketch merge, no key shuffle,
     single-digit % of the pair stage it protects. Note the probe
     executes the corpus lineage once extra; pipeline composers should
     pass explicit True/False or checkpoint the corpus first (same
