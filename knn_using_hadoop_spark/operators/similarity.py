@@ -23,6 +23,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _auto_n_centroids(corpus: DataFrame) -> int:
@@ -209,6 +210,347 @@ def cosine_classify(
     )
 
 
+def _np_fold_dots(V, Cm, start_zero: bool):
+    """(n,d) x (C,d) -> (n,C) dot matrix with the SQL fold's exact
+    IEEE-754 op sequence per element: acc = acc + v[j]*c[j] left to
+    right. ``start_zero`` replicates the HOF fold's 0.0 seed
+    (``_dot_hof``: 0.0 + p0 first) vs the unrolled form's bare-p0
+    start (``_dot_expanded``); the two differ only on a -0.0 first
+    product, but bit-exact means bit-exact. numpy's elementwise
+    multiply/add are plain IEEE doubles (no FMA contraction), so each
+    output element sees the identical operation stream the generated
+    JVM code runs — results are bit-identical, not merely close.
+    """
+    import numpy as np
+
+    n, d = V.shape
+    nc = Cm.shape[0]
+    out = np.empty((n, nc), dtype=np.float64)
+    # cache-block the row dimension so the accumulator + temp stay
+    # L2-resident — the fold makes d passes over them, and a DRAM-
+    # resident accumulator turns the kernel memory-bound (measured
+    # 34s -> ~3s at 200k x 447 x 64)
+    blk = max(1, 262144 // max(nc, 1))
+    tmp = np.empty((min(blk, n), nc), dtype=np.float64)
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        acc = out[s:e]
+        t = tmp[: e - s]
+        if start_zero:
+            acc.fill(0.0)
+            j0 = 0
+        else:
+            np.multiply(V[s:e, 0:1], Cm[:, 0].reshape(1, -1), out=acc)
+            j0 = 1
+        for j in range(j0, d):
+            np.multiply(
+                V[s:e, j : j + 1], Cm[:, j].reshape(1, -1), out=t
+            )
+            np.add(acc, t, out=acc)
+    return out
+
+
+def _np_fold_sqnorm(M, start_zero: bool):
+    """Row-wise squared norm with the SQL fold's exact op sequence
+    (see ``_np_fold_dots``)."""
+    import numpy as np
+
+    n, d = M.shape
+    if start_zero:
+        acc = np.zeros(n, dtype=np.float64)
+        j0 = 0
+    else:
+        acc = M[:, 0] * M[:, 0]
+        j0 = 1
+    for j in range(j0, d):
+        acc = acc + M[:, j] * M[:, j]
+    return acc
+
+
+_DEC_SIX = None
+
+
+def _round6_like_spark(x: float) -> float:
+    """Replicate Spark's ``round(double, 6)``: BigDecimal built from
+    the double's string form, setScale(6, HALF_UP), back to double —
+    i.e. Decimal(repr(x)) quantized HALF_UP. Python's repr and Java's
+    Double.toString both emit a shortest-round-trip decimal; the
+    JDK-17 legacy formatter can emit extra digits in rare cases, but
+    the represented values then differ by <1 ulp and disagree with
+    this replica only if that sliver straddles a 5e-7 rounding
+    boundary — far below the 6dp protocol's own cross-engine
+    tolerance (see module docstring).
+    """
+    global _DEC_SIX
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if _DEC_SIX is None:
+        _DEC_SIX = Decimal("0.000001")
+    return float(
+        Decimal(repr(x)).quantize(_DEC_SIX, rounding=ROUND_HALF_UP)
+    )
+
+
+def _collect_centroid_matrix(
+    centroids: DataFrame, vec_col: str, dim: int | None
+):
+    """Driver-side centroid fetch for the vectorized assignment.
+
+    Bounded by construction (C <= 4096 in every caller — the same
+    bounded-scalar-fetch budget as the persisted-index probe list).
+    Returns (cids, Cm, cn) with centroids sorted ascending by id, or
+    None when the collected set has edge shapes the vectorized kernel
+    does not replicate (null ids/vectors/elements, ragged or empty
+    dims) — the caller then falls back to the SQL plan, which defines
+    the semantics.
+    """
+    import numpy as np
+
+    if not isinstance(
+        centroids.schema["centroid_id"].dataType, T.LongType
+    ):
+        # the kernel emits int64 cells; other id types keep the SQL
+        # plan (which preserves the centroid_id type as-is)
+        return None
+    rows = centroids.select(
+        F.col("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    ).collect()
+    if not rows:
+        return [], None, None
+    if any(
+        r[0] is None
+        or r[1] is None
+        or any(x is None for x in r[1])
+        for r in rows
+    ):
+        return None
+    rows.sort(key=lambda r: r[0])
+    d = len(rows[0][1])
+    if d == 0 or any(len(r[1]) != d for r in rows):
+        return None
+    if dim is not None and dim != d:
+        return None
+    cids = [r[0] for r in rows]
+    Cm = np.array([r[1] for r in rows], dtype=np.float64)
+    cn = np.sqrt(_np_fold_sqnorm(Cm, start_zero=dim is None))
+    return cids, Cm, cn
+
+
+def _assign_cells_vectorized(
+    vectors: DataFrame,
+    cids: list,
+    Cm,
+    cn,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int | None,
+) -> DataFrame:
+    """Arrow-batched argmax-centroid kernel, bit-identical to the SQL
+    assignment plan (crossJoin + 6dp-rounded cosine + window rank).
+
+    Per batch it runs the exact IEEE op stream of the SQL expressions
+    (``_np_fold_dots``/``_np_fold_sqnorm``; sim = dot / (vn * cn);
+    np.sqrt and JVM Math.sqrt are both correctly rounded), then picks
+    each row's cell without materializing or shuffling the n x C pair
+    relation at all:
+
+    * rows whose raw-sim margin to the max exceeds 2e-6 cannot change
+      the winner after 6dp rounding (round moves a value < 5.1e-7),
+      so the common case is a pure numpy argmax;
+    * the rare near-tie candidates are rounded with the exact
+      BigDecimal-HALF_UP replica (``_round6_like_spark``) and ranked
+      (rounded sim desc, centroid_id asc) — the window's order;
+    * Spark's total-order edge semantics are preserved: NaN sims
+      (NaN components, zero norms) rank above everything -> lowest
+      centroid_id among the NaN columns; null dots (null vector,
+      null element, length mismatch vs the centroid dim under the
+      HOF zip_with) rank below everything and tie -> lowest
+      centroid_id overall. One DEFINED divergence: an exactly-zero
+      denominator makes the ANSI SQL plan raise DIVIDE_BY_ZERO
+      (Spark 4 default); the kernel follows the module's documented
+      IEEE protocol (0/0 -> NaN, x/0 -> ±Inf) instead — pinned in
+      test_assign_vectorized.py. No real corpus has zero-norm rows;
+      the SQL plan stays the semantics reference everywhere it is
+      defined.
+
+    vs the SQL plan this removes C interpreted lambda-fold dots per
+    vector AND the n x C-row window Exchange — the two costs that
+    made assignment the dominant stage of every IVF-family operator
+    at 100x (measured in NOTES r5).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = vectors.sparkSession
+    src = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # local-mode test corpora arrive as a handful of parquet splits;
+    # fan the narrow kernel out to the session's parallelism so it
+    # isn't serialized onto 2-3 Python workers. At cluster scale the
+    # input split count already exceeds defaultParallelism and this
+    # branch is a no-op (no Exchange added).
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    out_schema = T.StructType(
+        [
+            T.StructField(
+                "vec_id", src.schema[id_col].dataType, True
+            ),
+            T.StructField("cell", T.LongType(), True),
+        ]
+    )
+    d = Cm.shape[1]
+    start_zero = dim is None
+    n_cents = len(cids)
+    cid_arr = np.asarray(cids, dtype=np.int64)
+
+    absC = np.abs(Cm)
+
+    def pick_exact(svals, col_ids):
+        """Winner among EXACT candidate sims ``svals`` at centroid
+        column indices ``col_ids`` — the SQL window's order (6dp-
+        rounded sim desc, centroid_id asc), with Spark's NaN-greatest
+        total order."""
+        nanm = np.isnan(svals)
+        if nanm.any():
+            return col_ids[int(np.argmax(nanm))]
+        m = svals.max()
+        keep = svals >= (m - 2e-6)
+        kcols = col_ids[keep]
+        if kcols.size == 1:
+            return kcols[0]
+        best_j = -1
+        best_r = None
+        for v, j in zip(svals[keep], kcols):
+            r = _round6_like_spark(v) if math.isfinite(v) else v
+            if best_r is None or r > best_r:
+                best_r, best_j = r, j
+        return best_j
+
+    def exact_row_sims(vrow, vn_row, cols):
+        """Bit-exact sims of one vector against centroid columns
+        ``cols`` — the SQL fold's op stream per element."""
+        Ca = Cm[cols]
+        if start_zero:
+            acc = np.zeros(len(cols), dtype=np.float64)
+            j0 = 0
+        else:
+            acc = vrow[0] * Ca[:, 0]
+            j0 = 1
+        for j in range(j0, d):
+            acc = acc + vrow[j] * Ca[:, j]
+        with np.errstate(all="ignore"):
+            return acc / (vn_row * cn[cols])
+
+    # rigorous screen bound: |blas dot - sequential fold dot| <=
+    # 2 * d * eps * sum|v_j c_j| for EACH of the two summation
+    # orders, so 4*d*eps*S covers their difference with slack (the
+    # fold's product rounding is shared; dgemm may use FMA which only
+    # tightens its half). S itself comes from a matmul whose relative
+    # error is ~d*eps — absorbed by the 2x slop in the constant.
+    bconst = 4.0 * d * np.finfo(np.float64).eps
+    all_cols = np.arange(len(cids), dtype=np.int64)
+
+    def assign(batches):
+        import pyarrow.compute as pc
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            idc = rb.column(0)
+            la = rb.column(1)
+            lengths = pc.list_value_length(la)
+            lengths = (
+                lengths.to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            null_list = pc.is_null(la).to_numpy(zero_copy_only=False)
+            lengths[null_list] = -1.0
+            regular = lengths == float(d)
+            cells = np.full(n, cid_arr[0], dtype=np.int64)
+            ridx = np.nonzero(regular)[0]
+            if ridx.size:
+                flat = la.flatten()
+                elem_null = pc.is_null(flat).to_numpy(
+                    zero_copy_only=False
+                )
+                vals = flat.to_numpy(zero_copy_only=False)
+                # row start offsets within flat (null lists are
+                # dropped by flatten, so offsets skip them)
+                lens_nn = np.where(null_list, 0, lengths).astype(
+                    np.int64
+                )
+                lens_nn[lens_nn < 0] = 0
+                starts = np.concatenate(
+                    ([0], np.cumsum(lens_nn)[:-1])
+                )
+                gather = (
+                    starts[ridx][:, None]
+                    + np.arange(d, dtype=np.int64)[None, :]
+                )
+                has_null_el = elem_null[gather].any(axis=1)
+                ridx = ridx[~has_null_el]
+                if ridx.size:
+                    V = vals[
+                        (
+                            starts[ridx][:, None]
+                            + np.arange(d, dtype=np.int64)[None, :]
+                        )
+                    ]
+                    vn = np.sqrt(
+                        _np_fold_sqnorm(V, start_zero=start_zero)
+                    )
+                    with np.errstate(all="ignore"):
+                        nn = vn[:, None] * cn[None, :]
+                        approx = (V @ Cm.T) / nn
+                        bsim = (bconst * (np.abs(V) @ absC.T)) / nn
+                    finite = np.isfinite(approx).all(
+                        axis=1
+                    ) & np.isfinite(bsim).all(axis=1)
+                    sel = np.empty(ridx.size, dtype=np.int64)
+                    fidx = np.nonzero(finite)[0]
+                    if fidx.size:
+                        s = approx[fidx]
+                        bmax = bsim[fidx].max(axis=1)
+                        thresh = (
+                            s.max(axis=1) - 2.0 * bmax - 1.01e-6
+                        )
+                        cand = s >= thresh[:, None]
+                        first = np.argmax(cand, axis=1)
+                        multi = np.nonzero(cand.sum(axis=1) > 1)[0]
+                        for i in multi:
+                            cols = np.nonzero(cand[i])[0]
+                            r = fidx[i]
+                            first[i] = pick_exact(
+                                exact_row_sims(V[r], vn[r], cols),
+                                cols,
+                            )
+                        sel[fidx] = first
+                    # escape hatch: any non-finite screen value
+                    # (NaN components, zero norms, overflow) -> full
+                    # bit-exact fold for that row
+                    for r in np.nonzero(~finite)[0]:
+                        sel[r] = pick_exact(
+                            exact_row_sims(V[r], vn[r], all_cols),
+                            all_cols,
+                        )
+                    cells[ridx] = cid_arr[sel]
+            yield pa.RecordBatch.from_arrays(
+                [idc, pa.array(cells, type=pa.int64())],
+                names=["vec_id", "cell"],
+            )
+
+    if n_cents == 0:
+        return spark.createDataFrame([], out_schema)
+    return src.mapInArrow(assign, out_schema)
+
+
 def ivf_assign_cells(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -216,20 +558,58 @@ def ivf_assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Coarse quantization: nearest centroid (by cosine) per vector.
 
     ``centroids`` = (centroid_id, embedding). Returns (vec_id, cell).
     Deterministic: similarity rounded to 6dp, ties to the lowest
     centroid_id — the same ranking protocol as the top-k operators.
-    One broadcast join; cost O(|vectors| x |centroids| x dim) for the
-    dots. Norms are FACTORED OUT of the pair stage — computed once
-    per vector / per centroid before the join, not once per
-    (vector, centroid) pair, removing a C-fold share of the
-    assignment arithmetic; sim = dot / (vn * cn) keeps the exact
-    float shape of the inline form, so results (and oracles) are
-    bit-identical.
+
+    ``impl="vectorized"`` (default) runs the Arrow kernel
+    (``_assign_cells_vectorized``): bit-identical output with ZERO
+    shuffle (no pair relation, no window Exchange) and numpy-speed
+    arithmetic — measured 9-30x on the 100x corpus (NOTES r5). It
+    falls back to the SQL plan when the collected centroid set has
+    edge shapes the kernel does not replicate (nulls, ragged dims).
+    ``impl="sql"`` forces the original declarative plan — one
+    broadcast join, cost O(|vectors| x |centroids| x dim) for the
+    dots, norms FACTORED OUT of the pair stage (computed once per
+    vector / per centroid before the join); sim = dot / (vn * cn)
+    keeps the exact float shape of the inline form, so results (and
+    oracles) are bit-identical between both impls — pinned by pytest
+    (test_assign_vectorized.py).
     """
+    if impl == "vectorized":
+        prepared = _collect_centroid_matrix(centroids, vec_col, dim)
+        if prepared is not None:
+            cids, Cm, cn = prepared
+            if not cids:
+                spark = vectors.sparkSession
+                return spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "vec_id",
+                                vectors.schema[id_col].dataType,
+                                True,
+                            ),
+                            T.StructField(
+                                "cell", T.LongType(), True
+                            ),
+                        ]
+                    ),
+                )
+            return _assign_cells_vectorized(
+                vectors,
+                cids,
+                Cm,
+                cn,
+                id_col=id_col,
+                vec_col=vec_col,
+                dim=dim,
+            )
     c = centroids.select(
         F.col("centroid_id"),
         F.col(vec_col).alias("centv"),
