@@ -1336,6 +1336,222 @@ def ivfpq_topk(
     )
 
 
+def _semdedup_stats_vectorized(
+    members: DataFrame, threshold: float, dim: int | None
+) -> DataFrame:
+    """Per-member threat stats (a_id, any_lower, min_eq) for the
+    semdedup pair stage, bit-identical to the SQL self-join + agg.
+
+    Both semdedup keep policies reduce to exactly two numbers per
+    member x: does a threshold-similar clustermate sit strictly below
+    x in keep order (``any_lower``), and what is the smallest id among
+    equal-centroid-sim threshold-similar mates (``min_eq``). The SQL
+    plan computes them by materializing the within-cell pair relation
+    (members shuffled TWICE, |cell|^2 rows, one interpreted lambda-
+    fold dot per pair). This kernel shuffles members ONCE (the
+    groupBy-cell Exchange), then per cell:
+
+    * BLAS V @ V.T screen with the rigorous error bound of
+      ``_assign_cells_vectorized``; pairs provably on one side of the
+      6dp-rounded threshold are decided wholesale, borderline pairs
+      are recomputed with the exact SQL fold op stream and — within
+      1e-6 of the boundary — the BigDecimal-HALF_UP replica
+      (memoized: duplicate piles produce one distinct sim value);
+    * Spark comparison semantics are replicated exactly: NaN pair
+      sims QUALIFY (``NaN >= t`` is true), null dots (null/ragged
+      vectors, cross-length pairs) never qualify, ``b_cs < a_cs`` /
+      ``b_cs == a_cs`` use NaN-greatest / NaN==NaN total order, and
+      null centroid_sims yield null stats (coalesced downstream,
+      same as the SQL agg). Zero-norm members: the ANSI SQL plan
+      raises DIVIDE_BY_ZERO; the kernel follows the documented IEEE
+      protocol (same divergence as the assignment kernel).
+
+    Output: one row per member — the shuffle fan-in is |members|,
+    not |pairs|. x-row chunking bounds memory on skewed cells.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    start_zero = dim is None
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", T.LongType(), True),
+            T.StructField("any_lower", T.IntegerType(), True),
+            T.StructField("min_eq", T.LongType(), True),
+        ]
+    )
+    src = members.select(
+        F.col("cell"),
+        F.col("vec_id"),
+        F.col("vv").cast("array<double>").alias("vv"),
+        F.col("vn"),
+        F.col("centroid_sim"),
+    )
+    eps = float(np.finfo(np.float64).eps)
+    thr = float(threshold)
+
+    def stats(table: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tbl = table.combine_chunks()
+        m = tbl.num_rows
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        la = tbl.column("vv").combine_chunks()
+        cs_col = tbl.column("centroid_sim").combine_chunks()
+        cs_null = pc.is_null(cs_col).to_numpy(zero_copy_only=False)
+        cs = cs_col.to_numpy(zero_copy_only=False).astype(
+            np.float64, copy=True
+        )
+        vn = (
+            tbl.column("vn")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64, copy=True)
+        )
+        lengths = pc.list_value_length(la).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        null_list = pc.is_null(la).to_numpy(zero_copy_only=False)
+        lengths[null_list] = -1.0
+        flat = la.flatten()
+        elem_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+        vals = flat.to_numpy(zero_copy_only=False)
+        lens_nn = np.where(null_list, 0, lengths).astype(np.int64)
+        lens_nn[lens_nn < 0] = 0
+        starts = np.concatenate(([0], np.cumsum(lens_nn)[:-1]))
+
+        csnan = np.isnan(cs) & ~cs_null
+        any_lower = np.zeros(m, dtype=np.int64)
+        min_eq = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        rcache: dict[float, float] = {}
+
+        def r6(x: float) -> float:
+            r = rcache.get(x)
+            if r is None:
+                r = _round6_like_spark(x)
+                rcache[x] = r
+            return r
+
+        # group members by vector length: only same-length pairs can
+        # produce a non-null dot under the HOF zip_with
+        by_len: dict[int, list[int]] = {}
+        for i in range(m):
+            li = int(lengths[i])
+            if li >= 1 and not elem_null[
+                starts[i] : starts[i] + li
+            ].any():
+                by_len.setdefault(li, []).append(i)
+        for L, idxs in by_len.items():
+            gi = np.asarray(idxs, dtype=np.int64)
+            mg = gi.size
+            if mg < 2:
+                continue
+            V = vals[
+                starts[gi][:, None]
+                + np.arange(L, dtype=np.int64)[None, :]
+            ]
+            aV = np.abs(V)
+            gvn = vn[gi]
+            gcs = cs[gi]
+            gnul = cs_null[gi]
+            gnan = csnan[gi]
+            gids = ids[gi]
+            bc = 4.0 * L * eps
+            # x-row chunks bound the (chunk x mg) scratch on skewed
+            # cells
+            xchunk = max(1, (1 << 22) // mg)
+            for s0 in range(0, mg, xchunk):
+                s1 = min(s0 + xchunk, mg)
+                Vx = V[s0:s1]
+                with np.errstate(all="ignore"):
+                    nn = gvn[s0:s1, None] * gvn[None, :]
+                    S = (Vx @ V.T) / nn
+                    B = (bc * (aV[s0:s1] @ aV.T)) / nn
+                with np.errstate(invalid="ignore"):
+                    din = S - B >= thr + 5.1e-7
+                    dout = S + B <= thr - 5.1e-7
+                qual = din
+                border = ~(din | dout)
+                # self-pairs never qualify
+                rows_local = np.arange(s0, s1)
+                qual[np.arange(s1 - s0), rows_local] = False
+                border[np.arange(s1 - s0), rows_local] = False
+                bi, bj = np.nonzero(border)
+                if bi.size:
+                    Va = Vx[bi]
+                    Vb = V[bj]
+                    if start_zero:
+                        acc = np.zeros(bi.size, dtype=np.float64)
+                        j0 = 0
+                    else:
+                        acc = Va[:, 0] * Vb[:, 0]
+                        j0 = 1
+                    for j in range(j0, L):
+                        acc = acc + Va[:, j] * Vb[:, j]
+                    with np.errstate(all="ignore"):
+                        se = acc / (
+                            gvn[s0 + bi] * gvn[bj]
+                        )
+                    q = np.zeros(bi.size, dtype=bool)
+                    q[np.isnan(se)] = True  # NaN >= t is true
+                    hi = se >= thr + 2e-6
+                    lo = se <= thr - 2e-6
+                    q[hi] = True
+                    mid = ~(np.isnan(se) | hi | lo)
+                    for p in np.nonzero(mid)[0]:
+                        v = float(se[p])
+                        q[p] = (
+                            r6(v) >= thr
+                            if math.isfinite(v)
+                            else v >= thr
+                        )
+                    qual[bi, bj] = q
+                # spark total-order comparisons vs this chunk's
+                # x-members: b_cs < a_cs and b_cs == a_cs
+                xcs = gcs[s0:s1, None]
+                xnan = gnan[s0:s1, None]
+                ycs = gcs[None, :]
+                ynan = gnan[None, :]
+                yval = ~gnul[None, :]
+                with np.errstate(invalid="ignore"):
+                    lt = yval & (
+                        (~ynan & xnan)
+                        | (~ynan & ~xnan & (ycs < xcs))
+                    )
+                    eq = yval & (
+                        (ynan & xnan)
+                        | (~ynan & ~xnan & (ycs == xcs))
+                    )
+                xg = gi[s0:s1]
+                any_lower[xg] |= (qual & lt).any(axis=1)
+                eqm = qual & eq
+                cand_ids = np.where(
+                    eqm, gids[None, :], np.iinfo(np.int64).max
+                ).min(axis=1)
+                min_eq[xg] = np.minimum(min_eq[xg], cand_ids)
+
+        # ids are non-null by corpus contract (the SQL joins key on
+        # them); null centroid_sims null the stats, as the SQL agg's
+        # null-propagating comparisons do
+        al = pa.array(
+            any_lower.astype(np.int32), mask=cs_null.copy()
+        )
+        me = pa.array(
+            min_eq,
+            mask=(
+                cs_null | (min_eq == np.iinfo(np.int64).max)
+            ),
+        )
+        return pa.table(
+            {
+                "a_id": pa.array(ids.astype(np.int64)),
+                "any_lower": al,
+                "min_eq": me,
+            }
+        )
+
+    return src.groupBy("cell").applyInArrow(stats, out_schema)
+
+
 def semdedup_prune(
     corpus: DataFrame,
     *,
@@ -1346,6 +1562,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     dim: int | None = None,
     collapse: bool | str = "auto",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540).
 
@@ -1391,6 +1608,18 @@ def semdedup_prune(
     the ORIGINAL pair comparisons for them. Exact rewrite pinned by
     pytest on pile-up corpora; the within-pile branch is gated off
     for threshold > 1.0 (mirrors ``dedup._expand_content_pairs``).
+
+    ``impl="vectorized"`` (default) computes the within-cell pair
+    stage with the Arrow kernel (``_semdedup_stats_vectorized``):
+    one members shuffle instead of two, no |cell|^2 pair
+    materialization, BLAS-screened exact dots — bit-identical keeps
+    (pytest-pinned vs ``impl="sql"``, the declarative self-join
+    plan). One corner divergence inherited from the kernels: inputs
+    the ANSI SQL plan cannot evaluate (zero-norm members raise
+    DIVIDE_BY_ZERO; qualifying pairs whose centroid_sim is null —
+    possible only in mixed-dimension corpora — hit the uncollapsed
+    plan's ``otherwise`` branch) follow the collapsed/IEEE
+    semantics instead.
 
     ``collapse="auto"`` (the default) probes the duplication ratio
     with one cheap aggregate over the content keys and collapses only
@@ -1498,77 +1727,104 @@ def semdedup_prune(
     members = m.select(
         "vec_id", "cell", "vv", "vn", csim.alias("centroid_sim")
     ).localCheckpoint(eager=True)
-    a = members.select(
-        F.col("cell"),
-        F.col("vec_id").alias("a_id"),
-        F.col("vv").alias("av"),
-        F.col("vn").alias("an"),
-        F.col("centroid_sim").alias("a_cs"),
-    )
-    b = members.select(
-        F.col("cell"),
-        F.col("vec_id").alias("b_id"),
-        F.col("vv").alias("bv"),
-        F.col("vn").alias("bn"),
-        F.col("centroid_sim").alias("b_cs"),
-    )
-    pair_sim = F.round(
-        _dot(F.col("av"), F.col("bv"), dim)
-        / (F.col("an") * F.col("bn")),
-        6,
-    )
-    if not collapse:
-        removed = (
-            a.join(b, "cell")
-            .filter(F.col("a_id") < F.col("b_id"))
-            .filter(pair_sim >= F.lit(threshold))
-            # the LATER point in keep order (higher centroid_sim,
-            # ties by id) is the duplicate
-            .select(
-                F.when(
-                    (F.col("a_cs") > F.col("b_cs"))
-                    | (
-                        (F.col("a_cs") == F.col("b_cs"))
-                        & (F.col("a_id") > F.col("b_id"))
-                    ),
-                    F.col("a_id"),
-                )
-                .otherwise(F.col("b_id"))
-                .alias("vec_id")
+    if impl == "vectorized":
+        # per-member threat stats from the Arrow kernel: ONE
+        # members shuffle, no pair materialization, BLAS dots —
+        # bit-identical to the SQL self-join (test_semdedup_impls)
+        threats = _semdedup_stats_vectorized(members, threshold, dim)
+        if not collapse:
+            joined = members.join(
+                threats, members.vec_id == threats.a_id, "left"
             )
-            .distinct()
-            .withColumn("_rm", F.lit(True))
-        )
-        return (
-            members.join(removed, "vec_id", "left")
-            .select(
+            # x is removed iff some threshold-similar clustermate
+            # sits strictly below it in keep order — the same
+            # predicate the pair plan evaluates pairwise
+            rm = F.coalesce(
+                F.col("any_lower") == 1, F.lit(False)
+            ) | F.coalesce(
+                F.col("min_eq") < F.col("vec_id"), F.lit(False)
+            )
+            return joined.select(
                 "vec_id",
                 "cell",
                 "centroid_sim",
-                F.col("_rm").isNull().alias("keep"),
+                (~rm).alias("keep"),
+            )
+    else:
+        a = members.select(
+            F.col("cell"),
+            F.col("vec_id").alias("a_id"),
+            F.col("vv").alias("av"),
+            F.col("vn").alias("an"),
+            F.col("centroid_sim").alias("a_cs"),
+        )
+        b = members.select(
+            F.col("cell"),
+            F.col("vec_id").alias("b_id"),
+            F.col("vv").alias("bv"),
+            F.col("vn").alias("bn"),
+            F.col("centroid_sim").alias("b_cs"),
+        )
+        pair_sim = F.round(
+            _dot(F.col("av"), F.col("bv"), dim)
+            / (F.col("an") * F.col("bn")),
+            6,
+        )
+        if not collapse:
+            removed = (
+                a.join(b, "cell")
+                .filter(F.col("a_id") < F.col("b_id"))
+                .filter(pair_sim >= F.lit(threshold))
+                # the LATER point in keep order (higher centroid_sim,
+                # ties by id) is the duplicate
+                .select(
+                    F.when(
+                        (F.col("a_cs") > F.col("b_cs"))
+                        | (
+                            (F.col("a_cs") == F.col("b_cs"))
+                            & (F.col("a_id") > F.col("b_id"))
+                        ),
+                        F.col("a_id"),
+                    )
+                    .otherwise(F.col("b_id"))
+                    .alias("vec_id")
+                )
+                .distinct()
+                .withColumn("_rm", F.lit(True))
+            )
+            return (
+                members.join(removed, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    "cell",
+                    "centroid_sim",
+                    F.col("_rm").isNull().alias("keep"),
+                )
+            )
+        # collapsed: per target pile a, summarize every threshold-
+        # similar pile b by the two numbers that decide its members'
+        # fates — "some pile sits strictly below in keep order" and
+        # "the smallest id among equal-centroid-sim piles" (all of
+        # b's members share cs_b; their smallest id IS rep_b).
+        # Comparisons are the SAME operators as the uncollapsed
+        # plan, so Spark's NaN total order carries over.
+        threats = (
+            a.join(b, "cell")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .filter(pair_sim >= F.lit(threshold))
+            .groupBy("a_id")
+            .agg(
+                F.max(
+                    (F.col("b_cs") < F.col("a_cs")).cast("int")
+                ).alias("any_lower"),
+                F.min(
+                    F.when(
+                        F.col("b_cs") == F.col("a_cs"),
+                        F.col("b_id"),
+                    )
+                ).alias("min_eq"),
             )
         )
-    # collapsed: per target pile a, summarize every threshold-similar
-    # pile b by the two numbers that decide its members' fates —
-    # "some pile sits strictly below in keep order" and "the smallest
-    # id among equal-centroid-sim piles" (all of b's members share
-    # cs_b; their smallest id IS rep_b). Comparisons are the SAME
-    # operators as the uncollapsed plan, so Spark's NaN total order
-    # carries over.
-    threats = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .filter(pair_sim >= F.lit(threshold))
-        .groupBy("a_id")
-        .agg(
-            F.max(
-                (F.col("b_cs") < F.col("a_cs")).cast("int")
-            ).alias("any_lower"),
-            F.min(
-                F.when(F.col("b_cs") == F.col("a_cs"), F.col("b_id"))
-            ).alias("min_eq"),
-        )
-    )
     stats = members.join(
         threats, members.vec_id == threats.a_id, "left"
     ).select(
