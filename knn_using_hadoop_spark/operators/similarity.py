@@ -121,6 +121,187 @@ def _sqnorm_expanded(a: Column, dim: int) -> Column:
     return total
 
 
+def _collect_query_matrix(
+    queries: DataFrame, id_col: str, vec_col: str, cap: int = 4096
+):
+    """Driver-side query fetch for the brute-force kernel — the same
+    bounded-scalar-fetch budget as ``_collect_centroid_matrix``
+    (cap rows; the SQL plan broadcasts this side anyway). Returns
+    (qids int64 array, Q float64 (q, d) matrix) or None when the set
+    exceeds the cap or has edge shapes (non-long ids, null ids /
+    vectors / elements, ragged dims) — the caller falls back to the
+    SQL plan, which defines the semantics.
+    """
+    import numpy as np
+
+    if not isinstance(
+        queries.schema[id_col].dataType, T.LongType
+    ):
+        return None
+    rows = (
+        queries.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap or not rows:
+        return None
+    if any(
+        r[0] is None
+        or r[1] is None
+        or any(x is None for x in r[1])
+        for r in rows
+    ):
+        return None
+    d = len(rows[0][1])
+    if d == 0 or any(len(r[1]) != d for r in rows):
+        return None
+    qids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    Q = np.array([r[1] for r in rows], dtype=np.float64)
+    return qids, Q
+
+
+def _bruteforce_topk_vectorized(
+    corpus: DataFrame,
+    qids,
+    Q,
+    k: int,
+    dim: int | None,
+    exclude_self: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact brute-force cosine top-k candidates with ZERO shuffle:
+    mapInArrow over the corpus, queries captured in the closure.
+
+    Per corpus batch, dots/norms run the SQL fold's exact IEEE op
+    stream (element multiply is commutative bit-for-bit, so the
+    (query x member) orientation of ``_np_fold_dots`` matches the
+    zip_with(qv, cv) fold), sims are ``_round6_array``-rounded, and
+    each query emits its per-BATCH top-k under the window's order
+    (``_row_topk_select``) plus null-sim fill — the same superset
+    argument as the cell kernel: the global top-k rows are each in
+    their batch's top-k, and when the global set needs null-sim rows
+    (total real < k) every batch emitted at least that many of its
+    smallest. The caller's final window ranks |queries| x k x
+    |partitions| candidate rows instead of the |corpus| x |queries|
+    pair relation. Same ANSI divergence domain as the sibling
+    kernels (zero norms; short-vs-dim rows when ``dim`` is set).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    start_zero = dim is None
+    qn = np.sqrt(_np_fold_sqnorm(Q, start_zero=start_zero))
+    qd = Q.shape[1]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("sim", T.DoubleType(), True),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    def topk(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mids = rb.column(0).to_numpy(zero_copy_only=False)
+            lengths, starts, vals, elem_null = _parse_vec_lists(
+                rb.column(1)
+            )
+            m = mids.shape[0]
+            # clean rows of the query dimension produce real sims;
+            # everything else is a null partner (dim=None: cross-
+            # length zip_with pads with null; dim set: element_at
+            # 1..dim — shorter rows are the ANSI raise domain)
+            real = np.zeros(m, dtype=bool)
+            for i in range(m):
+                li = int(lengths[i])
+                if li < 0:
+                    continue
+                L = li if dim is None else dim
+                if L != qd or li < L:
+                    continue
+                s = starts[i]
+                if L > 0 and elem_null[s : s + L].any():
+                    continue
+                real[i] = True
+            ridx = np.nonzero(real)[0]
+            oq: list[int] = []
+            ov: list[int] = []
+            osim: list[float | None] = []
+            taken_by_q = np.zeros(qids.shape[0], dtype=np.int64)
+            if ridx.size:
+                V = vals[
+                    starts[ridx][:, None]
+                    + np.arange(qd, dtype=np.int64)[None, :]
+                ]
+                with np.errstate(all="ignore"):
+                    vn = np.sqrt(
+                        _np_fold_sqnorm(V, start_zero=start_zero)
+                    )
+                gids = mids[ridx]
+                qchunk = max(1, (1 << 22) // max(ridx.size, 1))
+                for s0 in range(0, qids.shape[0], qchunk):
+                    s1 = min(s0 + qchunk, qids.shape[0])
+                    with np.errstate(all="ignore"):
+                        D = _np_fold_dots(
+                            Q[s0:s1], V, start_zero=start_zero
+                        )
+                        S = D / (qn[s0:s1, None] * vn[None, :])
+                    R = _round6_array(S)
+                    for r in range(s1 - s0):
+                        qid = int(qids[s0 + r])
+                        picks, taken = _row_topk_select(
+                            R[r],
+                            gids,
+                            qid if exclude_self else None,
+                            k,
+                        )
+                        for vid, sv in picks:
+                            oq.append(qid)
+                            ov.append(vid)
+                            osim.append(sv)
+                        taken_by_q[s0 + r] = taken
+            else:
+                taken_by_q[:] = 0
+            if (taken_by_q < k).any():
+                null_ids = np.sort(mids[~real])
+                for r in np.nonzero(taken_by_q < k)[0]:
+                    qid = int(qids[r])
+                    need = k - int(taken_by_q[r])
+                    for sid in null_ids:
+                        if exclude_self and sid == qid:
+                            continue
+                        oq.append(qid)
+                        ov.append(int(sid))
+                        osim.append(None)
+                        need -= 1
+                        if need == 0:
+                            break
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oq, type=pa.int64()),
+                    pa.array(ov, type=pa.int64()),
+                    pa.array(osim, type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "sim"],
+            )
+
+    return src.mapInArrow(topk, out_schema)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,6 +312,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     expand: bool = False,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Exact top-k by cosine: (query_id, rank, vec_id, sim).
 
@@ -140,8 +322,36 @@ def cosine_topk(
     it when |corpus| x |queries| reaches hundreds of millions, a net
     loss below that (compile time dominates). Both forms share the
     same left-to-right float association, so results are identical.
+
+    ``impl="vectorized"`` (default): the scan runs through the
+    zero-shuffle brute-force Arrow kernel
+    (``_bruteforce_topk_vectorized``, queries driver-collected under
+    the bounded-fetch budget) and the final window ranks per-batch
+    candidates — bit-identical output (pytest-pinned). Falls back to
+    the SQL plan when the query set exceeds the fetch cap or has
+    edge shapes, or for non-bigint corpus ids.
     """
     d = dim if expand else None
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ):
+        prepared = _collect_query_matrix(queries, id_col, vec_col)
+        if prepared is not None:
+            qids, Q = prepared
+            if d is not None and Q.shape[1] != d:
+                prepared = None
+        if prepared is not None:
+            cand = _bruteforce_topk_vectorized(
+                corpus, qids, Q, k, d, exclude_self, id_col, vec_col
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("sim").desc(), F.col("vec_id").asc()
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "sim")
+            )
     # norms factored out of the pair stage: once per query / corpus
     # row instead of once per pair; sim = dot / (qn * cn) keeps the
     # float shape, so results are bit-identical to the inline form
@@ -280,14 +490,22 @@ def _round6_like_spark(x: float) -> float:
     this replica only if that sliver straddles a 5e-7 rounding
     boundary — far below the 6dp protocol's own cross-engine
     tolerance (see module docstring).
+
+    The ``+ 0.0`` normalizes -0.0 to +0.0: Java's BigDecimal has no
+    signed zero, so Spark's round maps every value that rounds to
+    zero — including tiny negatives — to POSITIVE zero, while
+    Python's Decimal('-0.000000') converts to -0.0.
     """
     global _DEC_SIX
     from decimal import ROUND_HALF_UP, Decimal
 
     if _DEC_SIX is None:
         _DEC_SIX = Decimal("0.000001")
-    return float(
-        Decimal(repr(x)).quantize(_DEC_SIX, rounding=ROUND_HALF_UP)
+    return (
+        float(
+            Decimal(repr(x)).quantize(_DEC_SIX, rounding=ROUND_HALF_UP)
+        )
+        + 0.0
     )
 
 
@@ -637,6 +855,317 @@ def ivf_assign_cells(
     )
 
 
+def _round6_array(x):
+    """Vectorized ``_round6_like_spark`` over a float64 ndarray.
+
+    numpy integer rounding everywhere the two protocols provably
+    agree; the BigDecimal-HALF_UP replica (memoized) only for values
+    within ~1e-6 of a .5 decimal boundary or with |x| >= 1e3 (where
+    double ulp x 1e6 approaches the boundary margin). Non-finite
+    values pass through unchanged — Spark's round returns NaN/Inf
+    as-is.
+    """
+    import numpy as np
+
+    out = np.array(x, dtype=np.float64, copy=True)
+    flat = out.reshape(-1)
+    fin = np.isfinite(flat)
+    if not fin.any():
+        return out
+    xi = flat[fin]
+    with np.errstate(all="ignore"):
+        d = xi * 1e6
+        r = np.rint(d)
+        frac = np.abs(d - np.floor(d) - 0.5)
+        risky = (frac < 1e-6) | (np.abs(xi) >= 1e3)
+        # + 0.0 maps -0.0 to +0.0, as Java's unsigned BigDecimal
+        # does in Spark's round (see _round6_like_spark)
+        vals = r / 1e6 + 0.0
+    if risky.any():
+        cache: dict[float, float] = {}
+        for i in np.nonzero(risky)[0]:
+            fv = float(xi[i])
+            rv = cache.get(fv)
+            if rv is None:
+                rv = _round6_like_spark(fv)
+                cache[fv] = rv
+            vals[i] = rv
+    flat[fin] = vals
+    return out
+
+
+def _parse_vec_lists(la):
+    """Decompose an Arrow list column into flat numpy pieces:
+    (lengths float64 with -1.0 for null lists, starts int64 offsets
+    into vals, vals float64, elem_null bool). Shared row-parsing
+    protocol of the similarity kernels (null lists are dropped by
+    ``flatten``, so offsets skip them)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    lengths = (
+        pc.list_value_length(la)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    null_list = pc.is_null(la).to_numpy(zero_copy_only=False)
+    lengths[null_list] = -1.0
+    flat = la.flatten()
+    elem_null = pc.is_null(flat).to_numpy(zero_copy_only=False)
+    vals = flat.to_numpy(zero_copy_only=False)
+    lens_nn = np.where(null_list, 0, lengths).astype(np.int64)
+    lens_nn[lens_nn < 0] = 0
+    starts = np.concatenate(([0], np.cumsum(lens_nn)[:-1]))
+    return lengths, starts, vals, elem_null
+
+
+def _row_topk_select(row, gids, qid, k):
+    """One query's top-k among ROUNDED sims ``row`` over member ids
+    ``gids`` (self excluded): the SQL window's order — NaN greatest,
+    then rounded sim desc, ties by vec_id asc. Returns
+    (list[(vec_id, sim)], taken). Tie groups at the k-th boundary are
+    capped to the lowest ids, so duplicate piles emit k rows, not the
+    pile."""
+    import numpy as np
+
+    out = []
+    valid = (
+        gids != qid
+        if qid is not None
+        else np.ones(gids.shape[0], dtype=bool)
+    )
+    nanm = np.isnan(row) & valid
+    taken = 0
+    if nanm.any():
+        nids = np.sort(gids[nanm])[:k]
+        for v in nids:
+            out.append((int(v), float("nan")))
+        taken = nids.size
+    k2 = k - taken
+    if k2 > 0:
+        fm = valid & ~nanm
+        fv = row[fm]
+        fids = gids[fm]
+        if fv.size <= k2:
+            sel = np.arange(fv.size)
+        else:
+            key = -fv
+            kth = np.partition(key, k2 - 1)[k2 - 1]
+            better = np.nonzero(key < kth)[0]
+            ties = np.nonzero(key == kth)[0]
+            nb = better.size
+            tsel = ties[
+                np.argsort(fids[ties], kind="stable")[: k2 - nb]
+            ]
+            sel = np.concatenate((better, tsel))
+        for j in sel:
+            out.append((int(fids[j]), float(fv[j])))
+        taken += sel.size
+    return out, taken
+
+
+def _cell_topk_candidates(
+    members: DataFrame, probes: DataFrame, k: int, dim: int | None
+) -> DataFrame:
+    """Per-(query, cell) exact top-k candidates for the IVF-family
+    pair stage: (query_id, vec_id, sim), bit-identical to what the
+    SQL pair join + per-query window would keep FROM THAT CELL.
+
+    ``members`` = (cell, vec_id, cv); ``probes`` = (cell, query_id,
+    qv). The SQL plan broadcasts probes into a pair join (|cell| x
+    |queries-in-cell| rows, one interpreted lambda-fold dot each),
+    then ranks the full pair relation in a window Exchange. This
+    kernel cogroups both sides on cell (one shuffle each, both
+    output-bounded) and emits at most k rows per (query, cell) with
+    the exact 6dp-rounded sim of the SQL expression — the caller's
+    final window then ranks |probes| x k rows instead of the pair
+    relation, and for nprobe=1 is a no-op re-sort.
+
+    Exactness: dots/norms run the SQL fold's exact IEEE op stream
+    (``_np_fold_dots``/``_np_fold_sqnorm``; sim = dot / (qn * vn));
+    rounding is ``_round6_array`` (BigDecimal-HALF_UP replica at
+    boundaries). Selection replicates the window order — rounded sim
+    desc with Spark's NaN-greatest total order, ties by vec_id asc,
+    null sims last (emitted only when the cell has fewer than k real
+    sims; the SQL window keeps them too). Null sims arise exactly
+    where the SQL HOF fold yields null: null vectors, null elements,
+    and cross-length pairs (zip_with pads with null). Self pairs
+    (vec_id == query_id) are excluded, as in the SQL filter. One
+    DEFINED divergence (same as the sibling kernels, pinned in
+    pytest): inputs where the ANSI plan raises — zero-norm vectors
+    (DIVIDE_BY_ZERO), and with ``dim`` set, vectors shorter than dim
+    (INVALID_ARRAY_INDEX) — follow IEEE/null semantics instead; the
+    SQL plan stays the semantics reference everywhere it evaluates,
+    and on such inputs no +/-Inf sim can exist, so NaN-vs-Inf order
+    never arises.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    start_zero = dim is None
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("sim", T.DoubleType(), True),
+        ]
+    )
+    # fresh Alias per side: members and probes usually share one
+    # upstream cells relation, and cogroup's self-join ambiguity
+    # check rejects identical attribute ids on both sides
+    mem = members.select(
+        (F.col("cell") + F.lit(0)).alias("cell"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("cv").cast("array<double>").alias("cv"),
+    )
+    prb = probes.select(
+        (F.col("cell") + F.lit(0)).alias("cell"),
+        F.col("query_id").alias("query_id"),
+        F.col("qv").cast("array<double>").alias("qv"),
+    )
+
+    def _groups(ids, lengths, starts, vals, elem_null):
+        """Split rows into clean length groups and a null-sim pool.
+
+        Returns (by_len: {L: (row_idx, V, vn)}, null_rows: row idx
+        whose every sim is null). With ``dim`` set, clean rows are
+        sliced to the first dim elements (element_at 1..dim) and
+        shorter rows join the null pool (divergence domain).
+        """
+        d_req = dim
+        by_len: dict[int, list[int]] = {}
+        null_rows = []
+        n = ids.shape[0]
+        for i in range(n):
+            li = int(lengths[i])
+            if li < 0:
+                null_rows.append(i)
+                continue
+            L = li if d_req is None else d_req
+            if d_req is not None and li < d_req:
+                null_rows.append(i)
+                continue
+            s = starts[i]
+            if L > 0 and elem_null[s : s + L].any():
+                null_rows.append(i)
+                continue
+            by_len.setdefault(L, []).append(i)
+        out = {}
+        for L, idxs in by_len.items():
+            gi = np.asarray(idxs, dtype=np.int64)
+            if L == 0:
+                V = np.empty((gi.size, 0), dtype=np.float64)
+            else:
+                V = vals[
+                    starts[gi][:, None]
+                    + np.arange(L, dtype=np.int64)[None, :]
+                ]
+            with np.errstate(all="ignore"):
+                vn = np.sqrt(_np_fold_sqnorm(V, start_zero=start_zero))
+            out[L] = (gi, V, vn)
+        return out, np.asarray(null_rows, dtype=np.int64)
+
+    def topk(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        lt = left.combine_chunks()
+        rt = right.combine_chunks()
+        mids = lt.column("vec_id").to_numpy(zero_copy_only=False)
+        qids = rt.column("query_id").to_numpy(zero_copy_only=False)
+        mg, mnull = _groups(
+            mids, *_parse_vec_lists(lt.column("cv").combine_chunks())
+        )
+        qg, qnull = _groups(
+            qids, *_parse_vec_lists(rt.column("qv").combine_chunks())
+        )
+        m = mids.shape[0]
+        # member length label per row (-1 = null pool), for building
+        # each query's cross-length null-sim pool
+        mlen = np.full(m, -1, dtype=np.int64)
+        for L, (gi, _, _) in mg.items():
+            mlen[gi] = L
+        order_all = np.argsort(mids, kind="stable")
+        sorted_ids = mids[order_all]
+        sorted_len = mlen[order_all]
+
+        oq: list[int] = []
+        ov: list[int] = []
+        osim: list[float | None] = []
+
+        def fill_nulls(qid, have, own_L):
+            """k - have smallest member ids whose sim vs this query
+            is null: the cross-length + null-pool members (own_L =
+            -2 means ALL members are null-sim for this query)."""
+            need = k - have
+            if need <= 0:
+                return
+            for sid, sl in zip(sorted_ids, sorted_len):
+                if sid == qid:
+                    continue
+                if own_L != -2 and sl == own_L:
+                    continue
+                oq.append(qid)
+                ov.append(int(sid))
+                osim.append(None)
+                need -= 1
+                if need == 0:
+                    return
+
+        # queries whose every sim is null: k lowest member ids
+        for i in qnull:
+            fill_nulls(int(qids[i]), 0, -2)
+
+        for L, (qgi, Q, qn) in qg.items():
+            grp = mg.get(L)
+            if grp is None:
+                for i in qgi:
+                    fill_nulls(int(qids[i]), 0, L)
+                continue
+            gi, V, vn = grp
+            gids = mids[gi]
+            mL = gi.size
+            qchunk = max(1, (1 << 22) // max(mL, 1))
+            for s0 in range(0, qgi.size, qchunk):
+                s1 = min(s0 + qchunk, qgi.size)
+                with np.errstate(all="ignore"):
+                    D = _np_fold_dots(
+                        Q[s0:s1], V, start_zero=start_zero
+                    )
+                    S = D / (qn[s0:s1, None] * vn[None, :])
+                R = _round6_array(S)
+                for r in range(s1 - s0):
+                    qid = int(qids[qgi[s0 + r]])
+                    picks, taken = _row_topk_select(
+                        R[r], gids, qid, k
+                    )
+                    for vid, sv in picks:
+                        oq.append(qid)
+                        ov.append(vid)
+                        osim.append(sv)
+                    if taken < k:
+                        fill_nulls(qid, taken, L)
+
+        return pa.table(
+            {
+                "query_id": pa.array(oq, type=pa.int64()),
+                "vec_id": pa.array(ov, type=pa.int64()),
+                "sim": pa.array(osim, type=pa.float64()),
+            }
+        )
+
+    return (
+        mem.groupBy("cell")
+        .cogroup(prb.groupBy("cell"))
+        .applyInArrow(topk, out_schema)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -646,6 +1175,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """IVF-style approximate cosine top-k: (query_id, rank, vec_id, sim).
 
@@ -658,6 +1188,13 @@ def ivf_topk(
     ``n_centroids=None`` (default) derives C = sqrt(n) from a corpus
     count — see ``_auto_n_centroids`` for why a fixed C is a scale
     bug.
+
+    ``impl="vectorized"`` (default) runs the pair stage through the
+    per-cell Arrow kernel (``_cell_topk_candidates``): no pair-
+    relation materialization, numpy fold dots, and the final window
+    ranks k candidates per query instead of the pair relation —
+    bit-identical output (pytest-pinned vs ``impl="sql"``). Falls
+    back to the SQL plan for non-bigint id columns.
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus)
@@ -671,6 +1208,31 @@ def ivf_topk(
     cells = ivf_assign_cells(
         corpus, centroids, id_col=id_col, vec_col=vec_col, dim=dim
     ).localCheckpoint(eager=True)  # feeds corpus AND query joins
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ) and isinstance(queries.schema[id_col].dataType, T.LongType):
+        mem = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+        ).join(cells, "vec_id")
+        prb = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        ).join(
+            cells.select(
+                F.col("vec_id").alias("query_id"), F.col("cell")
+            ),
+            "query_id",
+        )
+        cand = _cell_topk_candidates(mem, prb, k, dim)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "sim")
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -710,6 +1272,125 @@ def ivf_topk(
     )
 
 
+def _mean_vectors_vectorized(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    out_vec: str,
+    decimals: int,
+) -> DataFrame:
+    """Per-group component means as ONE groupBy-group Arrow kernel.
+
+    Replaces the posexplode plan's |rows| x dim exploded relation
+    (and its (group, pos)-keyed shuffle) with a single shuffle of the
+    un-exploded vectors. Semantics replicated from the SQL plan:
+    position p averages the non-null elements of every non-null array
+    longer than p (posexplode skips null arrays; avg skips null
+    elements and yields null when all are null), components are
+    ``round(avg, decimals)``, groups whose arrays are all null/empty
+    vanish. Summation inside the kernel is column-sorted pairwise
+    (np.sort + np.sum): deterministic for a given multiset of values
+    regardless of partition arrival order — a different fold order
+    than Spark's partial aggregation, equivalent under the module's
+    rounding protocol (the ~1e-13 summation noise both plans carry is
+    absorbed by the same grain that makes the DuckDB oracles pass).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    gtype = df.schema[group_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(group_col, gtype, True),
+            T.StructField(
+                out_vec, T.ArrayType(T.DoubleType(), True), True
+            ),
+        ]
+    )
+    src = df.select(
+        F.col(group_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+
+    if decimals == 6:
+        round_arr = _round6_array
+    else:
+
+        def round_arr(x):
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal(1).scaleb(-decimals)
+            out = np.array(x, dtype=np.float64, copy=True)
+            flat = out.reshape(-1)
+            for i in range(flat.shape[0]):
+                v = float(flat[i])
+                if math.isfinite(v):
+                    # + 0.0: BigDecimal zero is unsigned (see
+                    # _round6_like_spark)
+                    flat[i] = (
+                        float(
+                            Decimal(repr(v)).quantize(
+                                q, rounding=ROUND_HALF_UP
+                            )
+                        )
+                        + 0.0
+                    )
+            return out
+
+    def mean_fn(table: pa.Table) -> pa.Table:
+        tbl = table.combine_chunks()
+        gcol = tbl.column(0)
+        lengths, starts, vals, elem_null = _parse_vec_lists(
+            tbl.column(1).combine_chunks()
+        )
+        live = lengths > 0
+        if not live.any():
+            return pa.table(
+                {
+                    group_col: gcol.slice(0, 0),
+                    out_vec: pa.array(
+                        [], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        maxlen = int(lengths[live].max())
+        lidx = np.nonzero(live)[0]
+        llen = lengths[lidx].astype(np.int64)
+        lstart = starts[lidx]
+        means: list[float | None] = []
+        if (llen == maxlen).all() and not elem_null.any():
+            V = vals[
+                lstart[:, None]
+                + np.arange(maxlen, dtype=np.int64)[None, :]
+            ]
+            avg = np.sum(np.sort(V, axis=0), axis=0) / V.shape[0]
+            r = round_arr(avg)
+            means = [float(v) for v in r]
+        else:
+            for p in range(maxlen):
+                rows = lidx[llen > p]
+                pos = starts[rows] + p
+                ok = ~elem_null[pos]
+                xv = vals[pos[ok]]
+                if xv.size == 0:
+                    means.append(None)
+                else:
+                    a = np.sum(np.sort(xv)) / xv.size
+                    means.append(
+                        float(round_arr(np.array([a]))[0])
+                    )
+        return pa.table(
+            {
+                group_col: gcol.slice(0, 1),
+                out_vec: pa.array(
+                    [means], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    return src.groupBy(group_col).applyInArrow(mean_fn, out_schema)
+
+
 def mean_vectors(
     df: DataFrame,
     group_col: str,
@@ -717,15 +1398,24 @@ def mean_vectors(
     *,
     out_vec: str = "centv",
     decimals: int = 6,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Component-wise mean vector per group: (group_col, out_vec).
 
-    posexplode -> (group, pos) partial+final avg -> re-assemble in pos
-    order. Components are ``round(avg, decimals)`` so the result is
-    reproducible across engines and partition orders (summation noise
-    ~1e-13 is far below the rounding grain). One shuffle keyed on
-    (group, pos) — scales to any corpus size and dimension.
+    ``impl="sql"``: posexplode -> (group, pos) partial+final avg ->
+    re-assemble in pos order — a |rows| x dim exploded relation and a
+    (group, pos)-keyed shuffle. ``impl="vectorized"`` (default): one
+    groupBy-group Arrow kernel over the un-exploded vectors
+    (``_mean_vectors_vectorized``) — same semantics, one shuffle of
+    dim-fold fewer rows. Components are ``round(avg, decimals)`` so
+    the result is reproducible across engines and partition orders
+    (summation noise ~1e-13 is far below the rounding grain). Both
+    paths scale to any corpus size and dimension.
     """
+    if impl == "vectorized":
+        return _mean_vectors_vectorized(
+            df, group_col, vec_col, out_vec, decimals
+        )
     comp = (
         df.select(F.col(group_col), F.posexplode(vec_col).alias("pos", "x"))
         .groupBy(group_col, "pos")
@@ -799,6 +1489,7 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """IVF ANN with k-means-refined cells and multi-probe search.
 
@@ -809,6 +1500,13 @@ def ivf_probe_topk(
     query meets ~nprobe/C of the corpus — sub-quadratic, shuffle keyed
     on cell. Returns (query_id, rank, vec_id, sim).
     ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``).
+
+    ``impl="vectorized"`` (default) runs the candidate stage through
+    the per-cell Arrow kernel (``_cell_topk_candidates``, emitting
+    top-k per probed cell); the final window merges nprobe x k
+    candidates per query — the same rows and order the SQL pair plan
+    keeps, since any global top-k row is in its own cell's top-k.
+    Falls back to the SQL pair plan for non-bigint id columns.
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus)
@@ -855,6 +1553,24 @@ def ivf_probe_topk(
             "query_id", "qv", "qvn", F.col("centroid_id").alias("cell")
         )
     )
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ) and isinstance(queries.schema[id_col].dataType, T.LongType):
+        mem = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+        ).join(cells, "vec_id")
+        cand = _cell_topk_candidates(
+            mem, probes.select("cell", "query_id", "qv"), k, dim
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "sim")
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
@@ -888,6 +1604,7 @@ def lsh_bucket_topk(
     n_planes: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
@@ -899,6 +1616,12 @@ def lsh_bucket_topk(
     ``cosine_topk``. ``n_planes=None`` derives the plane count from
     the corpus size so expected bucket occupancy tracks max(32, 4k)
     as n grows (``_auto_n_planes``).
+
+    ``impl="vectorized"`` (default): the rerank runs through the
+    shared per-cell Arrow kernel (``_cell_topk_candidates``, bucket
+    = cell) — same candidate protocol as the IVF family, bit-
+    identical output (pytest-pinned). ``impl="sql"`` keeps the
+    bucket-join + window pair plan.
     """
     if n_planes is None:
         n_planes = _auto_n_planes(corpus, k)
@@ -941,6 +1664,30 @@ def lsh_bucket_topk(
         F.col(vec_col).alias("cv"),
         bucket_expr(F.col(vec_col)).alias("bucket"),
     )
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ) and isinstance(queries.schema[id_col].dataType, T.LongType):
+        # the bucket IS the cell: same candidate protocol as the
+        # IVF family (per-bucket exact top-k, window over k rows
+        # per query instead of the bucket-pair relation)
+        cand = _cell_topk_candidates(
+            c.select(
+                F.col("bucket").alias("cell"), "vec_id", "cv"
+            ),
+            q.select(
+                F.col("bucket").alias("cell"), "query_id", "qv"
+            ),
+            k,
+            None,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "sim")
+        )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
