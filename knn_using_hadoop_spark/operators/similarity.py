@@ -1889,6 +1889,71 @@ def pq_topk(
     )
 
 
+def _np_fold_sqdists(Q, V):
+    """(q, d) x (m, d) -> (q, m) squared-L2 matrix with the SQL
+    fold's exact IEEE op sequence per element: acc = acc +
+    (q[j]-v[j])*(q[j]-v[j]) left to right from the 0.0 seed
+    (``_sub_sqdist``'s zip_with stream). Row-blocked like
+    ``_np_fold_dots`` so the accumulator stays cache-resident."""
+    import numpy as np
+
+    nq, d = Q.shape
+    m = V.shape[0]
+    out = np.empty((nq, m), dtype=np.float64)
+    blk = max(1, 262144 // max(m, 1))
+    tmp = np.empty((min(blk, nq), m), dtype=np.float64)
+    for s in range(0, nq, blk):
+        e = min(s + blk, nq)
+        acc = out[s:e]
+        t = tmp[: e - s]
+        acc.fill(0.0)
+        for j in range(d):
+            np.subtract(
+                Q[s:e, j : j + 1], V[:, j].reshape(1, -1), out=t
+            )
+            np.multiply(t, t, out=t)
+            np.add(acc, t, out=acc)
+    return out
+
+
+def _row_topk_select_asc(row, gids, qid, k):
+    """Mirror of ``_row_topk_select`` for DISTANCE ranking (rounded
+    dist asc, ties vec_id asc): NaN is greatest, so NaN rows come
+    LAST, after every finite distance. Null handling stays with the
+    caller (asc windows put nulls FIRST in Spark)."""
+    import numpy as np
+
+    out = []
+    valid = (
+        gids != qid
+        if qid is not None
+        else np.ones(gids.shape[0], dtype=bool)
+    )
+    nanm = np.isnan(row) & valid
+    fm = valid & ~nanm
+    fv = row[fm]
+    fids = gids[fm]
+    if fv.size <= k:
+        sel = np.arange(fv.size)
+    else:
+        kth = np.partition(fv, k - 1)[k - 1]
+        better = np.nonzero(fv < kth)[0]
+        ties = np.nonzero(fv == kth)[0]
+        tsel = ties[
+            np.argsort(fids[ties], kind="stable")[: k - better.size]
+        ]
+        sel = np.concatenate((better, tsel))
+    for j in sel:
+        out.append((int(fids[j]), float(fv[j])))
+    taken = sel.size
+    if taken < k and nanm.any():
+        nids = np.sort(gids[nanm])[: k - taken]
+        for v in nids:
+            out.append((int(v), float("nan")))
+        taken += nids.size
+    return out, taken
+
+
 def l2_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1896,9 +1961,35 @@ def l2_topk(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Exact squared-L2 top-k (the ground truth PQ approximates):
-    (query_id, rank, vec_id, dist)."""
+    (query_id, rank, vec_id, dist).
+
+    ``impl="vectorized"`` (default): zero-shuffle mapInArrow scan,
+    queries driver-collected under the bounded-fetch budget —
+    the squared-L2 twin of ``cosine_topk``'s kernel, with the asc
+    window's edge order mirrored (nulls FIRST, NaN last). No ANSI
+    divergence domain here: the score has no division. Bit-parity
+    pinned vs ``impl="sql"``.
+    """
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ):
+        prepared = _collect_query_matrix(queries, id_col, vec_col)
+        if prepared is not None:
+            qids, Q = prepared
+            cand = _l2_candidates_vectorized(
+                corpus, qids, Q, k, id_col, vec_col
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("dist").asc(), F.col("vec_id").asc()
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "dist")
+            )
     c = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
     )
@@ -1921,6 +2012,105 @@ def l2_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "dist")
     )
+
+
+def _l2_candidates_vectorized(
+    corpus: DataFrame, qids, Q, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Per-batch squared-L2 top-k candidates for ``l2_topk``:
+    the brute-force kernel with the asc window's order. Null dists
+    (null vectors/elements, cross-length zip_with) sort FIRST under
+    asc, so each batch emits its k smallest null-partner ids BEFORE
+    filling with real distances — mirrored superset argument."""
+    import numpy as np
+    import pyarrow as pa
+
+    qd = Q.shape[1]
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("dist", T.DoubleType(), True),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    )
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    def topk(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            mids = rb.column(0).to_numpy(zero_copy_only=False)
+            lengths, starts, vals, elem_null = _parse_vec_lists(
+                rb.column(1)
+            )
+            m = mids.shape[0]
+            real = np.zeros(m, dtype=bool)
+            for i in range(m):
+                if int(lengths[i]) != qd:
+                    continue
+                s = starts[i]
+                if qd > 0 and elem_null[s : s + qd].any():
+                    continue
+                real[i] = True
+            null_ids = np.sort(mids[~real])
+            ridx = np.nonzero(real)[0]
+            oq: list[int] = []
+            ov: list[int] = []
+            od: list[float | None] = []
+            if ridx.size:
+                V = vals[
+                    starts[ridx][:, None]
+                    + np.arange(qd, dtype=np.int64)[None, :]
+                ]
+                gids = mids[ridx]
+            else:
+                V = None
+                gids = None
+            qchunk = max(1, (1 << 22) // max(ridx.size, 1))
+            for s0 in range(0, qids.shape[0], qchunk):
+                s1 = min(s0 + qchunk, qids.shape[0])
+                R = None
+                if V is not None:
+                    with np.errstate(all="ignore"):
+                        D = _np_fold_sqdists(Q[s0:s1], V)
+                    R = _round6_array(D)
+                for r in range(s1 - s0):
+                    qid = int(qids[s0 + r])
+                    taken = 0
+                    for sid in null_ids:
+                        if sid == qid:
+                            continue
+                        oq.append(qid)
+                        ov.append(int(sid))
+                        od.append(None)
+                        taken += 1
+                        if taken == k:
+                            break
+                    if taken < k and R is not None:
+                        picks, got = _row_topk_select_asc(
+                            R[r], gids, qid, k - taken
+                        )
+                        for vid, dv in picks:
+                            oq.append(qid)
+                            ov.append(vid)
+                            od.append(dv)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oq, type=pa.int64()),
+                    pa.array(ov, type=pa.int64()),
+                    pa.array(od, type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "dist"],
+            )
+
+    return src.mapInArrow(topk, out_schema)
 
 
 def pq_refine_codebook(

@@ -216,6 +216,52 @@ def test_cosine_topk_parity(spark):
     assert _canon(a) == _canon(b)
 
 
+def test_l2_topk_parity(spark):
+    """The squared-L2 brute-force kernel (asc window: nulls FIRST,
+    NaN last) vs the pair plan — registry shape + hostile corpus."""
+
+    def canon_d(rows):
+        def c(v):
+            if isinstance(v, float) and math.isnan(v):
+                return "NaN"
+            return repr(v) if isinstance(v, float) else v
+
+        return sorted(
+            (r["query_id"], r["rank"], r["vec_id"], c(r["dist"]))
+            for r in rows
+        )
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    a = sim.l2_topk(embs, queries, 10, impl="sql").collect()
+    b = sim.l2_topk(embs, queries, 10, impl="vectorized").collect()
+    assert canon_d(a) == canon_d(b)
+    nan = float("nan")
+    rows = [
+        (1, [1.0] * 8),
+        (2, [0.9] * 8),
+        (3, None),
+        (4, [nan] * 8),
+        (5, [1.0] * 4),
+        (6, [-1.0] * 8),
+        (7, [0.5, None] + [0.1] * 6),
+    ]
+    df = spark.createDataFrame(rows, EMB)
+    qs = df.filter(F.col("vec_id").isin(1, 6))
+    a = sim.l2_topk(df, qs, 4, impl="sql").collect()
+    b = sim.l2_topk(df, qs, 4, impl="vectorized").collect()
+    assert canon_d(a) == canon_d(b)
+    # null-dist partners (3, 5, 7) occupy the TOP ranks under asc
+    for qid in (1, 6):
+        rs = sorted(
+            (r for r in b if r["query_id"] == qid),
+            key=lambda r: r["rank"],
+        )
+        assert [r["vec_id"] for r in rs[:3]] == [3, 5, 7]
+
+
 def test_mean_vectors_real_corpus(spark):
     embs = spark.read.parquet(
         "/root/testdata/sf0.01/embeddings.parquet"
