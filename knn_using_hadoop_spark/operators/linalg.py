@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _mean_array(embs: DataFrame, vec_col: str, decimals: int = 6):
@@ -37,18 +38,210 @@ def _mean_array(embs: DataFrame, vec_col: str, decimals: int = 6):
     )
 
 
+def _covariance_upper_vectorized(
+    embs: DataFrame, vec_col: str, dim: int
+) -> DataFrame | None:
+    """Partial-Gram Arrow kernel for ``covariance_upper``: one
+    mapInArrow pass emits per-batch (i, j, s, cnt) partial sums
+    (d(d+1)/2 rows per batch — a BLAS X.T @ X per batch instead of
+    exploding d(d+1)/2 product rows per VECTOR), and the final agg
+    is avg's own sum/count + 6dp round. Numerically this reorders
+    the n-term sums (BLAS blocking vs partition fold) — the ~1e-11
+    noise the 6dp grain absorbs, the same tolerance the DuckDB
+    oracle already needs (grain-parity pinned in pytest).
+
+    Null semantics replicated from the SQL plan's zip_with
+    null-padding: a null/short/null-element position contributes
+    nothing to any pair it touches (its centered value is null, so
+    the product is null and avg skips it) — implemented by zeroing
+    invalid entries and counting valid pairs with a mask Gram. Null
+    means (all-null positions) null every pair they touch. Returns
+    None (caller falls back to SQL) when the corpus's max length is
+    below ``dim``: there the SQL plan's element_at probes past the
+    zip_with result and raises under ANSI — the kernel preserves
+    the raise by not replacing the plan.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        _parse_vec_lists,
+        _round6_array,
+    )
+
+    # per-position means: the same partial pattern, then a bounded
+    # (<= max-length rows) collect
+    mean_schema = T.StructType(
+        [
+            T.StructField("pos", T.IntegerType(), True),
+            T.StructField("s", T.DoubleType(), True),
+            T.StructField("cnt", T.LongType(), True),
+        ]
+    )
+    src = embs.select(
+        F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    spark = embs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    def mean_partials(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            lengths, starts, vals, elem_null = _parse_vec_lists(
+                rb.column(0)
+            )
+            maxlen = int(max(lengths.max(), 0))
+            if maxlen <= 0:
+                continue
+            sums = np.zeros(maxlen, dtype=np.float64)
+            cnts = np.zeros(maxlen, dtype=np.int64)
+            pres = np.zeros(maxlen, dtype=np.int64)
+            for p in range(maxlen):
+                has = lengths >= p + 1
+                hidx = np.nonzero(has)[0]
+                if not hidx.size:
+                    continue
+                pres[p] = hidx.size
+                gpos = starts[hidx] + p
+                nn = ~elem_null[gpos]
+                cnts[p] = int(nn.sum())
+                sums[p] = float(vals[gpos[nn]].sum())
+            live = np.nonzero(pres > 0)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(live.astype(np.int32)),
+                    pa.array(sums[live]),
+                    pa.array(cnts[live]),
+                ],
+                names=["pos", "s", "cnt"],
+            )
+
+    mrows = (
+        src.mapInArrow(mean_partials, mean_schema)
+        .groupBy("pos")
+        .agg(
+            F.when(
+                F.sum("cnt") > 0,
+                F.round(F.sum("s") / F.sum("cnt"), 6),
+            ).alias("m")
+        )
+        .collect()
+    )
+    if not mrows:
+        return embs.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("i", T.IntegerType(), True),
+                    T.StructField("j", T.IntegerType(), True),
+                    T.StructField("cov", T.DoubleType(), True),
+                ]
+            ),
+        )
+    maxlen = max(r["pos"] for r in mrows) + 1
+    if maxlen < dim:
+        return None  # ANSI raise domain — keep the SQL plan
+    mvals = np.zeros(dim, dtype=np.float64)
+    mnull = np.ones(dim, dtype=bool)
+    for r in mrows:
+        if r["pos"] < dim and r["m"] is not None:
+            mvals[r["pos"]] = r["m"]
+            mnull[r["pos"]] = False
+
+    gram_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("j", T.IntegerType(), True),
+            T.StructField("s", T.DoubleType(), True),
+            T.StructField("cnt", T.LongType(), True),
+        ]
+    )
+    iu, ju = np.triu_indices(dim)
+
+    def gram_partials(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            lengths, starts, vals, elem_null = _parse_vec_lists(
+                rb.column(0)
+            )
+            X = np.zeros((n, dim), dtype=np.float64)
+            M = np.zeros((n, dim), dtype=bool)
+            full = lengths >= dim
+            fidx = np.nonzero(full)[0]
+            if fidx.size:
+                gather = (
+                    starts[fidx][:, None]
+                    + np.arange(dim, dtype=np.int64)[None, :]
+                )
+                X[fidx] = vals[gather]
+                M[fidx] = ~elem_null[gather]
+            for r in np.nonzero(~full)[0]:
+                L = max(int(lengths[r]), 0)
+                if L == 0:
+                    continue
+                gpos = starts[r] + np.arange(L, dtype=np.int64)
+                X[r, :L] = vals[gpos]
+                M[r, :L] = ~elem_null[gpos]
+            M[:, mnull] = False
+            # exact per-element centering, zeroed where invalid:
+            # excluded terms then add 0 to the pair sums while the
+            # mask Gram counts only valid pairs
+            Xc = np.where(M, X - mvals[None, :], 0.0)
+            S = Xc.T @ Xc
+            C = M.astype(np.float64).T @ M.astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((iu + 1).astype(np.int32)),
+                    pa.array((ju + 1).astype(np.int32)),
+                    pa.array(S[iu, ju]),
+                    pa.array(
+                        np.rint(C[iu, ju]).astype(np.int64)
+                    ),
+                ],
+                names=["i", "j", "s", "cnt"],
+            )
+
+    return (
+        src.mapInArrow(gram_partials, gram_schema)
+        .groupBy("i", "j")
+        .agg(
+            F.when(
+                F.sum("cnt") > 0,
+                F.round(F.sum("s") / F.sum("cnt"), 6),
+            ).alias("cov")
+        )
+    )
+
+
 def covariance_upper(
-    embs: DataFrame, vec_col: str = "embedding", dim: int = 64
+    embs: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Upper-triangle covariance matrix (i <= j, 1-based) as rows
     (i, j, cov).
 
     cov[i,j] = avg over rows of (x_i - m_i)(x_j - m_j) with means
-    pre-rounded to 6 dp. The pair products are generated per row with
-    nested HOF transforms (compile-light, NOTES.md), exploded, and
-    partially aggregated — the shuffle carries d(d+1)/2 keys per
-    partition, never O(n).
+    pre-rounded to 6 dp. ``impl="sql"``: the pair products are
+    generated per row with nested HOF transforms (compile-light,
+    NOTES.md), exploded, and partially aggregated — the shuffle
+    carries d(d+1)/2 keys per partition, never O(n), but the
+    d(d+1)/2-per-row explode still materializes n x 2080 rows
+    through the hash aggregate at d=64. ``impl="vectorized"``
+    (default): per-batch partial Grams via one BLAS product
+    (``_covariance_upper_vectorized``) — d(d+1)/2 rows per BATCH,
+    grain-equal results (pytest-pinned).
     """
+    if impl == "vectorized":
+        out = _covariance_upper_vectorized(embs, vec_col, dim)
+        if out is not None:
+            return out
     marr = _mean_array(embs, vec_col)
     centered = embs.crossJoin(F.broadcast(marr)).select(
         F.zip_with(

@@ -1770,6 +1770,96 @@ def pq_codebook(
     )
 
 
+def _collect_pq_codebook(
+    codebook: DataFrame, sub_w: int, cap: int = 1 << 17
+):
+    """Driver-side codebook fetch for the PQ kernels — bounded by
+    construction (m x ks rows; cap is a guard). Returns
+    (subs_present sorted, {sub: codes int64 sorted asc},
+    {sub: (ncodes, sub_w) float64 matrix in code order}) or None on
+    edge shapes (non-int sub/code, null/ragged/long codewords, null
+    elements) — the caller falls back to the SQL plan.
+    """
+    import numpy as np
+
+    rows = (
+        codebook.select(
+            F.col("sub").cast("long"),
+            F.col("code"),
+            F.col("cv").cast("array<double>").alias("_cv"),
+        )
+        .limit(cap + 1)
+        .collect()
+    )
+    if len(rows) > cap or not rows:
+        return None
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        s, c, v = r[0], r[1], r[2]
+        if (
+            s is None
+            or c is None
+            or not isinstance(c, int)
+            or v is None
+            or len(v) != sub_w
+            or any(x is None for x in v)
+        ):
+            return None
+        by_sub.setdefault(int(s), []).append((int(c), v))
+    subs = sorted(by_sub)
+    codes = {}
+    mats = {}
+    for s in subs:
+        ent = sorted(by_sub[s], key=lambda t: t[0])
+        codes[s] = np.asarray([c for c, _ in ent], dtype=np.int64)
+        mats[s] = np.array([v for _, v in ent], dtype=np.float64)
+    return subs, codes, mats
+
+
+def _batch_sub_codes(
+    lengths, starts, vals, elem_null, sub: int, sub_w: int, codes, mat
+):
+    """Per-batch nearest-codeword INDEX for one subspace, bit-
+    identical to the SQL argmin window (rounded ``_sub_sqdist`` asc
+    nulls first, code asc). Rows whose slice span is missing, short,
+    or null-bearing have null distances against EVERY codeword —
+    the window then falls back to code asc, i.e. index 0 (codes are
+    sorted). All-NaN rows land on index 0 the same way. Returns an
+    int64 index array into ``codes``."""
+    import numpy as np
+
+    n = lengths.shape[0]
+    lo = sub * sub_w
+    hi = lo + sub_w
+    sel = np.zeros(n, dtype=np.int64)
+    clean = lengths >= hi
+    cidx = np.nonzero(clean)[0]
+    if cidx.size:
+        gather = (
+            starts[cidx][:, None] + lo
+            + np.arange(sub_w, dtype=np.int64)[None, :]
+        )
+        bad = elem_null[gather].any(axis=1)
+        cidx = cidx[~bad]
+    if cidx.size:
+        V = vals[
+            starts[cidx][:, None] + lo
+            + np.arange(sub_w, dtype=np.int64)[None, :]
+        ]
+        with np.errstate(all="ignore"):
+            D = _np_fold_sqdists(V, mat)
+        R = _round6_array(D)
+        with np.errstate(all="ignore"):
+            rmin = np.nanmin(
+                np.where(np.isnan(R), np.inf, R), axis=1
+            )
+        first = np.argmax(R == rmin[:, None], axis=1)
+        # all-NaN rows: no R element equals rmin (inf) -> argmax of
+        # all-False is 0 = lowest code, the window's null/NaN order
+        sel[cidx] = first
+    return sel
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -1778,17 +1868,82 @@ def pq_encode(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Encode each vector as m codes: (vec_id, sub, code).
 
-    One broadcast join against the m x ks codebook + an argmin window
-    per (vec_id, sub) — WindowGroupLimit partial top-1, keyed on the
-    vector id so no skew. This is the compression pass: downstream,
-    a vector is m small ints (m bytes at ks<=256) instead of
-    dim floats — the 32x memory cut that lets a 100 TB corpus's
-    index live in cluster RAM.
+    ``impl="sql"``: one broadcast join against the m x ks codebook +
+    an argmin window per (vec_id, sub) — a |corpus| x m x ks
+    intermediate relation, the term that dominates every PQ stage as
+    ks grows. ``impl="vectorized"`` (default): a ZERO-shuffle
+    mapInArrow kernel with the codebook collected driver-side
+    (bounded m x ks fetch) — |corpus| x m output rows, no
+    intermediate blowup, bit-identical codes (pytest-pinned; rounded
+    sqdist asc nulls-first, code asc — null/short/ragged slices take
+    the lowest code exactly as the window does). Falls back to the
+    SQL plan on codebook edge shapes or non-bigint ids. This is the
+    compression pass: downstream, a vector is m small ints (m bytes
+    at ks<=256) instead of dim floats — the 32x memory cut that lets
+    a 100 TB corpus's index live in cluster RAM.
     """
     sub_w = dim // m
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ):
+        book = _collect_pq_codebook(codebook, sub_w)
+        if book is not None:
+            import numpy as np
+            import pyarrow as pa
+
+            subs_present, codes, mats = book
+            out_schema = T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType(), True),
+                    T.StructField("sub", T.IntegerType(), True),
+                    T.StructField("code", T.LongType(), True),
+                ]
+            )
+            src = corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            spark = corpus.sparkSession
+            target = spark.sparkContext.defaultParallelism
+            if src.rdd.getNumPartitions() < target:
+                src = src.repartition(target)
+
+            def encode(batches):
+                for rb in batches:
+                    if rb.num_rows == 0:
+                        continue
+                    ids = rb.column(0).to_numpy(
+                        zero_copy_only=False
+                    )
+                    parsed = _parse_vec_lists(rb.column(1))
+                    oid = []
+                    osub = []
+                    ocode = []
+                    for s in subs_present:
+                        sel = _batch_sub_codes(
+                            *parsed, s, sub_w, codes[s], mats[s]
+                        )
+                        oid.append(ids.astype(np.int64))
+                        osub.append(
+                            np.full(
+                                ids.shape[0], s, dtype=np.int32
+                            )
+                        )
+                        ocode.append(codes[s][sel])
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(np.concatenate(oid)),
+                            pa.array(np.concatenate(osub)),
+                            pa.array(np.concatenate(ocode)),
+                        ],
+                        names=["vec_id", "sub", "code"],
+                    )
+
+            return src.mapInArrow(encode, out_schema)
     subs = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
@@ -1816,6 +1971,184 @@ def pq_encode(
     )
 
 
+def _pq_adc_tables(Q, subs_present, codes, mats, sub_w):
+    """Per-subspace ADC lookup tables for a collected query matrix:
+    {sub: (q, ncodes) rounded sqdist matrix} — the exact values of
+    the SQL plan's qd column (fold op stream + the BigDecimal
+    replica), computed once driver-side (q x m x ks doubles)."""
+    import numpy as np
+
+    tables = {}
+    for s in subs_present:
+        lo = s * sub_w
+        Qs = Q[:, lo : lo + sub_w]
+        with np.errstate(all="ignore"):
+            D = _np_fold_sqdists(Qs, mats[s])
+        tables[s] = _round6_array(D)
+    return tables
+
+
+def _pq_adc_scan_vectorized(
+    corpus: DataFrame,
+    qids,
+    tables,
+    subs_present,
+    codes,
+    mats,
+    sub_w: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qcells=None,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Fused encode + ADC scoring with ZERO extra shuffle: one
+    mapInArrow pass over the corpus (joined with its cells relation
+    when ``qcells`` restricts scoring to same-cell pairs — the IVFPQ
+    shape). Per batch: each subspace's nearest-code INDEX via the
+    exact argmin kernel (``_batch_sub_codes``), then adc = the sum
+    of per-sub table hits accumulated IN SUB ORDER and rounded —
+    deterministic; Spark's groupBy-sum folds in partition order
+    instead, the same order-noise the 6dp grain absorbs between the
+    engines today (pytest still pins equality on the test corpora).
+    Every corpus row scores (null/short rows encode to the lowest
+    code per sub, exactly like the SQL window), so there are no null
+    candidates; per-batch top-k + the caller's final window replace
+    the |corpus| x m x ks encode relation and the |corpus|-row
+    aggregation. Emits (query_id, vec_id, adc_dist).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), True),
+            T.StructField("vec_id", T.LongType(), True),
+            T.StructField("adc_dist", T.DoubleType(), True),
+        ]
+    )
+    if cells is not None:
+        src = (
+            corpus.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .join(cells, "vec_id")
+            .select("vec_id", "_v", "cell")
+        )
+    else:
+        src = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    nq = qids.shape[0]
+    with_cells = cells is not None
+    if with_cells:
+        # cell -> query index array, so each batch only pays ADC
+        # arithmetic for (member, query) pairs sharing a cell — the
+        # SQL plan's cell equi-join, applied BEFORE the gather-sum
+        qbycell: dict[int, list[int]] = {}
+        for i in range(nq):
+            qbycell.setdefault(int(qcells[i]), []).append(i)
+        qbycell_arr = {
+            c: np.asarray(v, dtype=np.int64)
+            for c, v in qbycell.items()
+        }
+    else:
+        qbycell_arr = None
+
+    def _emit(acc_rounded, qsel, gids, oq, ov, od):
+        for r in range(qsel.shape[0]):
+            qid = int(qids[qsel[r]])
+            picks, _ = _row_topk_select_asc(
+                acc_rounded[r], gids, qid, k
+            )
+            for vid, dv in picks:
+                oq.append(qid)
+                ov.append(vid)
+                od.append(dv)
+
+    def scan(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            mids = rb.column(0).to_numpy(zero_copy_only=False)
+            parsed = _parse_vec_lists(rb.column(1))
+            mcell = (
+                rb.column(2).to_numpy(zero_copy_only=False)
+                if with_cells
+                else None
+            )
+            idx = {
+                s: _batch_sub_codes(
+                    *parsed, s, sub_w, codes[s], mats[s]
+                )
+                for s in subs_present
+            }
+            oq: list[int] = []
+            ov: list[int] = []
+            od: list[float] = []
+            if with_cells:
+                for c in np.unique(mcell):
+                    qsel = qbycell_arr.get(int(c))
+                    if qsel is None:
+                        continue
+                    mmask = mcell == c
+                    gids = mids[mmask]
+                    nm = gids.shape[0]
+                    subidx = {
+                        s: idx[s][mmask] for s in subs_present
+                    }
+                    qchunk = max(1, (1 << 22) // max(nm, 1))
+                    for s0 in range(0, qsel.shape[0], qchunk):
+                        qs = qsel[s0 : s0 + qchunk]
+                        acc = np.zeros(
+                            (qs.shape[0], nm), dtype=np.float64
+                        )
+                        for s in subs_present:
+                            np.add(
+                                acc,
+                                tables[s][qs][:, subidx[s]],
+                                out=acc,
+                            )
+                        _emit(
+                            _round6_array(acc), qs, gids,
+                            oq, ov, od,
+                        )
+            else:
+                allq = np.arange(nq, dtype=np.int64)
+                qchunk = max(1, (1 << 22) // max(n, 1))
+                for s0 in range(0, nq, qchunk):
+                    qs = allq[s0 : s0 + qchunk]
+                    acc = np.zeros(
+                        (qs.shape[0], n), dtype=np.float64
+                    )
+                    for s in subs_present:
+                        np.add(
+                            acc,
+                            tables[s][qs][:, idx[s]],
+                            out=acc,
+                        )
+                    _emit(
+                        _round6_array(acc), qs, mids, oq, ov, od
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(oq, type=pa.int64()),
+                    pa.array(ov, type=pa.int64()),
+                    pa.array(od, type=pa.float64()),
+                ],
+                names=["query_id", "vec_id", "adc_dist"],
+            )
+
+    return src.mapInArrow(scan, out_schema)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1827,6 +2160,7 @@ def pq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes:
     (query_id, rank, vec_id, adc_dist).
@@ -1836,13 +2170,16 @@ def pq_topk(
     Per (query, sub) the ks distances form a lookup table, so scoring
     a candidate costs m table hits instead of a dim-wide dot — with
     dim=64, m=8 that is 8x less arithmetic and 32x less candidate
-    data. Here the table join runs in long format (join on
-    (sub, code), sum per pair); at cluster scale you would fold the
-    m-entry lookup into an array expression over a packed codes
-    column and prune candidates with IVF cells first (ivf_topk
-    composes: its cell filter drops in upstream of the ADC join).
-    Ranking: (adc_dist asc, vec_id asc) on rounded sums — the
-    deterministic repo protocol.
+    data. ``impl="sql"`` runs the table join in long format (join on
+    (sub, code), sum per pair). ``impl="vectorized"`` (default) IS
+    the packed-scan design the long format approximates: one fused
+    mapInArrow pass encodes each batch and scores it through
+    driver-built lookup tables (``_pq_adc_scan_vectorized``) — no
+    |corpus| x m x ks relation, no |corpus|-row aggregation, the
+    final window ranks per-batch candidates. Bounded driver fetches
+    (codebook m x ks, queries under the same cap as the other
+    kernels); SQL fallback on edge shapes. Ranking: (adc_dist asc,
+    vec_id asc) on rounded sums — the deterministic repo protocol.
     """
     cb = pq_codebook(
         corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
@@ -1852,6 +2189,34 @@ def pq_topk(
             corpus, cb, m=m, dim=dim, iters=iters,
             id_col=id_col, vec_col=vec_col,
         ).localCheckpoint(eager=True)  # feeds encode AND the ADC table
+    sub_w = dim // m
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ):
+        book = _collect_pq_codebook(cb, sub_w)
+        prepared = (
+            _collect_query_matrix(queries, id_col, vec_col)
+            if book is not None
+            else None
+        )
+        if prepared is not None and prepared[1].shape[1] == dim:
+            qids, Q = prepared
+            subs_present, pcodes, mats = book
+            tables = _pq_adc_tables(
+                Q, subs_present, pcodes, mats, sub_w
+            )
+            cand = _pq_adc_scan_vectorized(
+                corpus, qids, tables, subs_present, pcodes, mats,
+                sub_w, k, id_col, vec_col,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("adc_dist").asc(), F.col("vec_id").asc()
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "adc_dist")
+            )
     codes = pq_encode(
         corpus, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -2122,12 +2487,14 @@ def pq_refine_codebook(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Per-subspace Lloyd refinement of a PQ codebook.
 
     Each iteration assigns every corpus subvector to its nearest
-    codeword (broadcast join + argmin window, the pq_encode shape)
-    and recomputes codewords as component means. Deterministic by the
+    codeword (``pq_encode`` — the kernel path by default, so the
+    |corpus| x m x ks argmin relation never materializes) and
+    recomputes codewords as component means. Deterministic by the
     repo protocol: assignment on 6dp-rounded distances with code-id
     tie-break, means as round(avg, 6). Codes that lose all members
     drop out (both engines agree). Measured on the synthetic
@@ -2148,28 +2515,48 @@ def pq_refine_codebook(
     )
     cb = codebook
     for _ in range(iters):
-        scored = subs.join(F.broadcast(cb), "sub").select(
-            "vec_id",
-            "sub",
-            "code",
-            _sub_sqdist(F.col("sv"), F.col("cv")).alias("d"),
-        )
-        w = Window.partitionBy("vec_id", "sub").orderBy(
-            F.col("d").asc(), F.col("code").asc()
-        )
-        assign = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "sub", "code")
-        )
-        comp = (
-            assign.join(subs, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("pos", "x"))
-            .groupBy("sub", "code", "pos")
-            .agg(
-                F.round(F.avg(F.col("x").cast("double")), 6).alias("a")
+        book = (
+            _collect_pq_codebook(cb, sub_w)
+            if impl == "vectorized"
+            and isinstance(
+                corpus.schema[id_col].dataType, T.LongType
             )
+            else None
         )
+        if book is not None:
+            # fused encode + per-(sub, code, pos) partial sums in
+            # ONE corpus pass (m x ks x sub_w partial rows per
+            # batch); the final agg's division is avg's own
+            # sum/count, summation order differs from Spark's
+            # partial aggregation by the usual ~1e-13 the 6dp grain
+            # absorbs (the same tolerance the DuckDB oracle uses)
+            partials = _pq_refine_partials_vectorized(
+                corpus, book, sub_w, id_col, vec_col
+            )
+            comp = partials.groupBy("sub", "code", "pos").agg(
+                F.when(
+                    F.sum("cnt") > 0,
+                    F.round(F.sum("s") / F.sum("cnt"), 6),
+                ).alias("a")
+            )
+        else:
+            assign = pq_encode(
+                corpus, cb, m=m, dim=dim, id_col=id_col,
+                vec_col=vec_col, impl=impl,
+            )
+            comp = (
+                assign.join(subs, ["vec_id", "sub"])
+                .select(
+                    "sub", "code",
+                    F.posexplode("sv").alias("pos", "x"),
+                )
+                .groupBy("sub", "code", "pos")
+                .agg(
+                    F.round(
+                        F.avg(F.col("x").cast("double")), 6
+                    ).alias("a")
+                )
+            )
         cb = comp.groupBy("sub", "code").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "a"))),
@@ -2177,6 +2564,108 @@ def pq_refine_codebook(
             ).alias("cv")
         )
     return cb
+
+
+def _pq_refine_partials_vectorized(
+    corpus: DataFrame, book, sub_w: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """One-pass encode + per-(sub, code, pos) partial sums for the
+    PQ Lloyd step: (sub, code, pos, s, cnt, pres). ``s``/``cnt``
+    aggregate the non-null elements assigned to each codeword at
+    each slice position; ``pres`` counts rows whose slice HAS the
+    position at all (so all-null positions still produce a codeword
+    component — a null one — exactly like posexplode + avg). Rows
+    with missing/short/null slices encode to the lowest code and
+    contribute nothing, as slice-of-null posexplodes to nothing.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    subs_present, codes, mats = book
+    out_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType(), True),
+            T.StructField("code", T.LongType(), True),
+            T.StructField("pos", T.IntegerType(), True),
+            T.StructField("s", T.DoubleType(), True),
+            T.StructField("cnt", T.LongType(), True),
+            T.StructField("pres", T.LongType(), True),
+        ]
+    )
+    src = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    spark = corpus.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+
+    def partial(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            parsed = _parse_vec_lists(rb.column(1))
+            lengths, starts, vals, elem_null = parsed
+            osub = []
+            ocode = []
+            opos = []
+            osum = []
+            ocnt = []
+            opres = []
+            for s in subs_present:
+                sel = _batch_sub_codes(
+                    *parsed, s, sub_w, codes[s], mats[s]
+                )
+                nc = codes[s].shape[0]
+                lo = s * sub_w
+                sums = np.zeros((nc, sub_w), dtype=np.float64)
+                cnts = np.zeros((nc, sub_w), dtype=np.int64)
+                pres = np.zeros((nc, sub_w), dtype=np.int64)
+                for p in range(sub_w):
+                    has = lengths >= (lo + p + 1)
+                    hidx = np.nonzero(has)[0]
+                    if not hidx.size:
+                        continue
+                    gpos = starts[hidx] + lo + p
+                    np.add.at(pres[:, p], sel[hidx], 1)
+                    nn = ~elem_null[gpos]
+                    gi = hidx[nn]
+                    if gi.size:
+                        np.add.at(
+                            cnts[:, p], sel[gi], 1
+                        )
+                        np.add.at(
+                            sums[:, p],
+                            sel[gi],
+                            vals[starts[gi] + lo + p],
+                        )
+                live = pres > 0
+                ci, pi = np.nonzero(live)
+                if ci.size:
+                    osub.append(
+                        np.full(ci.size, s, dtype=np.int32)
+                    )
+                    ocode.append(codes[s][ci])
+                    opos.append(pi.astype(np.int32))
+                    osum.append(sums[ci, pi])
+                    ocnt.append(cnts[ci, pi])
+                    opres.append(pres[ci, pi])
+            if not osub:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(osub)),
+                    pa.array(np.concatenate(ocode)),
+                    pa.array(np.concatenate(opos)),
+                    pa.array(np.concatenate(osum)),
+                    pa.array(np.concatenate(ocnt)),
+                    pa.array(np.concatenate(opres)),
+                ],
+                names=["sub", "code", "pos", "s", "cnt", "pres"],
+            )
+
+    return src.mapInArrow(partial, out_schema)
 
 
 def ivfpq_topk(
@@ -2191,6 +2680,7 @@ def ivfpq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Full IVFPQ: coarse cell filter upstream of ADC scoring —
     (query_id, rank, vec_id, adc_dist).
@@ -2206,6 +2696,12 @@ def ivfpq_topk(
     the cell centroid before encode, without changing the dataflow.
     Every stage is deterministic (rounded distances, id tie-breaks),
     so the DuckDB twin reproduces the ranking exactly.
+
+    ``impl="vectorized"`` (default): the fused encode+ADC kernel
+    (``_pq_adc_scan_vectorized``) with per-query cell restriction —
+    members score only against same-cell queries, exactly the SQL
+    plan's cell equi-join. Bounded driver fetches; SQL fallback on
+    edge shapes.
     """
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
@@ -2223,6 +2719,75 @@ def ivfpq_topk(
             corpus, cb, m=m, dim=dim, iters=iters,
             id_col=id_col, vec_col=vec_col,
         ).localCheckpoint(eager=True)
+    sub_w_v = dim // m
+    if impl == "vectorized" and isinstance(
+        corpus.schema[id_col].dataType, T.LongType
+    ):
+        import numpy as np
+
+        book = _collect_pq_codebook(cb, sub_w_v)
+        prepared = (
+            _collect_query_matrix(queries, id_col, vec_col)
+            if book is not None
+            else None
+        )
+        if prepared is not None and prepared[1].shape[1] == dim:
+            qids, Q = prepared
+            # each query's own cell — bounded fetch (<= query cap);
+            # queries absent from the cells relation drop, as the
+            # SQL plan's inner join does
+            qcell_map = {
+                r[0]: r[1]
+                for r in cells.filter(
+                    F.col("vec_id").isin(
+                        [int(x) for x in qids]
+                    )
+                ).collect()
+            }
+            keep = [
+                i for i, q in enumerate(qids) if int(q) in qcell_map
+            ]
+            subs_present, pcodes, mats = book
+            if keep:
+                qids2 = qids[keep]
+                Q2 = Q[keep]
+                qcells = np.asarray(
+                    [qcell_map[int(q)] for q in qids2],
+                    dtype=np.int64,
+                )
+                tables = _pq_adc_tables(
+                    Q2, subs_present, pcodes, mats, sub_w_v
+                )
+                cand = _pq_adc_scan_vectorized(
+                    corpus, qids2, tables, subs_present, pcodes,
+                    mats, sub_w_v, k, id_col, vec_col,
+                    qcells=qcells, cells=cells,
+                )
+            else:
+                cand = corpus.sparkSession.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField(
+                                "query_id", T.LongType(), True
+                            ),
+                            T.StructField(
+                                "vec_id", T.LongType(), True
+                            ),
+                            T.StructField(
+                                "adc_dist", T.DoubleType(), True
+                            ),
+                        ]
+                    ),
+                )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("adc_dist").asc(), F.col("vec_id").asc()
+            )
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "adc_dist")
+            )
     codes = pq_encode(
         corpus, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
     ).join(cells, "vec_id")

@@ -1,0 +1,208 @@
+"""Equality pins: the PQ kernels match their SQL plans.
+
+``pq_encode`` claims bit-identical codes to the broadcast-join +
+argmin-window plan (rounded ``_sub_sqdist`` asc nulls-first, code
+asc; null/short/ragged slices take the lowest code). ``pq_topk`` /
+``ivfpq_topk`` claim equal output through the fused encode+ADC scan
+(driver-built lookup tables, per-batch top-k + final window); their
+adc sums accumulate in sub order instead of Spark's partition-order
+partial aggregation — the same 6dp-grain noise the DuckDB oracles
+absorb — so these pins assert equality on the test corpora, the
+claim the registry oracle makes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from knn_using_hadoop_spark.operators import similarity as sim
+
+EMB = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _canon(rows, val):
+    def c(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return repr(v) if isinstance(v, float) else v
+
+    return sorted(
+        (r["query_id"], r["rank"], r["vec_id"], c(r[val]))
+        for r in rows
+    )
+
+
+def test_pq_encode_registry_and_refined(spark):
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+
+    def canon(rows):
+        return sorted((r["vec_id"], r["sub"], r["code"]) for r in rows)
+
+    for m, ks, iters in ((64, 64, 0), (32, 32, 1)):
+        cb = sim.pq_codebook(embs, m=m, ks=ks, dim=64)
+        if iters:
+            cb = sim.pq_refine_codebook(
+                embs, cb, m=m, dim=64, iters=iters
+            ).localCheckpoint(eager=True)
+        a = sim.pq_encode(embs, cb, m=m, dim=64, impl="sql").collect()
+        b = sim.pq_encode(
+            embs, cb, m=m, dim=64, impl="vectorized"
+        ).collect()
+        assert canon(a) == canon(b)
+
+
+def test_pq_encode_hostile(spark):
+    """Null vector, NaN vector, short vector, null element: the
+    window's nulls-first order maps every irregular slice to the
+    lowest code."""
+    nan = float("nan")
+    rows = [
+        (0, [1.0] * 8),
+        (1, [0.5] * 8),
+        (2, None),
+        (3, [nan] * 8),
+        (4, [1.0] * 5),
+        (5, [0.1, None] + [0.2] * 6),
+        (6, [-3.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, EMB)
+    cb = sim.pq_codebook(df, m=4, ks=2, dim=8)
+    a = sim.pq_encode(df, cb, m=4, dim=8, impl="sql").collect()
+    b = sim.pq_encode(df, cb, m=4, dim=8, impl="vectorized").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the null-vector row encodes to the lowest code in every sub
+    codes2 = {r["sub"]: r["code"] for r in b if r["vec_id"] == 2}
+    assert set(codes2.values()) == {0}
+
+
+def test_pq_topk_parity(spark):
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    for m, ks, iters in ((64, 64, 1), (32, 32, 0)):
+        a = sim.pq_topk(
+            embs, queries, 10, m=m, ks=ks, dim=64, iters=iters,
+            impl="sql",
+        ).collect()
+        b = sim.pq_topk(
+            embs, queries, 10, m=m, ks=ks, dim=64, iters=iters,
+            impl="vectorized",
+        ).collect()
+        assert _canon(a, "adc_dist") == _canon(b, "adc_dist")
+
+
+def test_pq_topk_hostile_members_still_score(spark):
+    """Irregular corpus rows encode to lowest codes and get REAL adc
+    distances (the SQL inner join keeps them) — both impls agree."""
+    nan = float("nan")
+    rows = [
+        (0, [1.0] * 8),
+        (1, [0.5] * 8),
+        (2, None),
+        (3, [nan] * 8),
+        (4, [1.0] * 5),
+        (5, [0.1, None] + [0.2] * 6),
+        (6, [-3.0] * 8),
+        (7, [2.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, EMB)
+    qs = df.filter(F.col("vec_id").isin(0, 6))
+    a = sim.pq_topk(
+        df, qs, 5, m=4, ks=2, dim=8, iters=0, impl="sql"
+    ).collect()
+    b = sim.pq_topk(
+        df, qs, 5, m=4, ks=2, dim=8, iters=0, impl="vectorized"
+    ).collect()
+    assert _canon(a, "adc_dist") == _canon(b, "adc_dist")
+    assert all(r["adc_dist"] is not None for r in b)
+
+
+def test_ivfpq_parity(spark):
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    for nc, m, ks, iters in ((16, 64, 64, 1), (8, 32, 32, 0)):
+        a = sim.ivfpq_topk(
+            embs, queries, 10, n_centroids=nc, m=m, ks=ks, dim=64,
+            iters=iters, impl="sql",
+        ).collect()
+        b = sim.ivfpq_topk(
+            embs, queries, 10, n_centroids=nc, m=m, ks=ks, dim=64,
+            iters=iters, impl="vectorized",
+        ).collect()
+        assert _canon(a, "adc_dist") == _canon(b, "adc_dist")
+
+
+def test_pq_refine_grain_parity(spark):
+    """Refine's fused partial-sum kernel vs the posexplode+avg plan:
+    summation orders differ by ~1e-13, the 6dp rounding grain makes
+    the codebooks equal on real data (the DuckDB-oracle tolerance
+    argument; a boundary flip would need a component within 1e-13 of
+    a 5e-7 rounding edge)."""
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    cb0 = sim.pq_codebook(embs, m=32, ks=32, dim=64)
+    a = sim.pq_refine_codebook(
+        embs, cb0, m=32, dim=64, iters=1, impl="sql"
+    ).collect()
+    b = sim.pq_refine_codebook(
+        embs, cb0, m=32, dim=64, iters=1, impl="vectorized"
+    ).collect()
+
+    def canon(rows):
+        return sorted(
+            (r["sub"], r["code"], tuple(r["cv"])) for r in rows
+        )
+
+    assert canon(a) == canon(b)
+
+
+def test_covariance_grain_parity(spark):
+    """covariance_upper's partial-Gram kernel vs the HOF-explode
+    plan: BLAS reorders the n-term sums within the 6dp grain
+    (pytest asserts equality on real data, the oracle's own
+    tolerance). Hostile corpus: null elements / null vectors /
+    ragged rows contribute exactly the pairs whose both elements
+    exist — the zip_with null-padding semantics."""
+    from knn_using_hadoop_spark.operators import linalg
+
+    def canon(rows):
+        return sorted((r["i"], r["j"], r["cov"]) for r in rows)
+
+    embs = spark.read.parquet(
+        "/root/testdata/sf0.01/embeddings.parquet"
+    )
+    a = linalg.covariance_upper(embs, "embedding", 64, impl="sql")
+    b = linalg.covariance_upper(
+        embs, "embedding", 64, impl="vectorized"
+    )
+    assert canon(a.collect()) == canon(b.collect())
+    S = T.StructType(
+        [T.StructField("embedding", T.ArrayType(T.DoubleType()))]
+    )
+    rows = [
+        ([1.0, 2.0, 3.0],),
+        ([4.0, None, 6.0],),
+        (None,),
+        ([7.0, 8.0, 9.0, 10.0],),
+        ([0.5, 1.5],),
+    ]
+    df = spark.createDataFrame(rows, S)
+    a = linalg.covariance_upper(df, "embedding", 3, impl="sql")
+    b = linalg.covariance_upper(
+        df, "embedding", 3, impl="vectorized"
+    )
+    assert canon(a.collect()) == canon(b.collect())
