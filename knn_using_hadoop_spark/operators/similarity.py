@@ -3408,6 +3408,7 @@ def query_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    impl: str = "vectorized",
 ) -> DataFrame:
     """Search a persisted IVF index: (query_id, rank, vec_id, sim).
 
@@ -3417,6 +3418,9 @@ def query_ivf_index(
     and turns them into a STATIC partition filter on the cell store,
     so the scan reads only the probed directories. Exact rerank
     within candidates; excludes self-matches by id.
+    ``impl="vectorized"`` (default) reranks through the shared
+    per-cell kernel (``_cell_topk_candidates``) — same candidate
+    protocol as the inline IVF family, bit-identical output.
     """
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
@@ -3456,6 +3460,23 @@ def query_ivf_index(
     members = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed_cells)
     )
+    if impl == "vectorized" and isinstance(
+        members.schema["vec_id"].dataType, T.LongType
+    ) and isinstance(queries.schema[id_col].dataType, T.LongType):
+        cand = _cell_topk_candidates(
+            members.select("cell", "vec_id", "cv"),
+            probes.select("cell", "query_id", "qv"),
+            k,
+            dim,
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc()
+        )
+        return (
+            cand.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "sim")
+        )
     pairs = members.join(F.broadcast(probes), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
