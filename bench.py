@@ -78,6 +78,10 @@ BENCH_QUERIES = [
     "embedding_semdedup_prune",
     "doc_shared_passage_spans",
     "corpus_curation_pipeline",
+    # round-5 surface: the ANN ladder's kernel-backed legs (per-cell
+    # candidate kernel; fused encode+ADC scan)
+    "similarity_topk_ivf_probe",
+    "similarity_topk_pq",
 ]
 
 
