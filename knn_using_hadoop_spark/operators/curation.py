@@ -298,7 +298,7 @@ def decontaminate(
     n: int = 5,
     bench_mod: int = 10,
     min_frac: float = 0.2,
-    collapse: bool = True,
+    collapse: bool | str = "auto",
     content_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination by n-gram overlap.
@@ -316,7 +316,7 @@ def decontaminate(
     broadcasts it — per-task hash-probe, no repartition of the
     training corpus. Left join + count keeps zero-overlap docs.
 
-    ``collapse=True`` (default) shingles only DISTINCT texts: the
+    ``collapse=True`` shingles only DISTINCT texts: the
     per-doc output row depends only on the doc's text (its distinct
     gram set) and the global benchmark gram set, which itself is a
     union over the texts of benchmark docs — so docs are collapsed
@@ -330,20 +330,53 @@ def decontaminate(
     a rep has >=1 gram iff each of its member docs does (same text),
     and the benchmark gram union over member-bearing reps equals the
     union over benchmark docs. ``collapse=False`` keeps the direct
-    per-doc plan (cheaper below ~10k docs where texts are mostly
-    distinct and the collapse window is pure overhead).
+    per-doc plan.
+
+    ``collapse="auto"`` (the default, r5 verdict #1 — mirrors
+    ``semdedup_prune``'s probe): one (count, HLL approx-distinct)
+    aggregate over the content keys picks the plan. The r5 crossover
+    table (NOTES: direct 6.2s vs collapsed 7.7s at ~5x duplication;
+    collapsed 2.0x faster at ~20x, 3.6x at 200x) puts the break-even
+    between 5x and 20x, and the mistakes are asymmetric — collapsing
+    too early costs a bounded ~10-25%, collapsing too late costs an
+    unbounded pile-up factor — so the probe collapses at rows /
+    distinct-texts >= 8. Both plans are output-identical (pytest-
+    pinned), the probe only picks wall-clock. When ``content_keys``
+    is supplied the probe aggregates that fixed-width (usually
+    checkpointed) relation instead of re-hashing the corpus;
+    otherwise it executes the docs lineage once extra — pipeline
+    composers should pass content_keys, explicit True/False, or
+    checkpoint first (same caveat as the auto ANN knobs).
 
     ``content_keys`` (r5): a precomputed (doc_id, crep) relation —
     crep = min doc_id per exact text content — lets a caller that
     already paid for content keys (the curation pipeline computes
     them for its exact-dup stage, same 120-bit md5 slices) share ONE
-    relation instead of hashing + windowing the corpus twice. Implies
-    ``collapse=True``. The caller should eagerly checkpoint it if it
-    feeds other consumers too; this function uses it as-is.
+    relation instead of hashing + windowing the corpus twice. The
+    caller should eagerly checkpoint it if it feeds other consumers
+    too; this function uses it as-is (with ``collapse=False`` it is
+    ignored; with ``"auto"`` it feeds the probe and, if the probe
+    picks collapse, the rep joins).
     """
     is_bench = F.col("doc_id") % bench_mod == 0
-    if content_keys is not None:
-        collapse = True
+    if collapse == "auto":
+        if content_keys is not None:
+            n_rows, n_distinct = (
+                content_keys.agg(
+                    F.count(F.lit(1)),
+                    F.approx_count_distinct("crep"),
+                ).first()
+            )
+        else:
+            n_rows, n_distinct = (
+                docs.agg(
+                    F.count(F.lit(1)),
+                    F.approx_count_distinct(
+                        portable_hash64(F.col("text"))
+                    ),
+                ).first()
+            )
+        collapse = n_distinct > 0 and n_rows / n_distinct >= 8.0
     if not collapse:
         grams = exploded_shingles(docs, n, out="g").select(
             "doc_id", portable_hash32(F.col("g")).alias("h")

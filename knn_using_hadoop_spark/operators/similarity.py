@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _auto_n_centroids(corpus: DataFrame) -> int:
+def _auto_n_centroids(corpus: DataFrame, n: int | None = None) -> int:
     """Data-dependent cell count: C = clamp(round(sqrt(n)), 4, 4096).
 
     The r3 100x stress (NOTES.md "stress find #2") proved a FIXED
@@ -37,19 +37,23 @@ def _auto_n_centroids(corpus: DataFrame) -> int:
     assignment dots balance at C=sqrt(n); SemDeDup: cluster count
     grows with corpus) — per-cell work then stays O(sqrt(n)).
     Derivation costs ONE corpus count() and only runs when the
-    caller leaves the knob unset; explicit values — e.g. every
-    registry oracle query — skip it entirely. Cost caveat (ADVICE
-    r4 #4): the count is metadata-cheap only for a direct parquet
-    scan; when the corpus is derived lineage (filters, joins,
-    transforms) it executes the full upstream plan as an extra job —
-    pipeline composers should pass explicit knobs or checkpoint the
-    corpus first.
+    caller leaves BOTH the knob and ``n`` unset; explicit values —
+    e.g. every registry oracle query — skip it entirely. Cost
+    caveat (ADVICE r4 #4, closed r6): the count is metadata-cheap
+    only for a direct parquet scan; when the corpus is derived
+    lineage (filters, joins, transforms) it executes the full
+    upstream plan as an extra job — pipeline composers pass a
+    precomputed ``n=`` (every auto-knob operator threads it
+    through) or checkpoint the corpus first.
     """
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     return max(4, min(4096, math.isqrt(max(n, 1))))
 
 
-def _auto_n_planes(corpus: DataFrame, k: int) -> int:
+def _auto_n_planes(
+    corpus: DataFrame, k: int, n: int | None = None
+) -> int:
     """Data-dependent hyperplane count for sign-LSH buckets.
 
     Expected bucket occupancy is n / 2^p; fixed p therefore degrades
@@ -57,10 +61,13 @@ def _auto_n_planes(corpus: DataFrame, k: int) -> int:
     ones (quadratic rerank). Target occupancy max(32, 4k) keeps the
     rerank bounded while leaving enough same-bucket candidates to
     fill top-k: p = clamp(round(log2(n / target)), 3, 24). One
-    count() when the knob is unset, as in ``_auto_n_centroids``
-    (same derived-lineage cost caveat applies).
+    count() when the knob and ``n`` are unset, as in
+    ``_auto_n_centroids`` (same derived-lineage caveat; same
+    precomputed-``n`` escape).
     """
-    n = max(corpus.count(), 1)
+    if n is None:
+        n = corpus.count()
+    n = max(n, 1)
     target = max(32, 4 * k)
     p = round(math.log2(max(n / target, 1.0))) if n > target else 3
     return max(3, min(24, p))
@@ -583,12 +590,19 @@ def _assign_cells_vectorized(
     * Spark's total-order edge semantics are preserved: NaN sims
       (NaN components, zero norms) rank above everything -> lowest
       centroid_id among the NaN columns; null dots (null vector,
-      null element, length mismatch vs the centroid dim under the
-      HOF zip_with) rank below everything and tie -> lowest
-      centroid_id overall. One DEFINED divergence: an exactly-zero
-      denominator makes the ANSI SQL plan raise DIVIDE_BY_ZERO
-      (Spark 4 default); the kernel follows the module's documented
-      IEEE protocol (0/0 -> NaN, x/0 -> ±Inf) instead — pinned in
+      null element, and — with dim=None — length mismatch vs the
+      centroid dim under the HOF zip_with) rank below everything
+      and tie -> lowest centroid_id overall. With ``dim`` set the
+      SQL plan is ``_dot_expanded`` (element_at 1..dim): rows with
+      length >= dim are clean and sliced to their first dim
+      elements (real prefix sims — the shared L = d_req protocol
+      of ``_cell_topk_candidates``; ADVICE r5 #1), rows shorter
+      than dim are the documented ANSI-raise (INVALID_ARRAY_INDEX)
+      divergence domain and follow null-sim semantics. The other
+      DEFINED divergence: an exactly-zero denominator makes the
+      ANSI SQL plan raise DIVIDE_BY_ZERO (Spark 4 default); the
+      kernel follows the module's documented IEEE protocol (0/0 ->
+      NaN, x/0 -> ±Inf) instead — pinned in
       test_assign_vectorized.py. No real corpus has zero-norm rows;
       the SQL plan stays the semantics reference everywhere it is
       defined.
@@ -690,7 +704,19 @@ def _assign_cells_vectorized(
             )
             null_list = pc.is_null(la).to_numpy(zero_copy_only=False)
             lengths[null_list] = -1.0
-            regular = lengths == float(d)
+            # dim set -> the SQL plan is _dot_expanded (element_at
+            # 1..dim): rows with length >= dim compute real prefix
+            # sims over their first dim elements (the shared
+            # L = d_req protocol of _cell_topk_candidates; ADVICE
+            # r5 #1), shorter rows are the documented ANSI-raise
+            # divergence domain and follow null-sim semantics.
+            # dim=None -> HOF zip_with: any length mismatch vs the
+            # centroid dim nulls the dot.
+            regular = (
+                lengths >= float(d)
+                if dim is not None
+                else lengths == float(d)
+            )
             cells = np.full(n, cid_arr[0], dtype=np.int64)
             ridx = np.nonzero(regular)[0]
             if ridx.size:
@@ -1172,6 +1198,7 @@ def ivf_topk(
     k: int,
     *,
     n_centroids: int | None = None,
+    n: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -1187,7 +1214,10 @@ def ivf_topk(
     centroids once, and queries only meet their own cell's candidates.
     ``n_centroids=None`` (default) derives C = sqrt(n) from a corpus
     count — see ``_auto_n_centroids`` for why a fixed C is a scale
-    bug.
+    bug. ``n=`` (r5 verdict #3) supplies that count precomputed, so
+    a caller holding a derived-lineage corpus does not pay a full
+    upstream-plan execution per operator call; pipelines count once
+    on their checkpointed corpus and thread it through.
 
     ``impl="vectorized"`` (default) runs the pair stage through the
     per-cell Arrow kernel (``_cell_topk_candidates``): no pair-
@@ -1197,7 +1227,7 @@ def ivf_topk(
     back to the SQL plan for non-bigint id columns.
     """
     if n_centroids is None:
-        n_centroids = _auto_n_centroids(corpus)
+        n_centroids = _auto_n_centroids(corpus, n=n)
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -1452,6 +1482,19 @@ def ivf_kmeans_centroids(
     (both engines agree). Each round is one broadcast join (assign)
     plus one (cell, pos) aggregation — no driver-side data movement,
     so the loop scales to any corpus size; iters is a small constant.
+
+    Grain note (ADVICE r5 #4): the mean stage's default is the Arrow
+    kernel (``mean_vectors(impl="vectorized")``), which sums each
+    component in column-sorted pairwise order — a DIFFERENT fold
+    order than Spark's partial aggregation, so the default is
+    GRAIN-equal to ``impl="sql"`` (and the DuckDB oracle), not
+    bit-identical: a component sum landing within ~1ulp of a 6dp
+    HALF_UP boundary could in principle round apart and shift a
+    centroid. The rounding replica itself is pinned exactly at
+    boundaries (test_mean_vectors_rounding_boundary_adversarial);
+    every registry corpus passes whole-relation parity
+    (test_mean_vectors_real_corpus), so a flip would be caught, not
+    silent.
     """
     cents = (
         corpus.orderBy(F.col(id_col).asc())
@@ -1484,6 +1527,7 @@ def ivf_probe_topk(
     k: int,
     *,
     n_centroids: int | None = None,
+    n: int | None = None,
     iters: int = 1,
     nprobe: int = 2,
     id_col: str = "vec_id",
@@ -1499,7 +1543,9 @@ def ivf_probe_topk(
     Cost: |corpus| x C assignment (broadcast join, C tiny), then each
     query meets ~nprobe/C of the corpus — sub-quadratic, shuffle keyed
     on cell. Returns (query_id, rank, vec_id, sim).
-    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``).
+    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``);
+    ``n=`` supplies the corpus count precomputed (r5 verdict #3 —
+    derived-lineage callers avoid an extra full upstream execution).
 
     ``impl="vectorized"`` (default) runs the candidate stage through
     the per-cell Arrow kernel (``_cell_topk_candidates``, emitting
@@ -1509,7 +1555,7 @@ def ivf_probe_topk(
     Falls back to the SQL pair plan for non-bigint id columns.
     """
     if n_centroids is None:
-        n_centroids = _auto_n_centroids(corpus)
+        n_centroids = _auto_n_centroids(corpus, n=n)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
@@ -1595,6 +1641,129 @@ def ivf_probe_topk(
     )
 
 
+def _lsh_buckets_vectorized(
+    df: DataFrame,
+    id_in: str,
+    id_out: str,
+    vec_col: str,
+    S,
+    n_planes: int,
+    dim: int,
+) -> DataFrame:
+    """Arrow-batched sign-LSH bucket kernel: (id_out, _vv, bucket),
+    bit-identical bucket ids to the SQL ``bucket_expr`` (one
+    interpreted zip_with+aggregate fold PER PLANE per row — the last
+    interpreted HOF in the ANN hot path, r5 verdict #4).
+
+    The SQL expression per plane is ``aggregate(zip_with(signs, v,
+    s*x), 0.0, acc+x) > 0`` with Spark's comparison semantics. The
+    kernel replicates it exactly (pinned in
+    test_ivf_topk_vectorized.py on hostile corpora):
+
+    * clean rows (length == dim, no null elements, all finite): one
+      BLAS ``V @ S.T`` screen; a plane's bit is provably equal to
+      the fold's when |proj| exceeds the rigorous error bound
+      4*d*eps*sum|v| (sign products are EXACT — |s|=1 — so only
+      addition order contributes; same argument as
+      ``_assign_cells_vectorized``). Rows with any borderline plane
+      re-run the exact fold op stream (acc = 0.0; acc += s_j*x_j
+      left-to-right), so an exactly-zero projection yields bit 0
+      precisely as ``proj > 0`` does;
+    * NaN projections set the bit (Spark treats NaN as greater than
+      any value — measured, not assumed); ±Inf keep their sign, and
+      Inf-Inf cancellation flows through the exact fold;
+    * null list / null element / ANY length != dim (zip_with pads
+      the shorter side with null -> null products -> null fold ->
+      ``null > 0`` is null -> otherwise-0): bucket 0 for every
+      plane. Unlike ``_dot_expanded``'s prefix protocol, the signs
+      array is FIXED at dim, so over-length rows are null too.
+
+    Scale shape: zero shuffle (mapInArrow over the scan), output =
+    input rows, and the vector column rides along so the caller
+    feeds the per-bucket candidate kernel without re-reading the
+    corpus.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_in).alias(id_out),
+        F.col(vec_col).cast("array<double>").alias("_vv"),
+    )
+    # same local-mode fan-out as _assign_cells_vectorized: no-op at
+    # cluster scale where split count >= defaultParallelism
+    target = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_out, T.LongType(), True),
+            T.StructField(
+                "_vv", T.ArrayType(T.DoubleType(), True), True
+            ),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )
+    ST = np.ascontiguousarray(np.asarray(S, dtype=np.float64).T)
+    bconst = 4.0 * dim * np.finfo(np.float64).eps
+    bitvals = (1 << np.arange(n_planes, dtype=np.int64)).astype(
+        np.int64
+    )
+
+    def buckets(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            idc = rb.column(0)
+            la = rb.column(1)
+            lengths, starts, vals, elem_null = _parse_vec_lists(la)
+            bkt = np.zeros(n, dtype=np.int64)
+            ridx = np.nonzero(lengths == float(dim))[0]
+            if ridx.size:
+                gather = (
+                    starts[ridx][:, None]
+                    + np.arange(dim, dtype=np.int64)[None, :]
+                )
+                keep = ~elem_null[gather].any(axis=1)
+                ridx = ridx[keep]
+            if ridx.size:
+                V = vals[
+                    starts[ridx][:, None]
+                    + np.arange(dim, dtype=np.int64)[None, :]
+                ]
+                with np.errstate(all="ignore"):
+                    P = V @ ST
+                    B = bconst * np.abs(V).sum(axis=1)
+                fin = np.isfinite(V).all(axis=1) & np.isfinite(
+                    P
+                ).all(axis=1)
+                safe = fin & (np.abs(P) > B[:, None]).all(axis=1)
+                bits = P > 0.0
+                ex = np.nonzero(~safe)[0]
+                if ex.size:
+                    Vx = V[ex]
+                    acc = np.zeros(
+                        (ex.size, n_planes), dtype=np.float64
+                    )
+                    with np.errstate(all="ignore"):
+                        for j in range(dim):
+                            acc = acc + Vx[:, j : j + 1] * ST[j][
+                                None, :
+                            ]
+                    bits[ex] = np.isnan(acc) | (acc > 0.0)
+                bkt[ridx] = (
+                    bits.astype(np.int64) * bitvals[None, :]
+                ).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [idc, la, pa.array(bkt.astype(np.int32))],
+                names=[id_out, "_vv", "bucket"],
+            )
+
+    return src.mapInArrow(buckets, out_schema)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1602,6 +1771,7 @@ def lsh_bucket_topk(
     dim: int,
     *,
     n_planes: int | None = None,
+    n: int | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     impl: str = "vectorized",
@@ -1615,16 +1785,21 @@ def lsh_bucket_topk(
     (bucket miss) — this is the scale path, the exact path is
     ``cosine_topk``. ``n_planes=None`` derives the plane count from
     the corpus size so expected bucket occupancy tracks max(32, 4k)
-    as n grows (``_auto_n_planes``).
+    as n grows (``_auto_n_planes``); ``n=`` supplies that count
+    precomputed (r5 verdict #3 — derived-lineage callers avoid an
+    extra full upstream execution).
 
-    ``impl="vectorized"`` (default): the rerank runs through the
-    shared per-cell Arrow kernel (``_cell_topk_candidates``, bucket
-    = cell) — same candidate protocol as the IVF family, bit-
-    identical output (pytest-pinned). ``impl="sql"`` keeps the
+    ``impl="vectorized"`` (default): bucket ids come from the Arrow
+    sign kernel (``_lsh_buckets_vectorized``, bit-identical to the
+    interpreted ``bucket_expr`` — r5 verdict #4) and the rerank runs
+    through the shared per-cell Arrow kernel
+    (``_cell_topk_candidates``, bucket = cell) — same candidate
+    protocol as the IVF family, bit-identical output (pytest-
+    pinned). ``impl="sql"`` keeps the HOF bucket expression and the
     bucket-join + window pair plan.
     """
     if n_planes is None:
-        n_planes = _auto_n_planes(corpus, k)
+        n_planes = _auto_n_planes(corpus, k, n=n)
     import hashlib
 
     def plane_sign(p: int, i: int) -> float:
@@ -1654,28 +1829,40 @@ def lsh_bucket_topk(
         assert total is not None
         return total
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
     if impl == "vectorized" and isinstance(
         corpus.schema[id_col].dataType, T.LongType
     ) and isinstance(queries.schema[id_col].dataType, T.LongType):
-        # the bucket IS the cell: same candidate protocol as the
-        # IVF family (per-bucket exact top-k, window over k rows
-        # per query instead of the bucket-pair relation)
+        # buckets from the Arrow kernel (bit-identical to
+        # bucket_expr, r5 verdict #4 — drops n_planes interpreted
+        # zip_with folds per row), then the bucket IS the cell:
+        # same candidate protocol as the IVF family (per-bucket
+        # exact top-k, window over k rows per query instead of the
+        # bucket-pair relation)
+        import numpy as np
+
+        Snp = np.array(
+            [
+                [plane_sign(p, i) for i in range(1, dim + 1)]
+                for p in range(n_planes)
+            ],
+            dtype=np.float64,
+        )
+        ck = _lsh_buckets_vectorized(
+            corpus, id_col, "vec_id", vec_col, Snp, n_planes, dim
+        )
+        qk = _lsh_buckets_vectorized(
+            queries, id_col, "query_id", vec_col, Snp, n_planes, dim
+        )
         cand = _cell_topk_candidates(
-            c.select(
-                F.col("bucket").alias("cell"), "vec_id", "cv"
+            ck.select(
+                F.col("bucket").cast("long").alias("cell"),
+                "vec_id",
+                F.col("_vv").alias("cv"),
             ),
-            q.select(
-                F.col("bucket").alias("cell"), "query_id", "qv"
+            qk.select(
+                F.col("bucket").cast("long").alias("cell"),
+                "query_id",
+                F.col("_vv").alias("qv"),
             ),
             k,
             None,
@@ -1688,6 +1875,16 @@ def lsh_bucket_topk(
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "vec_id", "sim")
         )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
     pairs = c.join(F.broadcast(q), "bucket").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -2861,7 +3058,11 @@ def _semdedup_stats_vectorized(
       (memoized: duplicate piles produce one distinct sim value);
     * Spark comparison semantics are replicated exactly: NaN pair
       sims QUALIFY (``NaN >= t`` is true), null dots (null/ragged
-      vectors, cross-length pairs) never qualify, ``b_cs < a_cs`` /
+      vectors; with dim=None, cross-length pairs — with dim set,
+      clean rows of length >= dim are sliced to their first dim
+      elements in ONE group, the element_at 1..dim prefix-dot
+      protocol, and only shorter rows fall to the null pool; ADVICE
+      r5 #2) never qualify, ``b_cs < a_cs`` /
       ``b_cs == a_cs`` use NaN-greatest / NaN==NaN total order, and
       null centroid_sims yield null stats (coalesced downstream,
       same as the SQL agg). Zero-norm members: the ANSI SQL plan
@@ -2933,15 +3134,25 @@ def _semdedup_stats_vectorized(
                 rcache[x] = r
             return r
 
-        # group members by vector length: only same-length pairs can
-        # produce a non-null dot under the HOF zip_with
+        # group members by vector length: with dim=None only same-
+        # length pairs can produce a non-null dot under the HOF
+        # zip_with. With dim set the SQL pair sim is _dot(av, bv,
+        # dim) = element_at 1..dim (ADVICE r5 #2): every clean row
+        # with length >= dim is sliced to its first dim elements and
+        # placed in ONE group (cross-full-length pairs DO qualify);
+        # shorter rows are the documented ANSI-raise divergence
+        # domain and join the null-sim pool.
         by_len: dict[int, list[int]] = {}
         for i in range(m):
             li = int(lengths[i])
-            if li >= 1 and not elem_null[
-                starts[i] : starts[i] + li
-            ].any():
-                by_len.setdefault(li, []).append(i)
+            if li < 1:
+                continue
+            L = li if dim is None else dim
+            if li < L:
+                continue
+            if elem_null[starts[i] : starts[i] + L].any():
+                continue
+            by_len.setdefault(L, []).append(i)
         for L, idxs in by_len.items():
             gi = np.asarray(idxs, dtype=np.int64)
             mg = gi.size
@@ -3058,6 +3269,7 @@ def semdedup_prune(
     corpus: DataFrame,
     *,
     n_centroids: int | None = None,
+    n: int | None = None,
     iters: int = 1,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -3088,7 +3300,9 @@ def semdedup_prune(
     ``n_centroids=None`` derives C = sqrt(n) — the paper's own knob
     guidance, promoted to the default after the r3 100x stress showed
     fixed C degrades the within-cell stage to all-pairs
-    (``_auto_n_centroids``).
+    (``_auto_n_centroids``); ``n=`` supplies the corpus count
+    precomputed (r5 verdict #3 — derived-lineage callers avoid an
+    extra full upstream execution).
 
     ``collapse`` handles the OTHER quadratic
     driver, duplicate pile-up, which smaller cells cannot fix: m
@@ -3116,12 +3330,17 @@ def semdedup_prune(
     one members shuffle instead of two, no |cell|^2 pair
     materialization, BLAS-screened exact dots — bit-identical keeps
     (pytest-pinned vs ``impl="sql"``, the declarative self-join
-    plan). One corner divergence inherited from the kernels: inputs
-    the ANSI SQL plan cannot evaluate (zero-norm members raise
-    DIVIDE_BY_ZERO; qualifying pairs whose centroid_sim is null —
-    possible only in mixed-dimension corpora — hit the uncollapsed
-    plan's ``otherwise`` branch) follow the collapsed/IEEE
-    semantics instead.
+    plan). One corner divergence inherited from the kernels: zero-
+    norm MEMBERS make the ANSI SQL pair stage raise DIVIDE_BY_ZERO
+    while the kernel follows IEEE. Null centroid_sims, by contrast,
+    are now a DEFINED domain shared by all impl x collapse paths
+    (r5 verdict #2): the centroid_sim projection nullif's its norm
+    product, so a degenerate cell — a kmeans centroid whose
+    6dp-rounded components collapse to the zero vector — yields
+    null centroid_sims instead of an ANSI raise, and a null keep
+    order removes nobody (the null-never-qualifies rule of the
+    collapsed agg, the Arrow kernel, and the uncollapsed plan's
+    two-sided when).
 
     ``collapse="auto"`` (the default) probes the duplication ratio
     with one cheap aggregate over the content keys and collapses only
@@ -3138,7 +3357,7 @@ def semdedup_prune(
     caveat as the auto ANN knobs).
     """
     if n_centroids is None:
-        n_centroids = _auto_n_centroids(corpus)
+        n_centroids = _auto_n_centroids(corpus, n=n)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
@@ -3165,10 +3384,19 @@ def semdedup_prune(
     if collapse:
         # content-determined flag: NaN/zero-norm vectors keep their
         # original singleton pair semantics (their sims are NaN and
-        # must flow through the unchanged comparisons)
-        own = F.exists(
-            F.col(vec_col), lambda x: F.isnan(x.cast("double"))
-        ) | (_sqnorm(F.col(vec_col), dim) == F.lit(0.0))
+        # must flow through the unchanged comparisons). Null arrays /
+        # null elements make BOTH probes null -> coalesce to True:
+        # their pair sims are null under the HOF fold and never
+        # qualify, so pooling them into a content pile would let the
+        # within-pile rule remove members the uncollapsed plan keeps
+        # (ADVICE r5 #3) — they must stay singleton piles too.
+        own = F.coalesce(
+            F.exists(
+                F.col(vec_col), lambda x: F.isnan(x.cast("double"))
+            )
+            | (_sqnorm(F.col(vec_col), dim) == F.lit(0.0)),
+            F.lit(True),
+        )
         ck = (
             corpus.select(
                 F.col(id_col).alias("vec_id"),
@@ -3217,9 +3445,16 @@ def semdedup_prune(
             F.col("cell") == F.col("centroid_id"),
         )
     )
+    # nullif the norm product: a kmeans cell whose 6dp-rounded
+    # centroid collapses to the zero vector (or a zero-norm member)
+    # would otherwise make the ANSI plan raise DIVIDE_BY_ZERO before
+    # either impl's pair stage (VERDICT r5 #2). A null centroid_sim
+    # flows the operator's existing null-stat semantics: such members
+    # threaten nobody and are kept (all four impl x collapse paths
+    # agree — pinned in test_semdedup_vectorized.py).
     csim = F.round(
         _dot(F.col("vv"), F.col("centv"), dim)
-        / (F.col("vn") * F.col("cnn")),
+        / F.nullif(F.col("vn") * F.col("cnn"), F.lit(0.0)),
         6,
     )
     # members feeds THREE consumers (both sides of the pair self-join
@@ -3278,7 +3513,14 @@ def semdedup_prune(
                 .filter(F.col("a_id") < F.col("b_id"))
                 .filter(pair_sim >= F.lit(threshold))
                 # the LATER point in keep order (higher centroid_sim,
-                # ties by id) is the duplicate
+                # ties by id) is the duplicate. Two-sided when, not
+                # otherwise: a null centroid_sim on either side (the
+                # nullif'd zero-norm domain, or mixed-dimension
+                # corpora) makes the keep order undefined and must
+                # remove NOBODY — the same null-never-qualifies rule
+                # the collapsed agg and the Arrow kernel apply (Spark
+                # NaN-greatest total order keeps the trichotomy for
+                # every non-null pair, so exactly one branch fires).
                 .select(
                     F.when(
                         (F.col("a_cs") > F.col("b_cs"))
@@ -3288,9 +3530,17 @@ def semdedup_prune(
                         ),
                         F.col("a_id"),
                     )
-                    .otherwise(F.col("b_id"))
+                    .when(
+                        (F.col("b_cs") > F.col("a_cs"))
+                        | (
+                            (F.col("a_cs") == F.col("b_cs"))
+                            & (F.col("b_id") > F.col("a_id"))
+                        ),
+                        F.col("b_id"),
+                    )
                     .alias("vec_id")
                 )
+                .filter(F.col("vec_id").isNotNull())
                 .distinct()
                 .withColumn("_rm", F.lit(True))
             )
@@ -3354,10 +3604,15 @@ def build_ivf_index(
     path: str,
     *,
     n_centroids: int | None = None,
+    n: int | None = None,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    pq: bool = False,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    pq_iters: int = 1,
 ) -> None:
     """Persist an IVF index: build once, query many.
 
@@ -3369,10 +3624,29 @@ def build_ivf_index(
     corpus size given balanced cells. This is the batch-index
     workflow every production ANN deployment uses — the inline
     ``ivf_*_topk`` operators rebuild the quantizer per query batch.
-    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``).
+    ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``);
+    ``n=`` supplies the count precomputed.
+
+    ``pq=True`` (r5 verdict #5) additionally persists the COMPRESSED
+    search path — the FAISS-style artifact a 100 TB deployment
+    actually ships (codebooks travel, corpora don't; cf. the
+    reference's broadcast-small-side pattern,
+    ``src/main/java/Hadoop.java:66-71``, generalized):
+
+    * ``<path>/pq_codebook`` — the (sub, code, cv) product-quantizer
+      codebook, ``pq_iters`` Lloyd-refined (m x ks rows, KBs);
+    * ``<path>/pq_codes`` — per vector its m nearest-code ids packed
+      into ONE array column (m bytes-scale per vector vs dim floats
+      — the 8-32x cut that lets the searchable index fit in cluster
+      RAM), hive-partitioned BY CELL like the raw store;
+    * ``<path>/pq_meta`` — a one-row (m, ks, dim) manifest.
+
+    ``query_ivfpq_index`` then answers through the fused ADC kernel
+    reading ONLY probed-cell code partitions — raw vectors are never
+    touched on the query path. Requires ``dim`` (subspace slicing).
     """
     if n_centroids is None:
-        n_centroids = _auto_n_centroids(corpus)
+        n_centroids = _auto_n_centroids(corpus, n=n)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
         dim=dim,
@@ -3384,6 +3658,9 @@ def build_ivf_index(
         vec_col=vec_col,
         dim=dim,
     )
+    if pq:
+        # cells feeds the raw store AND the code store -> one cut
+        cells = cells.localCheckpoint(eager=True)
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     (
         corpus.select(
@@ -3396,6 +3673,47 @@ def build_ivf_index(
         .partitionBy("cell")
         .parquet(f"{path}/cells")
     )
+    if not pq:
+        return
+    if dim is None:
+        raise ValueError("pq=True requires dim")
+    spark = corpus.sparkSession
+    cb = pq_codebook(
+        corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    if pq_iters > 0:
+        cb = pq_refine_codebook(
+            corpus, cb, m=m, dim=dim, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    cb = cb.localCheckpoint(eager=True)  # feeds write AND encode
+    cb.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    # pack the long-format codes into one array per vector, in sub
+    # order (array_sort on (sub, code) structs sorts by sub — subs
+    # are distinct per vector)
+    packed = (
+        pq_encode(
+            corpus, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "code"))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+    (
+        packed.join(cells, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/pq_codes")
+    )
+    spark.createDataFrame(
+        [(m, ks, dim)], "m int, ks int, dim int"
+    ).write.mode("overwrite").parquet(f"{path}/pq_meta")
 
 
 def query_ivf_index(
@@ -3493,4 +3811,292 @@ def query_ivf_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "sim")
+    )
+
+
+def query_ivfpq_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "vectorized",
+) -> DataFrame:
+    """Search a persisted IVFPQ index (``build_ivf_index(pq=True)``)
+    WITHOUT touching raw vectors: (query_id, rank, vec_id, adc_dist).
+
+    The 100 TB query path (r5 verdict #5): centroids + codebook are
+    KB-scale driver/broadcast artifacts, the scan reads only the
+    probed cells' ``pq_codes`` partitions (static partition filter,
+    pruning pinned in pytest), and scoring is table lookups over
+    m-byte codes — query cost is independent of corpus size given
+    balanced cells, and the corpus' float vectors stay cold.
+
+    Per query the stored centroids are ranked with the same
+    6dp-rounded protocol as ``ivf_assign_cells``; at ``nprobe=1``
+    the probed cell of an in-corpus query is therefore EXACTLY its
+    stored assignment, which makes this a drop-in twin of the inline
+    ``ivfpq_topk`` (round-trip equality pinned in pytest — not
+    registered; the registry is frozen at 210). ADC distances are
+    the inline plan's: per-sub rounded sqdist table hits accumulated
+    in sub order, 6dp-rounded sum, ties by vec_id, self-pairs
+    excluded.
+
+    ``impl="vectorized"`` (default): driver-built lookup tables
+    (bounded q x m x ks doubles, query cap 4096) + one mapInArrow
+    pass over the probed code partitions. ``impl="sql"`` (also the
+    automatic fallback past the cap / on edge shapes): posexplode
+    codes -> broadcast-join the (sub, code) ADC lookup -> sum — the
+    declarative twin that defines the semantics.
+    """
+    import numpy as np
+
+    meta = spark.read.parquet(f"{path}/pq_meta").first()
+    m, ks, dim = int(meta["m"]), int(meta["ks"]), int(meta["dim"])
+    sub_w = dim // m
+    cents = spark.read.parquet(f"{path}/centroids")
+    cb = spark.read.parquet(f"{path}/pq_codebook")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("qvn"),
+    )
+    qc = q.crossJoin(
+        F.broadcast(
+            cents.withColumn(
+                "cnn", F.sqrt(_sqnorm(F.col("centv"), dim))
+            )
+        )
+    )
+    qsim = F.round(
+        _dot(F.col("qv"), F.col("centv"), dim)
+        / (F.col("qvn") * F.col("cnn")),
+        6,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.select(
+            "query_id", "centroid_id", qsim.alias("psim")
+        )
+        .withColumn("pn", F.row_number().over(wprobe))
+        .filter(F.col("pn") <= nprobe)
+        .select(
+            "query_id", F.col("centroid_id").alias("cell")
+        )
+        .localCheckpoint(eager=True)  # reused: cell fetch + join
+    )
+    probed_cells = [
+        r["cell"] for r in probes.select("cell").distinct().collect()
+    ]
+    codes_df = spark.read.parquet(f"{path}/pq_codes").filter(
+        F.col("cell").isin(probed_cells)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    if impl == "vectorized" and isinstance(
+        queries.schema[id_col].dataType, T.LongType
+    ) and isinstance(
+        codes_df.schema["vec_id"].dataType, T.LongType
+    ):
+        book = _collect_pq_codebook(cb, sub_w)
+        prepared = (
+            _collect_query_matrix(queries, id_col, vec_col)
+            if book is not None
+            else None
+        )
+        if prepared is not None and prepared[1].shape[1] == dim:
+            qids, Q = prepared
+            subs_present, pcodes, mats = book
+            tables = _pq_adc_tables(
+                Q, subs_present, pcodes, mats, sub_w
+            )
+            qprobe = {
+                (r["query_id"], r["cell"])
+                for r in probes.collect()
+            }  # bounded: <= |queries| x nprobe
+            qpos = {int(qid): i for i, qid in enumerate(qids)}
+            qbycell: dict[int, list[int]] = {}
+            for qid, cell in qprobe:
+                if int(qid) in qpos:
+                    qbycell.setdefault(int(cell), []).append(
+                        qpos[int(qid)]
+                    )
+            qbycell_arr = {
+                c: np.asarray(sorted(v), dtype=np.int64)
+                for c, v in qbycell.items()
+            }
+            nsubs = len(subs_present)
+            out_schema = T.StructType(
+                [
+                    T.StructField("query_id", T.LongType(), True),
+                    T.StructField("vec_id", T.LongType(), True),
+                    T.StructField("adc_dist", T.DoubleType(), True),
+                ]
+            )
+            src = codes_df.select("vec_id", "codes", "cell")
+
+            def scan(batches):
+                import pyarrow as pa
+
+                for rb in batches:
+                    n = rb.num_rows
+                    if n == 0:
+                        continue
+                    mids = rb.column(0).to_numpy(
+                        zero_copy_only=False
+                    )
+                    la = rb.column(1)
+                    lengths, starts, vals_f, elem_null = (
+                        _parse_vec_lists(la)
+                    )
+                    vals = vals_f.astype(np.int64)
+                    mcell = rb.column(2).to_numpy(
+                        zero_copy_only=False
+                    )
+                    # only complete, null-free code arrays score —
+                    # pq_encode always writes them; the SQL twin's
+                    # explode would drop damaged rows the same way
+                    ok = lengths == float(nsubs)
+                    okidx = np.nonzero(ok)[0]
+                    if okidx.size:
+                        g = (
+                            starts[okidx][:, None]
+                            + np.arange(nsubs, dtype=np.int64)[
+                                None, :
+                            ]
+                        )
+                        okidx = okidx[~elem_null[g].any(axis=1)]
+                    oq: list[int] = []
+                    ov: list[int] = []
+                    od: list[float] = []
+                    if okidx.size:
+                        C = vals[
+                            starts[okidx][:, None]
+                            + np.arange(nsubs, dtype=np.int64)[
+                                None, :
+                            ]
+                        ]
+                        gcell = mcell[okidx]
+                        gids_all = mids[okidx]
+                        for c in np.unique(gcell):
+                            qsel = qbycell_arr.get(int(c))
+                            if qsel is None:
+                                continue
+                            mmask = gcell == c
+                            gids = gids_all[mmask]
+                            Cg = C[mmask]
+                            nm = gids.shape[0]
+                            qchunk = max(
+                                1, (1 << 22) // max(nm, 1)
+                            )
+                            colidx = {
+                                s: np.searchsorted(
+                                    pcodes[s], Cg[:, j]
+                                )
+                                for j, s in enumerate(
+                                    subs_present
+                                )
+                            }
+                            for s0 in range(
+                                0, qsel.shape[0], qchunk
+                            ):
+                                qs = qsel[s0 : s0 + qchunk]
+                                acc = np.zeros(
+                                    (qs.shape[0], nm),
+                                    dtype=np.float64,
+                                )
+                                for s in subs_present:
+                                    np.add(
+                                        acc,
+                                        tables[s][qs][
+                                            :, colidx[s]
+                                        ],
+                                        out=acc,
+                                    )
+                                R = _round6_array(acc)
+                                for r in range(qs.shape[0]):
+                                    qid = int(qids[qs[r]])
+                                    picks, _ = (
+                                        _row_topk_select_asc(
+                                            R[r], gids, qid, k
+                                        )
+                                    )
+                                    for vid, dv in picks:
+                                        oq.append(qid)
+                                        ov.append(vid)
+                                        od.append(dv)
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(oq, type=pa.int64()),
+                            pa.array(ov, type=pa.int64()),
+                            pa.array(od, type=pa.float64()),
+                        ],
+                        names=["query_id", "vec_id", "adc_dist"],
+                    )
+
+            cand = src.mapInArrow(scan, out_schema)
+            return (
+                cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "vec_id", "adc_dist")
+            )
+    # SQL twin: positions in the packed array are ascending-sub
+    # order; map pos -> sub via the codebook's distinct subs
+    subs_sorted = sorted(
+        r["sub"] for r in cb.select("sub").distinct().collect()
+    )
+    pos_map = spark.createDataFrame(
+        [(i, int(s)) for i, s in enumerate(subs_sorted)],
+        "pos int, sub int",
+    )
+    qsubs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+        F.col(vec_col).alias("v"),
+    ).select(
+        "query_id",
+        "sub",
+        F.slice(
+            F.col("v"), F.col("sub") * sub_w + 1, F.lit(sub_w)
+        ).alias("qsv"),
+    )
+    adc = (
+        qsubs.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            F.col("sub").alias("qsub"),
+            F.col("code").alias("qcode"),
+            _sub_sqdist(F.col("qsv"), F.col("cv")).alias("qd"),
+        )
+        .join(
+            probes.select(
+                "query_id", F.col("cell").alias("qcell")
+            ),
+            "query_id",
+        )
+    )
+    long_codes = codes_df.select(
+        "vec_id",
+        "cell",
+        F.posexplode("codes").alias("pos", "code"),
+    ).join(F.broadcast(pos_map), "pos")
+    pairs = long_codes.join(
+        F.broadcast(adc),
+        (F.col("sub") == F.col("qsub"))
+        & (F.col("code") == F.col("qcode"))
+        & (F.col("cell") == F.col("qcell")),
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    approx = pairs.groupBy("query_id", "vec_id").agg(
+        F.round(F.sum("qd"), 6).alias("adc_dist")
+    )
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_dist")
     )

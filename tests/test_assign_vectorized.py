@@ -186,6 +186,58 @@ def test_dim_given_expanded_fold(spark):
     assert {(r[0], r[1]) for r in a} == {(r[0], r[1]) for r in b}
 
 
+def test_dim_overlength_rows_use_prefix_sims(spark):
+    """dim set + rows LONGER than dim (ADVICE r5 #1): the SQL plan's
+    _dot_expanded reads element_at 1..dim only, so over-length rows
+    compute real prefix sims — the kernel must slice them to the
+    first dim elements, not dump them on the lowest centroid. Null
+    elements BEYOND dim are invisible to both plans."""
+    vec_rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 99.0]),  # prefix == row 1
+        (3, [0.0, 1.0, 0.0, -5.0, 7.0]),  # prefix == centroid 11
+        (4, [0.0, 1.0, 0.0, None]),  # null beyond dim: clean
+        (5, [0.7, 0.7, 0.0, float("nan")]),  # NaN beyond dim: clean
+        (6, [1.0, None, 0.0, 2.0]),  # null INSIDE dim -> null dots
+    ]
+    cent_rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.0, 1.0, 0.0]),
+        (12, [0.7, 0.7, 0.0]),
+    ]
+    da, db = _both(spark, vec_rows, cent_rows, dim=3)
+    assert da == db
+    assert da[2] == da[1] == 10
+    assert da[3] == da[4] == 11
+    assert da[5] == 12
+    assert da[6] == 10  # null dot -> nulls-last tie -> lowest id
+
+
+def test_dim_short_rows_are_divergence_domain(spark):
+    """Rows SHORTER than dim make the ANSI SQL plan raise
+    (element_at out of bounds); the kernel follows the documented
+    null-sim protocol -> lowest centroid_id."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [1.0, 0.0])], EMB
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]), (11, [0.0, 1.0, 0.0])],
+        T.StructType(
+            [
+                T.StructField("centroid_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in sim.ivf_assign_cells(
+            vecs, cents, dim=3, impl="vectorized"
+        ).collect()
+    }
+    assert out == {1: 10, 2: 10}
+
+
 def test_plan_has_no_window_or_join(spark):
     """The vectorized plan must not materialize the pair relation:
     no Window, no join — that is the point of the kernel."""

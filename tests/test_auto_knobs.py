@@ -85,6 +85,44 @@ def test_auto_knob_values_track_sqrt_n(emb_1x, emb_10x):
         assert target / 2 <= occ <= target * 2
 
 
+def test_precomputed_n_skips_the_count_job(spark):
+    """r5 verdict #3: passing ``n=`` must short-circuit the knob's
+    corpus count() entirely — on a derived-lineage corpus that count
+    re-executes the full upstream plan per operator call. Pinned by
+    handing the knob helpers a corpus whose count() raises."""
+
+    class _Boom:
+        def count(self):
+            raise AssertionError(
+                "auto knob executed corpus.count() despite n="
+            )
+
+    assert sim._auto_n_centroids(_Boom(), n=250_000) == 500
+    assert sim._auto_n_planes(_Boom(), k=10, n=40_960) == 10
+    # end-to-end: the public operators accept and forward n=
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+    n = emb.count()
+    q = emb.limit(5)
+    a = sim.ivf_topk(emb, q, 3).collect()
+    b = sim.ivf_topk(emb, q, 3, n=n).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    a = sim.ivf_probe_topk(emb, q, 3, nprobe=2).collect()
+    b = sim.ivf_probe_topk(emb, q, 3, nprobe=2, n=n).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    a = sim.lsh_bucket_topk(emb, q, 3, DIM).collect()
+    b = sim.lsh_bucket_topk(emb, q, 3, DIM, n=n).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    a = sim.semdedup_prune(emb, threshold=0.9, collapse=False).collect()
+    b = sim.semdedup_prune(
+        emb, threshold=0.9, collapse=False, n=n
+    ).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
 def test_ivf_auto_cells_stay_sqrt_sized_at_10x(emb_10x):
     """The actual r3 regression: fixed C made cells n/16-sized. Under
     the auto knob the assignment's cells stay O(sqrt(n))."""

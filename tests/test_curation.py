@@ -290,7 +290,9 @@ def test_decontaminate_collapse_equals_direct(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     direct = _decon_rows(curation.decontaminate(df, collapse=False))
     collapsed = _decon_rows(curation.decontaminate(df, collapse=True))
+    auto = _decon_rows(curation.decontaminate(df, collapse="auto"))
     assert collapsed == direct
+    assert auto == direct
     ids = [t[0] for t in collapsed]
     assert 16 not in ids and 20 not in ids and 10 not in ids
     by_id = {t[0]: t for t in collapsed}
@@ -306,3 +308,55 @@ def test_decontaminate_collapse_equals_direct_on_testdata(spark, sf_dir):
     direct = _decon_rows(curation.decontaminate(docs, collapse=False))
     collapsed = _decon_rows(curation.decontaminate(docs, collapse=True))
     assert collapsed == direct and len(collapsed) > 0
+
+
+def test_decontaminate_auto_probe_both_regimes(spark, sf_dir):
+    """collapse="auto" (r5 verdict #1): the HLL probe picks a plan
+    by duplication ratio — output must equal BOTH explicit modes in
+    both regimes (mostly-distinct corpus -> direct; 10x piles ->
+    collapsed), with and without a precomputed content_keys
+    relation."""
+    from pyspark.sql import Window as W
+
+    from knn_using_hadoop_spark.contract.knn_core import load_docs_wide
+    from knn_using_hadoop_spark.functions.hashing import portable_hash64
+
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text").limit(60)
+    # 10x pile-up: replicate every doc under fresh non-bench-aligned
+    # ids (id*10+offset keeps bench membership of originals intact)
+    piled = docs
+    for i in range(1, 10):
+        piled = piled.union(
+            docs.select(
+                (F.col("doc_id") * 1000 + i).alias("doc_id"), "text"
+            )
+        )
+    for corpus in (docs, piled):
+        ck = (
+            corpus.select(
+                "doc_id",
+                portable_hash64(F.col("text")).alias("k1"),
+                portable_hash64(F.col("text"), pos=17).alias("k2"),
+            )
+            .withColumn(
+                "crep",
+                F.min("doc_id").over(W.partitionBy("k1", "k2")),
+            )
+            .select("doc_id", "crep")
+            .localCheckpoint(eager=True)
+        )
+        direct = _decon_rows(
+            curation.decontaminate(corpus, collapse=False)
+        )
+        assert (
+            _decon_rows(curation.decontaminate(corpus, collapse="auto"))
+            == direct
+        )
+        assert (
+            _decon_rows(
+                curation.decontaminate(
+                    corpus, collapse="auto", content_keys=ck
+                )
+            )
+            == direct
+        )

@@ -179,6 +179,95 @@ def test_lsh_bucket_topk_parity(spark):
     }
 
 
+def test_lsh_bucket_ids_bit_parity(spark):
+    """Direct bucket-id pin for the sign kernel (r5 verdict #4):
+    kernel buckets == the interpreted bucket_expr on the registry
+    corpus AND a hostile one (null vector / null element / NaN /
+    ±Inf cancellation / ragged short AND long / all-zero / exact
+    boundary projections). End-to-end top-k parity alone could mask
+    a bucket flip that happens not to change any top-k set."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    def plane_sign(p, i):
+        h = int(
+            hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16
+        )
+        return 1.0 if h % 2 == 0 else -1.0
+
+    def bucket_expr(vec, n_planes, dim):
+        total = None
+        for p in range(n_planes):
+            signs = F.array(
+                *[F.lit(plane_sign(p, i)) for i in range(1, dim + 1)]
+            )
+            proj = F.aggregate(
+                F.zip_with(
+                    signs, vec, lambda s, x: s * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            total = bit if total is None else total + bit
+        return total
+
+    import numpy as np
+
+    nan, inf = float("nan"), float("inf")
+    for dim, n_planes, df in (
+        (
+            64,
+            8,
+            spark.read.parquet(
+                "/root/testdata/sf0.01/embeddings.parquet"
+            ).select("vec_id", "embedding"),
+        ),
+        (
+            3,
+            5,
+            spark.createDataFrame(
+                [
+                    (1, [1.0, 2.0, 3.0]),  # exact-zero projections
+                    (2, [nan, 1.0, 1.0]),
+                    (3, [1.0, None, 1.0]),
+                    (4, None),
+                    (5, [1.0, 2.0]),  # short
+                    (6, [1.0, 2.0, 3.0, 4.0]),  # long
+                    (7, [inf, 1.0, -inf]),  # Inf-Inf cancellation
+                    (8, [0.0, 0.0, 0.0]),
+                    (9, [-1e-300, 1e-300, 0.0]),  # subnormal-scale
+                ],
+                EMB,
+            ),
+        ),
+    ):
+        Snp = np.array(
+            [
+                [plane_sign(p, i) for i in range(1, dim + 1)]
+                for p in range(n_planes)
+            ]
+        )
+        want = {
+            (r["vec_id"], r["b"])
+            for r in df.select(
+                "vec_id",
+                bucket_expr(
+                    F.col("embedding"), n_planes, dim
+                ).alias("b"),
+            ).collect()
+        }
+        got = {
+            (r["vec_id"], r["bucket"])
+            for r in sim._lsh_buckets_vectorized(
+                df, "vec_id", "vec_id", "embedding", Snp,
+                n_planes, dim,
+            ).collect()
+        }
+        assert got == want
+
+
 def test_cosine_topk_parity(spark):
     """The zero-shuffle brute-force kernel vs the broadcast-NL pair
     plan: registry shape (both dot forms, both self-exclusion modes)
@@ -324,6 +413,39 @@ def test_mean_vectors_hostile(spark):
 
     assert c2(a) == c2(b)
     assert 3 not in {r["g"] for r in b}
+
+
+def test_mean_vectors_rounding_boundary_adversarial(spark):
+    """Means landing EXACTLY on a 6dp HALF_UP boundary (ADVICE r5
+    #4): the vectorized kernel sums in column-sorted pairwise order,
+    the SQL plan in Spark's partial-aggregation order — the module's
+    claim is that both land on the same rounded value. Two-row
+    groups make every summation order bitwise identical (a+b is
+    commutative in IEEE), so this pins the ROUNDING replica exactly
+    at the boundary, where a 1-ulp sum divergence would flip the
+    grain: HALF_UP away from zero (2.5e-6 -> 3e-6, -2.5e-6 ->
+    -3e-6), against HALF_EVEN's 2e-6. A failure here means the
+    kernel's boundary arithmetic diverged — the flip the docstring
+    promises is absorbed would be silently reshaping centroids."""
+    S = T.StructType(
+        [
+            T.StructField("g", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    vec = [2.5e-6, -2.5e-6, 1.5e-6, -1.5e-6, 0.1234565, -0.1234565]
+    rows = [(1, vec), (1, list(vec)), (2, [3.5e-6] * 2), (2, [4.5e-6] * 2)]
+    df = spark.createDataFrame(rows, S)
+    a = sim.mean_vectors(df, "g", "v", out_vec="c", impl="sql").collect()
+    b = sim.mean_vectors(
+        df, "g", "v", out_vec="c", impl="vectorized"
+    ).collect()
+    ka = sorted((r["g"], tuple(r["c"])) for r in a)
+    kb = sorted((r["g"], tuple(r["c"])) for r in b)
+    assert ka == kb
+    asmap = dict(ka)
+    assert asmap[1] == (3e-6, -3e-6, 2e-6, -2e-6, 0.123457, -0.123457)
+    assert asmap[2] == (4e-6, 4e-6)
 
 
 @settings(max_examples=8, deadline=None)

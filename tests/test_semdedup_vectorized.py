@@ -16,7 +16,6 @@ from __future__ import annotations
 import pytest
 from hypothesis import assume, given, settings
 from hypothesis import strategies as st
-from pyspark.errors import ArithmeticException
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,32 +51,24 @@ def _cmp(
     collapse,
     n_centroids=4,
     iters=1,
-    reject_ansi_error=False,
+    dim=None,
 ):
-    try:
-        a = sim.semdedup_prune(
-            df,
-            n_centroids=n_centroids,
-            iters=iters,
-            threshold=threshold,
-            collapse=collapse,
-            impl="sql",
-        ).collect()
-    except ArithmeticException:
-        if not reject_ansi_error:
-            raise
-        # a kmeans centroid's 6dp-rounded components collapsed to the
-        # zero vector, so the ANSI plan cannot evaluate centroid_sim
-        # at all (DIVIDE_BY_ZERO before either impl's pair stage).
-        # The parity claim is scoped to inputs the SQL plan evaluates
-        # — reject the example, don't compare.
-        assume(False)
+    a = sim.semdedup_prune(
+        df,
+        n_centroids=n_centroids,
+        iters=iters,
+        threshold=threshold,
+        collapse=collapse,
+        dim=dim,
+        impl="sql",
+    ).collect()
     b = sim.semdedup_prune(
         df,
         n_centroids=n_centroids,
         iters=iters,
         threshold=threshold,
         collapse=collapse,
+        dim=dim,
         impl="vectorized",
     ).collect()
     assert _keyset(a) == _keyset(b)
@@ -184,10 +175,106 @@ def test_property_random(spark, data, thr, collapse):
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(data)], EMB
     )
-    _cmp(
-        spark,
-        df,
-        threshold=thr,
-        collapse=collapse,
-        reject_ansi_error=True,
+    # no ANSI-raise scoping (r5 verdict #2): a kmeans centroid whose
+    # 6dp-rounded components collapse to the zero vector now yields
+    # null centroid_sims (nullif'd norm product), not DIVIDE_BY_ZERO
+    # — both impls keep such members, compared like any other draw.
+    _cmp(spark, df, threshold=thr, collapse=collapse)
+
+
+def test_dim_mixed_overlength_corpus(spark):
+    """dim set on a mixed/over-length corpus (ADVICE r5 #2): the SQL
+    pair sim is _dot(av, bv, dim) = element_at 1..dim, so pairs of
+    rows BOTH >= dim qualify on their prefix dots even when their
+    full lengths differ — the kernel must slice every clean row to
+    dim and compare them in one group, not group by full length."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 99.0]),  # prefix-identical to 1
+        (3, [0.0, 1.0, 0.0, -5.0, 7.0]),
+        (4, [0.0, 1.0, 0.0]),  # prefix-identical to 3
+        (5, [0.9, 0.1, 0.0, 1.0]),
+        (6, [-1.0, -1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, EMB)
+    for collapse in (False, True):
+        for thr in (0.5, 1.0):
+            out = _cmp(
+                spark,
+                df,
+                threshold=thr,
+                collapse=collapse,
+                n_centroids=2,
+                dim=3,
+            )
+            if thr == 1.0:
+                kept = {r["vec_id"] for r in out if r["keep"]}
+                # prefix-identical cross-length pairs dedup iff they
+                # share a cell; full-length grouping would keep both
+                rem = {1, 2, 3, 4} - kept
+                assert rem, (
+                    "cross-length prefix duplicates never compared"
+                )
+
+
+def test_degenerate_zero_centroid(spark):
+    """A cell whose mean rounds to the zero vector at 6dp: the ANSI
+    plan used to raise DIVIDE_BY_ZERO in the centroid_sim projection
+    (r5 verdict #2); now every member gets a null centroid_sim, a
+    null keep order removes nobody, and all impl x collapse paths
+    agree."""
+    rows = [
+        (1, [1e-8, -1e-8, 1e-8]),
+        (2, [-1e-8, 1e-8, -1e-8]),
+        (3, [2e-8, -2e-8, 2e-8]),
+        (4, [-2e-8, 2e-8, -2e-8]),
+    ]
+    df = spark.createDataFrame(rows, EMB)
+    for collapse in (False, True):
+        out = _cmp(
+            spark, df, threshold=0.5, collapse=collapse,
+            n_centroids=1,
+        )
+        assert all(r["centroid_sim"] is None for r in out)
+        assert all(r["keep"] for r in out)
+
+
+def test_null_bearing_duplicates_stay_singletons(spark):
+    """Null-array / null-element duplicates (ADVICE r5 #3): their
+    pair sims are null under the HOF fold and never qualify, so the
+    uncollapsed plan keeps every copy — the collapse path must NOT
+    pool them into a content pile (whose within-pile rule would
+    remove the non-rep copies)."""
+    nul = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.DoubleType(), True), True
+            ),
+        ]
     )
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [None, 1.0, 0.0]),
+        (4, [None, 1.0, 0.0]),  # exact copy of 3: same content key
+        (5, None),
+        (6, None),  # exact copy of 5
+        (7, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, nul)
+    for thr in (0.35, 1.0):
+        out_c = _cmp(
+            spark, df, threshold=thr, collapse=True, n_centroids=2
+        )
+        out_u = _cmp(
+            spark, df, threshold=thr, collapse=False, n_centroids=2
+        )
+        # collapsed == uncollapsed on null-bearing piles (the ADVICE
+        # r5 #3 regression: collapse used to pool them and drop the
+        # non-rep copies)
+        assert _keyset(out_c) == _keyset(out_u)
+        kept = {r["vec_id"] for r in out_c if r["keep"]}
+        assert {3, 4, 5, 6} <= kept
+    # exact real-vector duplicates still dedup through the pile rule
+    assert 2 not in kept and 1 in kept  # thr=1.0: only sim==1 pairs

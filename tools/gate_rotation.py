@@ -57,9 +57,23 @@ def main() -> int:
     names = list(entrymod.queries().keys())
     oracles = entrymod.oracle_sql()
     stamped: set[str] = set()
-    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    for p in arts:
         with open(p) as f:
             stamped |= set(json.load(f).keys())
+    rmax = "r" + str(
+        max(
+            (
+                int(
+                    os.path.basename(p)
+                    .removeprefix("CORRECTNESS_r")
+                    .removesuffix(".json")
+                )
+                for p in arts
+            ),
+            default=0,
+        )
+    )
     never = [n for n in names if n not in stamped]
     head = [n for n in HEAD if n in never]
     tail = [n for n in never if n not in head]
@@ -84,7 +98,7 @@ def main() -> int:
         "",
         f"Registry: {len(names)} queries, all frozen in registration "
         "order (the driver snapshot is position-sensitive).",
-        f"Driver-stamped at least once (r1–r4): "
+        f"Driver-stamped at least once (r1–{rmax}): "
         f"{len(stamped & set(names))}. Never stamped: {len(never)} — "
         "all of them pass the independent local gate "
         "(`tools/check_oracle.py`, 210/210).",
