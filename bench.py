@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     # candidate kernel; fused encode+ADC scan)
     "similarity_topk_ivf_probe",
     "similarity_topk_pq",
+    # round-6: LSH leg now that its bucket stage is the Arrow sign
+    # kernel (r5 verdict #4) — wall-clocked per round like its
+    # IVF/PQ siblings
+    "similarity_topk_lsh",
 ]
 
 

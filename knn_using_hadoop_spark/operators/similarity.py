@@ -1581,9 +1581,13 @@ def ivf_probe_topk(
             )
         )
     )
+    # nullif (r6, same closure as semdedup's centroid_sim): a
+    # degenerate zero-norm centroid (or query) yields null psim —
+    # ranked last by the desc window, i.e. never probed — instead of
+    # an ANSI DIVIDE_BY_ZERO raise before any candidate is scored
     qsim = F.round(
         _dot(F.col("qv"), F.col("centv"), dim)
-        / (F.col("qvn") * F.col("cnn")),
+        / F.nullif(F.col("qvn") * F.col("cnn"), F.lit(0.0)),
         6,
     )
     wprobe = Window.partitionBy("query_id").orderBy(
@@ -3270,6 +3274,7 @@ def semdedup_prune(
     *,
     n_centroids: int | None = None,
     n: int | None = None,
+    n_distinct: int | None = None,
     iters: int = 1,
     threshold: float = 0.95,
     id_col: str = "vec_id",
@@ -3353,8 +3358,10 @@ def semdedup_prune(
     content hashes — fixed-width sketch merge, no key shuffle,
     single-digit % of the pair stage it protects. Note the probe
     executes the corpus lineage once extra; pipeline composers should
-    pass explicit True/False or checkpoint the corpus first (same
-    caveat as the auto ANN knobs).
+    pass explicit True/False, supply BOTH ``n=`` and ``n_distinct=``
+    (a precomputed distinct-content count — the probe then runs no
+    job at all, the same escape as the ``n=`` knob), or checkpoint
+    the corpus first.
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus, n=n)
@@ -3374,12 +3381,16 @@ def semdedup_prune(
         # (both plans are output-equal, pytest-pinned), and the sketch
         # merges fixed-width partials instead of shuffling every
         # distinct 16-byte key — the probe stays cheap at any scale.
-        n_rows, n_distinct = (
-            corpus.agg(
-                F.count(F.lit(1)),
-                F.approx_count_distinct(portable_hash64(s)),
-            ).first()
-        )
+        # Precomputed (n, n_distinct) skip the probe job entirely.
+        if n is not None and n_distinct is not None:
+            n_rows = n
+        else:
+            n_rows, n_distinct = (
+                corpus.agg(
+                    F.count(F.lit(1)),
+                    F.approx_count_distinct(portable_hash64(s)),
+                ).first()
+            )
         collapse = n_distinct > 0 and n_rows / n_distinct >= 2.0
     if collapse:
         # content-determined flag: NaN/zero-norm vectors keep their
@@ -3753,9 +3764,13 @@ def query_ivf_index(
             )
         )
     )
+    # nullif (r6, same closure as semdedup's centroid_sim): a
+    # degenerate zero-norm centroid (or query) yields null psim —
+    # ranked last by the desc window, i.e. never probed — instead of
+    # an ANSI DIVIDE_BY_ZERO raise before any candidate is scored
     qsim = F.round(
         _dot(F.col("qv"), F.col("centv"), dim)
-        / (F.col("qvn") * F.col("cnn")),
+        / F.nullif(F.col("qvn") * F.col("cnn"), F.lit(0.0)),
         6,
     )
     wprobe = Window.partitionBy("query_id").orderBy(
@@ -3871,9 +3886,13 @@ def query_ivfpq_index(
             )
         )
     )
+    # nullif (r6, same closure as semdedup's centroid_sim): a
+    # degenerate zero-norm centroid (or query) yields null psim —
+    # ranked last by the desc window, i.e. never probed — instead of
+    # an ANSI DIVIDE_BY_ZERO raise before any candidate is scored
     qsim = F.round(
         _dot(F.col("qv"), F.col("centv"), dim)
-        / (F.col("qvn") * F.col("cnn")),
+        / F.nullif(F.col("qvn") * F.col("cnn"), F.lit(0.0)),
         6,
     )
     wprobe = Window.partitionBy("query_id").orderBy(

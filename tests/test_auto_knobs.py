@@ -121,6 +121,14 @@ def test_precomputed_n_skips_the_count_job(spark):
         emb, threshold=0.9, collapse=False, n=n
     ).collect()
     assert {tuple(r) for r in a} == {tuple(r) for r in b}
+    # collapse="auto" with BOTH n and n_distinct precomputed: probe
+    # runs no job, output equals the probed auto mode
+    nd = emb.select("embedding").distinct().count()
+    c1 = sim.semdedup_prune(emb, threshold=0.9).collect()
+    c2 = sim.semdedup_prune(
+        emb, threshold=0.9, n=n, n_distinct=nd
+    ).collect()
+    assert {tuple(r) for r in c1} == {tuple(r) for r in c2}
 
 
 def test_ivf_auto_cells_stay_sqrt_sized_at_10x(emb_10x):

@@ -163,6 +163,42 @@ def test_ivfpq_index_roundtrip_equals_inline(spark, tmp_path):
     assert not any("/cells/" in f for f in files)
 
 
+def test_probe_rank_survives_degenerate_centroid(spark, tmp_path):
+    """r6: a kmeans cell whose 6dp-rounded centroid collapses to the
+    zero vector must not crash the probe rankings (nullif'd norm
+    product — null psim ranks last, the cell is simply never
+    probed). Exercises ivf_probe_topk and the persisted-index query
+    path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_probe_topk,
+        query_ivf_index,
+    )
+
+    # seed 0 is a tiny-component vector alone in its cell -> its
+    # refined centroid rounds to the zero vector at 6dp
+    rows = [(0, [1e-9, -1e-9, 1e-9, -1e-9])] + [
+        (i, [float((i * 7 + j * 3) % 11) + 1.0 for j in range(4)])
+        for i in range(1, 60)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id").isin(5, 10))
+    out = ivf_probe_topk(
+        corpus, queries, 3, n_centroids=2, iters=1, nprobe=2
+    ).collect()
+    assert {r["query_id"] for r in out} == {5, 10}
+    path = str(tmp_path / "degidx")
+    build_ivf_index(corpus, path, n_centroids=2, iters=1)
+    got = query_ivf_index(spark, path, queries, 3, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, out)
+    )
+
+
 def test_ivf_index_single_probe_subset(spark, tmp_path):
     """nprobe=1 candidates are a subset of nprobe=2's."""
     from pyspark.sql import functions as F
