@@ -2879,6 +2879,7 @@ def ivfpq_topk(
     ks: int = PQ_KS,
     dim: int,
     iters: int = 1,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "vectorized",
@@ -2892,11 +2893,19 @@ def ivfpq_topk(
     its own cell's candidates (candidate count = cell occupancy, not
     |corpus|), and PQ/ADC scores those candidates through m-byte
     codes (8x less arithmetic, 32x less candidate data). Codebooks
-    here are GLOBAL (shared across cells) — the simpler variant;
-    per-cell residual codebooks drop in by re-centering subvectors on
-    the cell centroid before encode, without changing the dataflow.
-    Every stage is deterministic (rounded distances, id tie-breaks),
-    so the DuckDB twin reproduces the ranking exactly.
+    are GLOBAL (shared across cells). ``residual=True`` (r6, the
+    FAISS IVFPQ_R recipe) re-centers every vector on its cell
+    centroid BEFORE quantization — one broadcast join + zip_with
+    subtraction producing a derived residual relation the unchanged
+    PQ machinery then consumes. Because a query and its candidates
+    share a cell, both subtract the SAME centroid, so ADC over
+    residuals ranks the same metric while the codebook only has to
+    cover the (much tighter) within-cell displacement distribution —
+    the standard recall lever at fixed m x ks (measured in pytest:
+    recall@10 strictly above the global-codebook run on clustered
+    corpora). Every stage is deterministic (rounded distances, id
+    tie-breaks), so the DuckDB twin reproduces the ranking exactly;
+    the registered oracle query keeps ``residual=False``.
 
     ``impl="vectorized"`` (default): the fused encode+ADC kernel
     (``_pq_adc_scan_vectorized``) with per-query cell restriction —
@@ -2912,6 +2921,33 @@ def ivfpq_topk(
     cells = ivf_assign_cells(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     ).localCheckpoint(eager=True)  # feeds corpus AND query sides
+    if residual:
+        # derived residual relation: x - centroid(cell(x)). One
+        # broadcast join per side; the rest of the operator consumes
+        # it exactly like a corpus (queries must be corpus members,
+        # as the cell equi-join already requires). zip_with pads
+        # length mismatches with null -> the encode kernels' existing
+        # null protocol (lowest code) applies unchanged.
+        centv = F.broadcast(
+            centroids.select(
+                F.col("centroid_id").alias("cell"),
+                F.col(vec_col).alias("_centv"),
+            )
+        )
+        rv = F.zip_with(
+            F.col(vec_col),
+            F.col("_centv"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+        corpus = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .join(cells.withColumnRenamed("vec_id", id_col), id_col)
+            .join(centv, "cell")
+            .select(F.col(id_col), rv.alias(vec_col))
+        )
+        queries = corpus.join(
+            queries.select(F.col(id_col)).distinct(), id_col
+        )
     cb = pq_codebook(
         corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -3624,6 +3660,7 @@ def build_ivf_index(
     m: int = PQ_M,
     ks: int = PQ_KS,
     pq_iters: int = 1,
+    pq_residual: bool = False,
 ) -> None:
     """Persist an IVF index: build once, query many.
 
@@ -3655,6 +3692,11 @@ def build_ivf_index(
     ``query_ivfpq_index`` then answers through the fused ADC kernel
     reading ONLY probed-cell code partitions — raw vectors are never
     touched on the query path. Requires ``dim`` (subspace slicing).
+    ``pq_residual=True`` (the FAISS IVFPQ_R recipe, see
+    ``ivfpq_topk(residual=True)``) quantizes x - centroid(cell(x))
+    instead of x — the manifest records the flag and the query path
+    re-centers each query on its probed cell's centroid before
+    building its ADC tables.
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus, n=n)
@@ -3689,6 +3731,27 @@ def build_ivf_index(
     if dim is None:
         raise ValueError("pq=True requires dim")
     spark = corpus.sparkSession
+    if pq_residual:
+        # quantize the within-cell displacement (see ivfpq_topk
+        # residual=True): one broadcast join + zip_with subtraction,
+        # the unchanged PQ machinery consumes the derived relation
+        centv = F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("cell"),
+                F.col("centv").alias("_centv"),
+            )
+        )
+        rv = F.zip_with(
+            F.col(vec_col),
+            F.col("_centv"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+        corpus = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .join(cells.withColumnRenamed("vec_id", id_col), id_col)
+            .join(centv, "cell")
+            .select(F.col(id_col), rv.alias(vec_col))
+        )
     cb = pq_codebook(
         corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
     )
@@ -3723,7 +3786,8 @@ def build_ivf_index(
         .parquet(f"{path}/pq_codes")
     )
     spark.createDataFrame(
-        [(m, ks, dim)], "m int, ks int, dim int"
+        [(m, ks, dim, pq_residual)],
+        "m int, ks int, dim int, residual boolean",
     ).write.mode("overwrite").parquet(f"{path}/pq_meta")
 
 
@@ -3866,11 +3930,19 @@ def query_ivfpq_index(
     automatic fallback past the cap / on edge shapes): posexplode
     codes -> broadcast-join the (sub, code) ADC lookup -> sum — the
     declarative twin that defines the semantics.
+
+    Residual manifests (``build_ivf_index(pq_residual=True)``): the
+    stored codes quantize each vector's within-cell displacement, so
+    the query re-centers on EACH probed cell's centroid before its
+    tables (or SQL slices) are built — per-(query, cell) tables,
+    still bounded by q x nprobe x m x ks.
     """
     import numpy as np
 
     meta = spark.read.parquet(f"{path}/pq_meta").first()
     m, ks, dim = int(meta["m"]), int(meta["ks"]), int(meta["dim"])
+    md = meta.asDict()
+    residual = bool(md.get("residual", False))  # pre-r6 manifests
     sub_w = dim // m
     cents = spark.read.parquet(f"{path}/centroids")
     cb = spark.read.parquet(f"{path}/pq_codebook")
@@ -3929,12 +4001,32 @@ def query_ivfpq_index(
             if book is not None
             else None
         )
+        cmap = None
+        if prepared is not None and residual:
+            # residual manifests: re-center each query on its probed
+            # cell's centroid before building its ADC tables. The
+            # centroid fetch is bounded (C rows); edge shapes force
+            # the SQL twin, which defines the semantics.
+            crows = cents.select(
+                "centroid_id",
+                F.col("centv").cast("array<double>").alias("_cv"),
+            ).collect()
+            cmap = {}
+            for r in crows:
+                if (
+                    r[0] is None
+                    or r[1] is None
+                    or len(r[1]) != dim
+                    or any(x is None for x in r[1])
+                ):
+                    cmap = None
+                    break
+                cmap[int(r[0])] = np.asarray(r[1], dtype=np.float64)
+            if cmap is None:
+                prepared = None
         if prepared is not None and prepared[1].shape[1] == dim:
             qids, Q = prepared
             subs_present, pcodes, mats = book
-            tables = _pq_adc_tables(
-                Q, subs_present, pcodes, mats, sub_w
-            )
             qprobe = {
                 (r["query_id"], r["cell"])
                 for r in probes.collect()
@@ -3950,6 +4042,23 @@ def query_ivfpq_index(
                 c: np.asarray(sorted(v), dtype=np.int64)
                 for c, v in qbycell.items()
             }
+            if residual:
+                # per-(cell, its probing queries) tables: rows follow
+                # qbycell_arr[c] order — bounded q x nprobe x m x ks
+                tables_by_cell = {
+                    c: _pq_adc_tables(
+                        Q[qsel] - cmap[c], subs_present, pcodes,
+                        mats, sub_w,
+                    )
+                    for c, qsel in qbycell_arr.items()
+                    if c in cmap
+                }
+                tables = None
+            else:
+                tables_by_cell = None
+                tables = _pq_adc_tables(
+                    Q, subs_present, pcodes, mats, sub_w
+                )
             nsubs = len(subs_present)
             out_schema = T.StructType(
                 [
@@ -4007,6 +4116,16 @@ def query_ivfpq_index(
                             qsel = qbycell_arr.get(int(c))
                             if qsel is None:
                                 continue
+                            ctbl = (
+                                tables_by_cell.get(int(c))
+                                if tables_by_cell is not None
+                                else None
+                            )
+                            if (
+                                tables_by_cell is not None
+                                and ctbl is None
+                            ):
+                                continue
                             mmask = gcell == c
                             gids = gids_all[mmask]
                             Cg = C[mmask]
@@ -4031,11 +4150,16 @@ def query_ivfpq_index(
                                     dtype=np.float64,
                                 )
                                 for s in subs_present:
+                                    block = (
+                                        ctbl[s][
+                                            s0 : s0 + qs.shape[0]
+                                        ]
+                                        if ctbl is not None
+                                        else tables[s][qs]
+                                    )
                                     np.add(
                                         acc,
-                                        tables[s][qs][
-                                            :, colidx[s]
-                                        ],
+                                        block[:, colidx[s]],
                                         out=acc,
                                     )
                                 R = _round6_array(acc)
@@ -4074,32 +4198,90 @@ def query_ivfpq_index(
         [(i, int(s)) for i, s in enumerate(subs_sorted)],
         "pos int, sub int",
     )
-    qsubs = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
-        F.col(vec_col).alias("v"),
-    ).select(
-        "query_id",
-        "sub",
-        F.slice(
-            F.col("v"), F.col("sub") * sub_w + 1, F.lit(sub_w)
-        ).alias("qsv"),
-    )
-    adc = (
-        qsubs.join(F.broadcast(cb), "sub")
-        .select(
+    if residual:
+        # per-(query, probed cell) residual: the query re-centers on
+        # EACH cell it probes before slicing (members' stored codes
+        # already quantize their own-cell displacement)
+        centv = F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("qcell"),
+                F.col("centv").alias("_centv"),
+            )
+        )
+        qres = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qv"),
+            )
+            .join(
+                probes.select(
+                    "query_id", F.col("cell").alias("qcell")
+                ),
+                "query_id",
+            )
+            .join(centv, "qcell")
+            .select(
+                "query_id",
+                "qcell",
+                F.zip_with(
+                    F.col("qv"),
+                    F.col("_centv"),
+                    lambda x, y: x.cast("double")
+                    - y.cast("double"),
+                ).alias("v"),
+            )
+        )
+        qsubs = qres.select(
             "query_id",
+            "qcell",
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias(
+                "sub"
+            ),
+            "v",
+        ).select(
+            "query_id",
+            "qcell",
+            "sub",
+            F.slice(
+                F.col("v"), F.col("sub") * sub_w + 1, F.lit(sub_w)
+            ).alias("qsv"),
+        )
+        adc = qsubs.join(F.broadcast(cb), "sub").select(
+            "query_id",
+            "qcell",
             F.col("sub").alias("qsub"),
             F.col("code").alias("qcode"),
             _sub_sqdist(F.col("qsv"), F.col("cv")).alias("qd"),
         )
-        .join(
-            probes.select(
-                "query_id", F.col("cell").alias("qcell")
+    else:
+        qsubs = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias(
+                "sub"
             ),
+            F.col(vec_col).alias("v"),
+        ).select(
             "query_id",
+            "sub",
+            F.slice(
+                F.col("v"), F.col("sub") * sub_w + 1, F.lit(sub_w)
+            ).alias("qsv"),
         )
-    )
+        adc = (
+            qsubs.join(F.broadcast(cb), "sub")
+            .select(
+                "query_id",
+                F.col("sub").alias("qsub"),
+                F.col("code").alias("qcode"),
+                _sub_sqdist(F.col("qsv"), F.col("cv")).alias("qd"),
+            )
+            .join(
+                probes.select(
+                    "query_id", F.col("cell").alias("qcell")
+                ),
+                "query_id",
+            )
+        )
     long_codes = codes_df.select(
         "vec_id",
         "cell",

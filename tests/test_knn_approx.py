@@ -163,6 +163,56 @@ def test_ivfpq_index_roundtrip_equals_inline(spark, tmp_path):
     assert not any("/cells/" in f for f in files)
 
 
+def test_ivfpq_index_residual_roundtrip(spark, tmp_path):
+    """Residual manifest round-trip (r6): build with kmeans iters=0
+    (seed centroids == the inline operator's quantizer) and
+    pq_residual=True; the persisted query path re-centers queries on
+    their probed cell and must equal inline
+    ivfpq_topk(residual=True) — vectorized AND sql twins."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_topk,
+        query_ivfpq_index,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                float((i * 11 + j * 5) % 23) / 23.0 - 0.4
+                for j in range(16)
+            ],
+        )
+        for i in range(360)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 45 == 0)
+    path = str(tmp_path / "ivfpqres")
+    build_ivf_index(
+        corpus, path, n_centroids=6, iters=0,
+        pq=True, m=4, ks=8, pq_iters=1, pq_residual=True, dim=16,
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                corpus, queries, 5, n_centroids=6, m=4, ks=8,
+                dim=16, iters=1, residual=True,
+            ).collect(),
+        )
+    )
+    got = query_ivfpq_index(spark, path, queries, 5)
+    assert sorted(map(tuple, got.collect())) == want
+    got_sql = query_ivfpq_index(
+        spark, path, queries, 5, impl="sql"
+    )
+    assert sorted(map(tuple, got_sql.collect())) == want
+
+
 def test_probe_rank_survives_degenerate_centroid(spark, tmp_path):
     """r6: a kmeans cell whose 6dp-rounded centroid collapses to the
     zero vector must not crash the probe rankings (nullif'd norm

@@ -145,6 +145,70 @@ def test_ivfpq_parity(spark):
         assert _canon(a, "adc_dist") == _canon(b, "adc_dist")
 
 
+def test_ivfpq_residual_parity_and_recall(spark):
+    """residual=True (r6, the FAISS IVFPQ_R recipe): (a) sql and
+    vectorized impls agree on the residual relation; (b) on a
+    clustered corpus — cells capturing coarse structure, the case
+    residual encoding exists for — recall@10 vs exact L2 beats the
+    global-codebook run at identical m/ks knobs; (c) deterministic
+    across runs."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    dim, ncl = 16, 4
+    centers = [
+        [rng.uniform(-8, 8) for _ in range(dim)] for _ in range(ncl)
+    ]
+    rows = []
+    for i in range(320):
+        c = centers[i % ncl]
+        rows.append(
+            (i, [c[j] + rng.gauss(0, 0.4) for j in range(dim)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    # knobs matter: at m=4/ks=8 BOTH variants are noise-grade (the
+    # codebook can't resolve anything); at m=8/ks=16 the residual
+    # advantage is unambiguous (measured 0.606 vs 0.481 on this
+    # corpus — displacement distribution vs raw-point distribution)
+    kw = dict(n_centroids=ncl, m=8, ks=16, dim=dim, iters=1)
+    a = sim.ivfpq_topk(
+        df, queries, 10, residual=True, impl="sql", **kw
+    ).collect()
+    b = sim.ivfpq_topk(
+        df, queries, 10, residual=True, impl="vectorized", **kw
+    ).collect()
+    assert _canon(a, "adc_dist") == _canon(b, "adc_dist")
+    b2 = sim.ivfpq_topk(
+        df, queries, 10, residual=True, impl="vectorized", **kw
+    ).collect()
+    assert _canon(b, "adc_dist") == _canon(b2, "adc_dist")
+
+    truth = sim.l2_topk(df, queries, 10).collect()
+    tset = {}
+    for r in truth:
+        tset.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows_):
+        got = {}
+        for r in rows_:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        hits = sum(
+            len(got.get(q, set()) & t) for q, t in tset.items()
+        )
+        return hits / sum(len(t) for t in tset.values())
+
+    plain = sim.ivfpq_topk(df, queries, 10, **kw).collect()
+    r_res, r_plain = recall(b), recall(plain)
+    # clustered data: the residual codebook only has to cover the
+    # within-cell displacement, so it must not lose to the global one
+    assert r_res >= r_plain, (r_res, r_plain)
+    assert r_res >= 0.5
+
+
 def test_pq_refine_grain_parity(spark):
     """Refine's fused partial-sum kernel vs the posexplode+avg plan:
     summation orders differ by ~1e-13, the 6dp rounding grain makes

@@ -63,7 +63,38 @@ SCENARIOS = [
     # r5 session 2: auto collapse absorbs the 10x vector piles
     # (warm band 21-40s); vectorized MG at 100x (warm band ~5s)
     ("token_heavy_hitters", "scale", 60),
+    # r6: LSH leg through the Arrow sign-bucket kernel (200k warm
+    # band 1.7-2.5s); quantile sketch 100x (warm band 2.5-3.4s, the
+    # r5 44.3s reading was cold-session environment)
+    ("similarity_topk_lsh", "scale", 60),
+    ("lineitem_quantile_sketch", "scale", 60),
 ]
+
+
+def test_decontaminate_auto_beats_direct_at_200x(spark, corpora):
+    """r6: the collapse="auto" probe must keep the pile-up win —
+    direct shingles 200x the gram volume (measured 180s vs auto 6.2s
+    on this shape; ceiling leaves the documented load swings)."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators import curation as cur
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .select("doc_id", "text")
+        .limit(5000)
+    )
+    copies = spark.range(200).select(F.col("id").alias("c"))
+    piled = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") * 1000 + F.col("c")).alias("doc_id"),
+            "text",
+        )
+        .localCheckpoint(eager=True)
+    )
+    dt = _timed(cur.decontaminate(piled, collapse="auto"))
+    assert dt < 60, f"auto decontaminate at 200x piles: {dt:.0f}s"
 
 
 @pytest.mark.parametrize("name,corpus,ceiling", SCENARIOS)
