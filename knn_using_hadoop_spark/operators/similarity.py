@@ -4068,6 +4068,13 @@ def query_ivfpq_index(
                 ]
             )
             src = codes_df.select("vec_id", "codes", "cell")
+            # local-mode fan-out (cf. _assign_cells_vectorized): the
+            # probed partitions may be a handful of small files; at
+            # cluster scale split count >= defaultParallelism and
+            # this is a no-op
+            par = spark.sparkContext.defaultParallelism
+            if src.rdd.getNumPartitions() < par:
+                src = src.repartition(par)
 
             def scan(batches):
                 import pyarrow as pa

@@ -268,6 +268,79 @@ def test_lsh_bucket_ids_bit_parity(spark):
         assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(
+            st.one_of(
+                st.floats(
+                    min_value=-6, max_value=6, allow_nan=False
+                ),
+                st.just(float("nan")),
+                st.just(0.0),
+            ),
+            min_size=3,
+            max_size=3,
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    n_planes=st.sampled_from([3, 6]),
+)
+def test_lsh_bucket_ids_property(spark, data, n_planes):
+    """Hypothesis twin of the crafted bucket-id pin: random corpora
+    (NaN components, exact zeros, near-boundary sums) — kernel
+    buckets == the interpreted fold expression, bit for bit."""
+    import hashlib
+
+    import numpy as np
+
+    dim = 3
+
+    def plane_sign(p, i):
+        h = int(
+            hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16
+        )
+        return 1.0 if h % 2 == 0 else -1.0
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(data)], EMB
+    )
+    total = None
+    for p in range(n_planes):
+        signs = F.array(
+            *[F.lit(plane_sign(p, i)) for i in range(1, dim + 1)]
+        )
+        proj = F.aggregate(
+            F.zip_with(
+                signs,
+                F.col("embedding"),
+                lambda s, x: s * x.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        total = bit if total is None else total + bit
+    want = {
+        (r["vec_id"], r["b"])
+        for r in df.select("vec_id", total.alias("b")).collect()
+    }
+    Snp = np.array(
+        [
+            [plane_sign(p, i) for i in range(1, dim + 1)]
+            for p in range(n_planes)
+        ]
+    )
+    got = {
+        (r["vec_id"], r["bucket"])
+        for r in sim._lsh_buckets_vectorized(
+            df, "vec_id", "vec_id", "embedding", Snp, n_planes, dim
+        ).collect()
+    }
+    assert got == want
+
+
 def test_cosine_topk_parity(spark):
     """The zero-shuffle brute-force kernel vs the broadcast-NL pair
     plan: registry shape (both dot forms, both self-exclusion modes)
