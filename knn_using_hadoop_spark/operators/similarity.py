@@ -4308,3 +4308,117 @@ def query_ivfpq_index(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> None:
+    """Incrementally add a batch to a persisted IVF(PQ) index.
+
+    The standard production maintenance path (r6): new vectors are
+    assigned against the STORED centroids (the quantizer does not
+    move — centroid drift is handled by periodic rebuild, exactly as
+    FAISS/Milvus segment maintenance does) and appended to the
+    hive-partitioned cell store; when the index carries a PQ
+    manifest, the batch is also encoded with the STORED codebook
+    (re-centered on its assigned cell first for residual manifests)
+    and appended to the code store. Cost: one broadcast-assign pass
+    + one encode pass over the BATCH — never touches existing rows.
+
+    Equality pin (pytest): appending B to an index built on A equals
+    rebuilding on A UNION B with the same frozen quantizer/codebook
+    (iters=0 seeds), for both the raw and the PQ query paths.
+    """
+    cents = spark.read.parquet(f"{path}/centroids")
+    cells = ivf_assign_cells(
+        new_vectors,
+        cents.select("centroid_id", F.col("centv").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).localCheckpoint(eager=True)  # feeds raw AND code appends
+    (
+        new_vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+            F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
+        )
+        .join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/cells")
+    )
+    import os
+
+    if not os.path.isdir(f"{path}/pq_meta"):
+        return
+    meta = spark.read.parquet(f"{path}/pq_meta").first()
+    m, dim_pq = int(meta["m"]), int(meta["dim"])
+    residual = bool(meta.asDict().get("residual", False))
+    cb = spark.read.parquet(f"{path}/pq_codebook")
+    batch = new_vectors.select(F.col(id_col), F.col(vec_col))
+    if residual:
+        centv = F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("cell"),
+                F.col("centv").alias("_centv"),
+            )
+        )
+        rv = F.zip_with(
+            F.col(vec_col),
+            F.col("_centv"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        )
+        batch = (
+            batch.join(
+                cells.withColumnRenamed("vec_id", id_col), id_col
+            )
+            .join(centv, "cell")
+            .select(F.col(id_col), rv.alias(vec_col))
+        )
+    packed = (
+        pq_encode(
+            batch, cb, m=m, dim=dim_pq,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("sub", "code"))
+                ),
+                lambda s: s.getField("code"),
+            ).alias("codes")
+        )
+    )
+    (
+        packed.join(cells, "vec_id")
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(f"{path}/pq_codes")
+    )
+
+
+def describe_ivf_index(spark, path: str) -> DataFrame:
+    """Index introspection: one row per cell with occupancy — plus a
+    summary row (cell null) carrying C, total rows, min/max/avg
+    occupancy. Reads parquet footers' worth of data (a count per
+    partition), no vector columns; the ops-side sanity check before
+    pointing a query load at an index (skewed cells = slow probes).
+    """
+    cells = spark.read.parquet(f"{path}/cells").groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = cells.agg(
+        F.lit(None).cast("bigint").alias("cell"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return cells.select(
+        F.col("cell").cast("bigint"), "n_rows"
+    ).unionByName(summary)

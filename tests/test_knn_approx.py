@@ -249,6 +249,90 @@ def test_probe_rank_survives_degenerate_centroid(spark, tmp_path):
     )
 
 
+def test_append_ivf_index_equals_frozen_rebuild(spark, tmp_path):
+    """Incremental maintenance (r6): appending batch B to an index
+    built on A == rebuilding on A UNION B under the same frozen
+    quantizer/codebook (iters=0 seeds by low ids), for the raw IVF
+    query path AND the PQ path (residual manifest included); the
+    summary introspection sees the new rows."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        describe_ivf_index,
+        query_ivf_index,
+        query_ivfpq_index,
+    )
+
+    def vec(i):
+        return [
+            float((i * 13 + j * 7) % 29) / 29.0 + 0.1
+            for j in range(16)
+        ]
+
+    a_rows = [(i, vec(i)) for i in range(300)]
+    b_rows = [(i, vec(i)) for i in range(300, 360)]
+    A = spark.createDataFrame(
+        a_rows, "vec_id long, embedding array<double>"
+    )
+    B = spark.createDataFrame(
+        b_rows, "vec_id long, embedding array<double>"
+    )
+    AB = A.union(B)
+    queries = AB.filter(F.col("vec_id") % 45 == 0)
+    for residual in (False, True):
+        p_inc = str(tmp_path / f"inc{int(residual)}")
+        p_full = str(tmp_path / f"full{int(residual)}")
+        kw = dict(
+            n_centroids=6, iters=0, pq=True, m=4, ks=8,
+            pq_iters=0, pq_residual=residual, dim=16,
+        )
+        build_ivf_index(A, p_inc, **kw)
+        append_ivf_index(spark, p_inc, B)
+        # frozen rebuild: seeds/codebook come from ids < C / < ks,
+        # identical between A and A UNION B
+        build_ivf_index(AB, p_full, **kw)
+        for k in (5,):
+            gi = sorted(
+                map(
+                    tuple,
+                    query_ivf_index(
+                        spark, p_inc, queries, k, nprobe=2
+                    ).collect(),
+                )
+            )
+            gf = sorted(
+                map(
+                    tuple,
+                    query_ivf_index(
+                        spark, p_full, queries, k, nprobe=2
+                    ).collect(),
+                )
+            )
+            assert gi == gf and gi
+            pi = sorted(
+                map(
+                    tuple,
+                    query_ivfpq_index(
+                        spark, p_inc, queries, k
+                    ).collect(),
+                )
+            )
+            pf = sorted(
+                map(
+                    tuple,
+                    query_ivfpq_index(
+                        spark, p_full, queries, k
+                    ).collect(),
+                )
+            )
+            assert pi == pf and pi
+        desc = describe_ivf_index(spark, p_inc).collect()
+        total = [r for r in desc if r["cell"] is None]
+        assert total and total[0]["n_rows"] == 360
+
+
 def test_ivf_index_single_probe_subset(spark, tmp_path):
     """nprobe=1 candidates are a subset of nprobe=2's."""
     from pyspark.sql import functions as F
