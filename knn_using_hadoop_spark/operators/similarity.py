@@ -3661,6 +3661,7 @@ def build_ivf_index(
     ks: int = PQ_KS,
     pq_iters: int = 1,
     pq_residual: bool = False,
+    attribute_cols: list[str] | None = None,
 ) -> None:
     """Persist an IVF index: build once, query many.
 
@@ -3697,6 +3698,14 @@ def build_ivf_index(
     instead of x — the manifest records the flag and the query path
     re-centers each query on its probed cell's centroid before
     building its ADC tables.
+
+    ``attribute_cols`` (r6, filtered vector search): extra corpus
+    columns persisted alongside each vector in the cell store, so
+    ``query_ivf_index(member_filter=...)`` can apply a metadata
+    predicate AT THE SCAN (parquet pushdown, pinned in pytest) and
+    return the exact top-k of the filter's survivors — the
+    pre-filtering semantics production vector stores implement,
+    without a second attribute-join pass over the corpus.
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus, n=n)
@@ -3720,6 +3729,7 @@ def build_ivf_index(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("cv"),
             F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
+            *[F.col(c) for c in (attribute_cols or [])],
         )
         .join(cells, "vec_id")
         .write.mode("overwrite")
@@ -3798,6 +3808,7 @@ def query_ivf_index(
     k: int,
     *,
     nprobe: int = 1,
+    member_filter: Column | str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
@@ -3814,6 +3825,17 @@ def query_ivf_index(
     ``impl="vectorized"`` (default) reranks through the shared
     per-cell kernel (``_cell_topk_candidates``) — same candidate
     protocol as the inline IVF family, bit-identical output.
+
+    ``member_filter`` (r6, filtered vector search): a Column or SQL
+    string over the cell store's columns (vec_id + any
+    ``attribute_cols`` persisted at build time), applied BEFORE the
+    exact rerank — the result is the exact top-k among the filter's
+    survivors (pre-filtering semantics: no rank-k starvation from
+    post-filtering a fixed candidate list). Because the rerank is
+    exact within probed cells, filtering cannot hurt correctness,
+    only recall through the probe choice — the same recall contract
+    the unfiltered query already carries. The predicate reaches the
+    parquet scan (PushedFilters, pinned in pytest).
     """
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(
@@ -3857,6 +3879,12 @@ def query_ivf_index(
     members = spark.read.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed_cells)
     )
+    if member_filter is not None:
+        members = members.filter(
+            F.expr(member_filter)
+            if isinstance(member_filter, str)
+            else member_filter
+        )
     if impl == "vectorized" and isinstance(
         members.schema["vec_id"].dataType, T.LongType
     ) and isinstance(queries.schema[id_col].dataType, T.LongType):
@@ -4318,6 +4346,7 @@ def append_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    attribute_cols: list[str] | None = None,
 ) -> None:
     """Incrementally add a batch to a persisted IVF(PQ) index.
 
@@ -4348,6 +4377,9 @@ def append_ivf_index(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("cv"),
             F.sqrt(_sqnorm(F.col(vec_col), dim)).alias("cvn"),
+            # must match the build-time attribute_cols, or the cell
+            # store's files disagree on schema
+            *[F.col(c) for c in (attribute_cols or [])],
         )
         .join(cells, "vec_id")
         .write.mode("append")

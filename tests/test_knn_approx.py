@@ -333,6 +333,91 @@ def test_append_ivf_index_equals_frozen_rebuild(spark, tmp_path):
         assert total and total[0]["n_rows"] == 360
 
 
+def test_ivf_index_filtered_search(spark, tmp_path):
+    """Filtered vector search (r6): attribute columns persisted in
+    the cell store + a query-time predicate — the result is the
+    exact top-k among the filter's survivors within probed cells
+    (pre-filtering semantics), and the predicate reaches the parquet
+    scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    rows = [
+        (
+            i,
+            [float((i * 13 + j * 5) % 23) + 0.5 for j in range(8)],
+            ["en", "de", "fr"][i % 3],
+            i % 7,
+        )
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "vec_id long, embedding array<double>, "
+        "lang string, quality int",
+    )
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "fidx")
+    build_ivf_index(
+        corpus, path, n_centroids=8, iters=1,
+        attribute_cols=["lang", "quality"],
+    )
+    pred = "lang = 'en' AND quality >= 3"
+    got = query_ivf_index(
+        spark, path, queries, 5, nprobe=2, member_filter=pred
+    )
+    got_rows = got.collect()
+    # reference: unfiltered candidates at k=infinity, filtered by
+    # the same predicate, re-ranked per query
+    allc = query_ivf_index(
+        spark, path, queries, 10**6, nprobe=2
+    ).collect()
+    keep = {
+        r["vec_id"]
+        for r in corpus.filter(pred).select("vec_id").collect()
+    }
+    byq = {}
+    for r in allc:
+        if r["vec_id"] in keep:
+            byq.setdefault(r["query_id"], []).append(r)
+    want = set()
+    for qid, lst in byq.items():
+        lst.sort(
+            key=lambda r: (
+                -(r["sim"] if r["sim"] is not None else -9e99),
+                r["vec_id"],
+            )
+        )
+        for rank, r in enumerate(lst[:5], start=1):
+            want.add((qid, rank, r["vec_id"], r["sim"]))
+    assert {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in got_rows
+    } == want
+    # every survivor satisfies the predicate, none are self-matches
+    assert {r["vec_id"] for r in got_rows} <= keep
+    # predicate reaches the scan (data filters, beyond the cell
+    # partition filter)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    mm = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert mm and "lang" in mm.group(1) and "quality" in mm.group(1)
+    # sql twin agrees
+    got_sql = query_ivf_index(
+        spark, path, queries, 5, nprobe=2, member_filter=pred,
+        impl="sql",
+    ).collect()
+    assert {
+        (r["query_id"], r["rank"], r["vec_id"], r["sim"])
+        for r in got_sql
+    } == want
+
+
 def test_ivf_index_single_probe_subset(spark, tmp_path):
     """nprobe=1 candidates are a subset of nprobe=2's."""
     from pyspark.sql import functions as F
