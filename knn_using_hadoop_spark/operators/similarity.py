@@ -2880,6 +2880,7 @@ def ivfpq_topk(
     dim: int,
     iters: int = 1,
     residual: bool = False,
+    refine_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "vectorized",
@@ -2907,12 +2908,54 @@ def ivfpq_topk(
     tie-breaks), so the DuckDB twin reproduces the ranking exactly;
     the registered oracle query keeps ``residual=False``.
 
+    ``refine_k`` (r6, the FAISS two-stage refine): ADC retrieves a
+    ``refine_k``-deep shortlist through the compressed codes, then
+    the shortlist ONLY (|queries| x refine_k rows, never the corpus)
+    is joined back to the raw vectors and exactly re-ranked to k by
+    rounded squared L2 — output (query_id, rank, vec_id, dist).
+    Recall converges to the cell-restricted exact ranking as
+    refine_k grows while the scan cost stays ADC-shaped; pinned in
+    pytest (monotone recall, exactness at refine_k >= cell size).
+    The registered oracle query keeps ``refine_k=None``.
+
     ``impl="vectorized"`` (default): the fused encode+ADC kernel
     (``_pq_adc_scan_vectorized``) with per-query cell restriction —
     members score only against same-cell queries, exactly the SQL
     plan's cell equi-join. Bounded driver fetches; SQL fallback on
     edge shapes.
     """
+    if refine_k is not None:
+        shortlist = ivfpq_topk(
+            corpus, queries, refine_k,
+            n_centroids=n_centroids, m=m, ks=ks, dim=dim,
+            iters=iters, residual=residual, refine_k=None,
+            id_col=id_col, vec_col=vec_col, impl=impl,
+        ).select("query_id", "vec_id")
+        mem = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cv"),
+        )
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        exact = (
+            shortlist.join(mem, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                _sub_sqdist(F.col("qv"), F.col("cv")).alias("dist"),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "dist")
+        )
     centroids = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -3928,6 +3971,7 @@ def query_ivfpq_index(
     k: int,
     *,
     nprobe: int = 1,
+    refine_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "vectorized",
@@ -3964,6 +4008,15 @@ def query_ivfpq_index(
     the query re-centers on EACH probed cell's centroid before its
     tables (or SQL slices) are built — per-(query, cell) tables,
     still bounded by q x nprobe x m x ks.
+
+    ``refine_k`` (r6, the FAISS two-stage refine): the ADC pass
+    retrieves a refine_k-deep shortlist, then ONLY the shortlist is
+    joined back to the raw cell store — under the SAME probed-cell
+    partition filter, so query cost stays corpus-size independent —
+    and exactly re-ranked to k by rounded squared L2. Output column
+    becomes ``dist``. The "raw vectors untouched" property is
+    traded for exactness on |queries| x refine_k rows, the standard
+    production recall knob.
     """
     import numpy as np
 
@@ -4018,6 +4071,42 @@ def query_ivfpq_index(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
+    k_eff = refine_k if refine_k is not None else k
+
+    def _finish(adc_ranked: DataFrame) -> DataFrame:
+        """Optional exact refine of the ADC shortlist against the
+        raw cell store (same probed-cell partition filter)."""
+        if refine_k is None:
+            return adc_ranked
+        raw = (
+            spark.read.parquet(f"{path}/cells")
+            .filter(F.col("cell").isin(probed_cells))
+            .select("vec_id", "cv")
+        )
+        qdf = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+        )
+        exact = (
+            adc_ranked.select("query_id", "vec_id")
+            .join(raw, "vec_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select(
+                "query_id",
+                "vec_id",
+                _sub_sqdist(F.col("qv"), F.col("cv")).alias(
+                    "dist"
+                ),
+            )
+        )
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("dist").asc(), F.col("vec_id").asc()
+        )
+        return (
+            exact.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "vec_id", "dist")
+        )
     if impl == "vectorized" and isinstance(
         queries.schema[id_col].dataType, T.LongType
     ) and isinstance(
@@ -4202,7 +4291,8 @@ def query_ivfpq_index(
                                     qid = int(qids[qs[r]])
                                     picks, _ = (
                                         _row_topk_select_asc(
-                                            R[r], gids, qid, k
+                                            R[r], gids, qid,
+                                            k_eff,
                                         )
                                     )
                                     for vid, dv in picks:
@@ -4219,9 +4309,9 @@ def query_ivfpq_index(
                     )
 
             cand = src.mapInArrow(scan, out_schema)
-            return (
+            return _finish(
                 cand.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
+                .filter(F.col("rank") <= k_eff)
                 .select("query_id", "rank", "vec_id", "adc_dist")
             )
     # SQL twin: positions in the packed array are ascending-sub
@@ -4331,9 +4421,9 @@ def query_ivfpq_index(
     approx = pairs.groupBy("query_id", "vec_id").agg(
         F.round(F.sum("qd"), 6).alias("adc_dist")
     )
-    return (
+    return _finish(
         approx.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter(F.col("rank") <= k_eff)
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
 

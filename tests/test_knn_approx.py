@@ -333,6 +333,65 @@ def test_append_ivf_index_equals_frozen_rebuild(spark, tmp_path):
         assert total and total[0]["n_rows"] == 360
 
 
+def test_ivfpq_index_refine_roundtrip(spark, tmp_path):
+    """Persisted two-stage refine (r6): query_ivfpq_index(refine_k)
+    == inline ivfpq_topk(refine_k) under the frozen quantizer
+    (iters=0), and the refine join stays under the probed-cell
+    partition filter."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_topk,
+        query_ivfpq_index,
+    )
+
+    rows = [
+        (
+            i,
+            [
+                float((i * 17 + j * 3) % 31) / 31.0
+                for j in range(16)
+            ],
+        )
+        for i in range(360)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    queries = corpus.filter(F.col("vec_id") % 60 == 0)
+    path = str(tmp_path / "refidx")
+    build_ivf_index(
+        corpus, path, n_centroids=6, iters=0,
+        pq=True, m=4, ks=8, pq_iters=1, dim=16,
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                corpus, queries, 5, n_centroids=6, m=4, ks=8,
+                dim=16, iters=1, refine_k=40,
+            ).collect(),
+        )
+    )
+    got = query_ivfpq_index(spark, path, queries, 5, refine_k=40)
+    assert sorted(map(tuple, got.collect())) == want
+    got_sql = query_ivfpq_index(
+        spark, path, queries, 5, refine_k=40, impl="sql"
+    )
+    assert sorted(map(tuple, got_sql.collect())) == want
+    # both stores are on the query path now (codes for ADC, cells
+    # for the refine join), each behind a cell partition filter
+    files = got.inputFiles()
+    assert any("/pq_codes/" in f for f in files)
+    assert any("/cells/" in f for f in files)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and all("cell" in x for x in pf if x.strip())
+
+
 def test_ivf_index_filtered_search(spark, tmp_path):
     """Filtered vector search (r6): attribute columns persisted in
     the cell store + a query-time predicate — the result is the

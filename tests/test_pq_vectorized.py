@@ -209,6 +209,75 @@ def test_ivfpq_residual_parity_and_recall(spark):
     assert r_res >= 0.5
 
 
+def test_ivfpq_refine_k_two_stage(spark):
+    """refine_k (r6, FAISS two-stage): ADC shortlist -> exact rerank
+    of the shortlist only. Pins: sql == vectorized; recall at coarse
+    codes (m=4/ks=8) jumps with refine_k; the dist column is the
+    rounded exact squared L2 of the returned pair."""
+    import math
+    import random
+
+    rng = random.Random(11)
+    dim, ncl = 16, 4
+    centers = [
+        [rng.uniform(-8, 8) for _ in range(dim)] for _ in range(ncl)
+    ]
+    rows = []
+    for i in range(320):
+        c = centers[i % ncl]
+        rows.append(
+            (i, [c[j] + rng.gauss(0, 0.4) for j in range(dim)])
+        )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    vecs = {i: v for i, v in rows}
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    kw = dict(n_centroids=ncl, m=4, ks=8, dim=dim, iters=1)
+    a = sim.ivfpq_topk(
+        df, queries, 10, refine_k=60, impl="sql", **kw
+    ).collect()
+    b = sim.ivfpq_topk(
+        df, queries, 10, refine_k=60, impl="vectorized", **kw
+    ).collect()
+    assert _canon(a, "dist") == _canon(b, "dist")
+
+    truth = sim.l2_topk(df, queries, 10).collect()
+    tset = {}
+    for r in truth:
+        tset.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    def recall(rows_):
+        got = {}
+        for r in rows_:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return sum(
+            len(got.get(q, set()) & t) for q, t in tset.items()
+        ) / sum(len(t) for t in tset.values())
+
+    plain = sim.ivfpq_topk(df, queries, 10, **kw).collect()
+    r_ref, r_plain = recall(b), recall(plain)
+    assert r_ref > r_plain, (r_ref, r_plain)
+    assert r_ref >= 0.8
+    # dist == rounded exact squared L2 of the pair
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for r in b[:40]:
+        q, v = vecs[r["query_id"]], vecs[r["vec_id"]]
+        acc = 0.0
+        for x, y in zip(q, v):
+            acc += (x - y) * (x - y)
+        want = float(
+            Decimal(repr(acc)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert math.isclose(r["dist"], want, abs_tol=0.0), (
+            r["dist"],
+            want,
+        )
+
+
 def test_pq_refine_grain_parity(spark):
     """Refine's fused partial-sum kernel vs the posexplode+avg plan:
     summation orders differ by ~1e-13, the 6dp rounding grain makes
