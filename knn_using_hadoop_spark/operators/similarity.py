@@ -3844,6 +3844,39 @@ def build_ivf_index(
     ).write.mode("overwrite").parquet(f"{path}/pq_meta")
 
 
+def _read_index_members(
+    spark, path: str, store: str, probed_cells: list | None = None
+) -> DataFrame:
+    """LIVE members of an index store (``cells`` / ``pq_codes``),
+    optionally restricted to probed cells: the base store unioned
+    with any streamed segments (``stream_<store>/ingest_batch=N`` —
+    the batch dimension is dropped; ``cell`` is a partition column
+    in both, so the probed-cell filter prunes both scans), minus
+    tombstoned ids (broadcast-size anti-join between compactions).
+    When no segments or tombstones exist this is exactly the plain
+    pruned scan — the existing partition-pruning pins are unchanged.
+    The directory probes are the local-FS stand-in for a catalog
+    lookup."""
+    import os
+
+    df = spark.read.parquet(f"{path}/{store}")
+    if probed_cells is not None:
+        df = df.filter(F.col("cell").isin(probed_cells))
+    sdir = f"{path}/stream_{store}"
+    if os.path.isdir(sdir) and any(
+        e.startswith("ingest_batch=") for e in os.listdir(sdir)
+    ):
+        seg = spark.read.parquet(sdir).drop("ingest_batch")
+        if probed_cells is not None:
+            seg = seg.filter(F.col("cell").isin(probed_cells))
+        df = df.unionByName(seg)
+    tdir = f"{path}/tombstones"
+    if os.path.isdir(tdir) and os.listdir(tdir):
+        tomb = spark.read.parquet(tdir).select("vec_id")
+        df = df.join(tomb, "vec_id", "left_anti")
+    return df
+
+
 def query_ivf_index(
     spark,
     path: str,
@@ -3919,9 +3952,7 @@ def query_ivf_index(
     probed_cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
     ]
-    members = spark.read.parquet(f"{path}/cells").filter(
-        F.col("cell").isin(probed_cells)
-    )
+    members = _read_index_members(spark, path, "cells", probed_cells)
     if member_filter is not None:
         members = members.filter(
             F.expr(member_filter)
@@ -4065,8 +4096,8 @@ def query_ivfpq_index(
     probed_cells = [
         r["cell"] for r in probes.select("cell").distinct().collect()
     ]
-    codes_df = spark.read.parquet(f"{path}/pq_codes").filter(
-        F.col("cell").isin(probed_cells)
+    codes_df = _read_index_members(
+        spark, path, "pq_codes", probed_cells
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
@@ -4078,11 +4109,11 @@ def query_ivfpq_index(
         raw cell store (same probed-cell partition filter)."""
         if refine_k is None:
             return adc_ranked
-        raw = (
-            spark.read.parquet(f"{path}/cells")
-            .filter(F.col("cell").isin(probed_cells))
-            .select("vec_id", "cv")
-        )
+        # live members: a streamed vector reaching the shortlist
+        # needs its raw row from the segment store too
+        raw = _read_index_members(
+            spark, path, "cells", probed_cells
+        ).select("vec_id", "cv")
         qdf = queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qv"),
@@ -4428,32 +4459,27 @@ def query_ivfpq_index(
     )
 
 
-def append_ivf_index(
+def _ingest_index_batch(
     spark,
     path: str,
     new_vectors: DataFrame,
     *,
+    cells_dir: str,
+    codes_dir: str,
+    mode: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
     attribute_cols: list[str] | None = None,
 ) -> None:
-    """Incrementally add a batch to a persisted IVF(PQ) index.
-
-    The standard production maintenance path (r6): new vectors are
-    assigned against the STORED centroids (the quantizer does not
-    move — centroid drift is handled by periodic rebuild, exactly as
-    FAISS/Milvus segment maintenance does) and appended to the
-    hive-partitioned cell store; when the index carries a PQ
-    manifest, the batch is also encoded with the STORED codebook
-    (re-centered on its assigned cell first for residual manifests)
-    and appended to the code store. Cost: one broadcast-assign pass
-    + one encode pass over the BATCH — never touches existing rows.
-
-    Equality pin (pytest): appending B to an index built on A equals
-    rebuilding on A UNION B with the same frozen quantizer/codebook
-    (iters=0 seeds), for both the raw and the PQ query paths.
-    """
+    """Shared ingest core: assign a batch against the STORED
+    centroids and write its cell (and, under a PQ manifest, code)
+    rows to the given directories. ``append_ivf_index`` targets the
+    base stores with mode=append; the streaming feed targets a
+    per-micro-batch segment directory with mode=overwrite so a
+    replayed batch REPLACES its own output (the
+    ``foreach_batch_parquet_sink`` idempotence recipe,
+    ``streaming/events.py``)."""
     cents = spark.read.parquet(f"{path}/centroids")
     cells = ivf_assign_cells(
         new_vectors,
@@ -4472,9 +4498,9 @@ def append_ivf_index(
             *[F.col(c) for c in (attribute_cols or [])],
         )
         .join(cells, "vec_id")
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("cell")
-        .parquet(f"{path}/cells")
+        .parquet(cells_dir)
     )
     import os
 
@@ -4521,26 +4547,295 @@ def append_ivf_index(
     )
     (
         packed.join(cells, "vec_id")
-        .write.mode("append")
+        .write.mode(mode)
         .partitionBy("cell")
-        .parquet(f"{path}/pq_codes")
+        .parquet(codes_dir)
     )
+
+
+def append_ivf_index(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    attribute_cols: list[str] | None = None,
+) -> None:
+    """Incrementally add a batch to a persisted IVF(PQ) index.
+
+    The standard production maintenance path (r6): new vectors are
+    assigned against the STORED centroids (the quantizer does not
+    move — centroid drift is handled by periodic rebuild, exactly as
+    FAISS/Milvus segment maintenance does) and appended to the
+    hive-partitioned cell store; when the index carries a PQ
+    manifest, the batch is also encoded with the STORED codebook
+    (re-centered on its assigned cell first for residual manifests)
+    and appended to the code store. Cost: one broadcast-assign pass
+    + one encode pass over the BATCH — never touches existing rows.
+
+    Equality pin (pytest): appending B to an index built on A equals
+    rebuilding on A UNION B with the same frozen quantizer/codebook
+    (iters=0 seeds), for both the raw and the PQ query paths.
+    """
+    _ingest_index_batch(
+        spark,
+        path,
+        new_vectors,
+        cells_dir=f"{path}/cells",
+        codes_dir=f"{path}/pq_codes",
+        mode="append",
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        attribute_cols=attribute_cols,
+    )
+
+
+def append_ivf_index_stream(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    attribute_cols: list[str] | None = None,
+):
+    """Continuous ingestion into a persisted IVF(PQ) index — the
+    growing-segment half of the Milvus/LSM vector-store model.
+
+    Each micro-batch is assigned against the STORED centroids
+    (quantizer frozen, same contract as ``append_ivf_index``) and
+    lands in its OWN segment directory,
+    ``<path>/stream_cells/ingest_batch=<id>/cell=<c>/`` (and
+    ``stream_pq_codes`` under a PQ manifest), written with
+    mode=overwrite — a batch replayed after a crash between the sink
+    write and the offset commit REPLACES its own segment instead of
+    duplicating rows (effectively-once, the
+    ``foreach_batch_parquet_sink`` recipe). The query paths union
+    live segments with the base store under the SAME probed-cell
+    partition filter (``cell`` is a partition column in both), so
+    freshly streamed vectors are searchable immediately and query
+    cost stays pruned; ``compact_ivf_index`` periodically seals
+    segments into the base store.
+
+    Returns the unstarted ``DataStreamWriter`` — callers pick the
+    trigger/checkpointLocation and ``.start()`` it.
+    """
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        _ingest_index_batch(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            cells_dir=f"{path}/stream_cells/ingest_batch={batch_id}",
+            codes_dir=(
+                f"{path}/stream_pq_codes/ingest_batch={batch_id}"
+            ),
+            mode="overwrite",
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            attribute_cols=attribute_cols,
+        )
+
+    return stream_df.writeStream.foreachBatch(feed).outputMode(
+        "append"
+    )
+
+
+def delete_from_ivf_index(
+    spark,
+    path: str,
+    ids: DataFrame | list | None = None,
+    *,
+    where: Column | str | None = None,
+) -> int:
+    """Tombstone-delete vectors from a persisted IVF(PQ) index.
+
+    Parquet partitions are immutable, so deletes are logical first —
+    the Delta/Iceberg/Milvus tombstone model: the doomed ``vec_id``s
+    land in ``<path>/tombstones`` and every query path anti-joins
+    them out BEFORE ranking (a deleted vector can never shadow a
+    live one at rank k; equality vs pre-filter semantics pinned in
+    pytest). ``compact_ivf_index`` later rewrites only the affected
+    cell partitions and clears the tombstones.
+
+    Exactly one of ``ids`` (a DataFrame with a ``vec_id`` column, or
+    a Python id list) / ``where`` (a predicate over the cell store's
+    columns — vec_id plus any build-time ``attribute_cols``;
+    resolved to ids in one pruned scan over live members, streamed
+    segments included) must be given. Returns the number of distinct
+    ids tombstoned by THIS request.
+    """
+    if (ids is None) == (where is None):
+        raise ValueError("pass exactly one of ids / where")
+    if where is not None:
+        doomed = (
+            _read_index_members(spark, path, "cells")
+            .filter(
+                F.expr(where) if isinstance(where, str) else where
+            )
+            .select("vec_id")
+        )
+    elif isinstance(ids, DataFrame):
+        doomed = ids.select("vec_id")
+    else:
+        doomed = spark.createDataFrame(
+            [(int(i),) for i in ids], "vec_id long"
+        )
+    doomed = doomed.distinct().localCheckpoint(eager=True)
+    n = doomed.count()
+    if n:
+        doomed.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def compact_ivf_index(spark, path: str) -> None:
+    """Fold tombstones and streamed segments into the base stores.
+
+    The segment-sealing half of the lifecycle: for each store
+    (cells, and pq_codes under a PQ manifest) only the AFFECTED cell
+    partitions — those owning a tombstoned row or receiving streamed
+    rows — are rewritten, via dynamic partition overwrite; untouched
+    cells keep their files. Cells left empty by the rewrite lose
+    their directory (dynamic overwrite only replaces partitions it
+    writes — on an object store this final step is the same delete
+    API call the staged commit already uses). Tombstone and segment
+    directories are dropped afterwards, so queries return to the
+    single-scan plan. Query results are invariant under compaction
+    (pinned in pytest).
+    """
+    import os
+    import shutil
+
+    tomb_dir = f"{path}/tombstones"
+    has_tomb = os.path.isdir(tomb_dir) and bool(os.listdir(tomb_dir))
+    tomb = (
+        spark.read.parquet(tomb_dir).select("vec_id").distinct()
+        if has_tomb
+        else None
+    )
+    for store in ("cells", "pq_codes"):
+        if not os.path.isdir(f"{path}/{store}"):
+            continue
+        sdir = f"{path}/stream_{store}"
+        has_stream = os.path.isdir(sdir) and any(
+            e.startswith("ingest_batch=") for e in os.listdir(sdir)
+        )
+        if not (has_tomb or has_stream):
+            continue
+        base = spark.read.parquet(f"{path}/{store}")
+        affected: set[int] = set()
+        if tomb is not None:
+            affected |= {
+                r["cell"]
+                for r in base.join(tomb, "vec_id")
+                .select("cell")
+                .distinct()
+                .collect()
+            }  # bounded by C
+        if has_stream:
+            affected |= {
+                r["cell"]
+                for r in spark.read.parquet(sdir)
+                .select("cell")
+                .distinct()
+                .collect()
+            }  # bounded by C
+        if affected:
+            survivors = _read_index_members(
+                spark, path, store
+            ).filter(
+                F.col("cell").isin([int(c) for c in affected])
+            ).localCheckpoint(eager=True)  # materialized BEFORE the
+            # overwrite — the plan reads the very files it replaces
+            kept = {
+                r["cell"]
+                for r in survivors.select("cell").distinct().collect()
+            }
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", "dynamic"
+            )
+            try:
+                survivors.write.mode("overwrite").partitionBy(
+                    "cell"
+                ).parquet(f"{path}/{store}")
+            finally:
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            for c in affected - kept:
+                shutil.rmtree(
+                    f"{path}/{store}/cell={c}", ignore_errors=True
+                )
+        if has_stream:
+            shutil.rmtree(sdir, ignore_errors=True)
+    if has_tomb:
+        shutil.rmtree(tomb_dir, ignore_errors=True)
 
 
 def describe_ivf_index(spark, path: str) -> DataFrame:
     """Index introspection: one row per cell with occupancy — plus a
-    summary row (cell null) carrying C, total rows, min/max/avg
-    occupancy. Reads parquet footers' worth of data (a count per
-    partition), no vector columns; the ops-side sanity check before
-    pointing a query load at an index (skewed cells = slow probes).
+    summary row (cell null) carrying the totals. Reads parquet
+    footers' worth of data (a count per partition), no vector
+    columns; the ops-side sanity check before pointing a query load
+    at an index (skewed cells = slow probes).
+
+    ``n_rows`` counts LIVE members (streamed segments included,
+    tombstoned ids excluded — what a query can actually rank);
+    ``n_dead`` counts tombstoned rows still physically present, the
+    compaction-debt gauge (``compact_ivf_index`` returns it to 0).
     """
-    cells = spark.read.parquet(f"{path}/cells").groupBy("cell").agg(
+    import os
+
+    live = _read_index_members(spark, path, "cells")
+    cells = live.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+    tdir = f"{path}/tombstones"
+    if os.path.isdir(tdir) and os.listdir(tdir):
+        phys = spark.read.parquet(f"{path}/cells")
+        sdir = f"{path}/stream_cells"
+        if os.path.isdir(sdir) and any(
+            e.startswith("ingest_batch=") for e in os.listdir(sdir)
+        ):
+            phys = phys.unionByName(
+                spark.read.parquet(sdir).drop("ingest_batch")
+            )
+        dead = (
+            phys.join(
+                spark.read.parquet(tdir).select("vec_id").distinct(),
+                "vec_id",
+            )
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_dead"))
+        )
+        cells = (
+            cells.join(dead, "cell", "full_outer")
+            .select(
+                "cell",
+                F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+            )
+        )
+    else:
+        cells = cells.withColumn(
+            "n_dead", F.lit(0).cast("bigint")
+        )
     summary = cells.agg(
         F.lit(None).cast("bigint").alias("cell"),
         F.sum("n_rows").alias("n_rows"),
+        F.sum("n_dead").alias("n_dead"),
     )
     return cells.select(
-        F.col("cell").cast("bigint"), "n_rows"
+        F.col("cell").cast("bigint"),
+        "n_rows",
+        F.col("n_dead").cast("bigint"),
     ).unionByName(summary)

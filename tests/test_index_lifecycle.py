@@ -1,0 +1,468 @@
+"""Persisted IVF(PQ) index lifecycle: delete (tombstones), streaming
+ingestion (per-batch segments), and compaction.
+
+The lifecycle model is the production vector-store one (Milvus/LSM
+segments, Delta-style tombstones): deletes are logical until
+``compact_ivf_index`` rewrites only the affected cell partitions;
+streamed micro-batches land in their own overwrite-idempotent segment
+directories and are sealed into the base store by the same compact.
+
+Pins:
+* delete == pre-filter semantics: anti-joined tombstones give exactly
+  the ranking ``member_filter`` gives on the pre-delete index;
+* post-delete top-k == pre-delete FULL ranking minus doomed ids
+  (promotion from below the old top-k, not truncation);
+* streamed == batch-appended (same frozen quantizer);
+* replayed segment writes do not duplicate rows;
+* compaction is invisible to queries and clears all debt.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators.similarity import (
+    append_ivf_index,
+    append_ivf_index_stream,
+    build_ivf_index,
+    compact_ivf_index,
+    delete_from_ivf_index,
+    describe_ivf_index,
+    query_ivf_index,
+    query_ivfpq_index,
+)
+
+
+def _corpus(spark, n=300, dim=8, start=0):
+    rows = [
+        (i, [float((i * 13 + j * 5) % 23) + 0.5 for j in range(dim)])
+        for i in range(start, start + n)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _drop_doomed_and_rerank(full_rows, doomed, k):
+    """Reference semantics: take a query's FULL live ranking, remove
+    doomed ids, renumber, cut to k."""
+    out = []
+    byq: dict = {}
+    for r in sorted(full_rows, key=lambda r: (r[0], r[1])):
+        if r[2] in doomed:
+            continue
+        n = byq.get(r[0], 0) + 1
+        byq[r[0]] = n
+        if n <= k:
+            out.append((r[0], n, r[2], r[3]))
+    return sorted(out)
+
+
+def test_delete_equals_member_filter_and_full_rerank(spark, tmp_path):
+    corpus = _corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+    doomed = {7, 40, 41, 150, 299}
+    k = 5
+
+    # pre-delete references, collected BEFORE the tombstones land
+    via_filter = sorted(
+        map(
+            tuple,
+            query_ivf_index(
+                spark,
+                path,
+                queries,
+                k,
+                nprobe=2,
+                member_filter=(
+                    "vec_id NOT IN (%s)"
+                    % ",".join(map(str, sorted(doomed)))
+                ),
+            ).collect(),
+        )
+    )
+    full = [
+        tuple(r)
+        for r in query_ivf_index(
+            spark, path, queries, 10_000, nprobe=2
+        ).collect()
+    ]
+
+    n = delete_from_ivf_index(spark, path, list(doomed))
+    assert n == len(doomed)
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, k, nprobe=2)
+            .collect(),
+        )
+    )
+    assert got == via_filter
+    assert got == _drop_doomed_and_rerank(full, doomed, k)
+    assert not {r[2] for r in got} & doomed
+    # sql twin agrees with the vectorized path post-delete
+    got_sql = sorted(
+        map(
+            tuple,
+            query_ivf_index(
+                spark, path, queries, k, nprobe=2, impl="sql"
+            ).collect(),
+        )
+    )
+    assert got_sql == got
+
+
+def test_delete_by_attribute_predicate(spark, tmp_path):
+    corpus = _corpus(spark, n=200).withColumn(
+        "lang",
+        F.when(F.col("vec_id") % 3 == 0, F.lit("de")).otherwise(
+            F.lit("en")
+        ),
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        corpus, path, n_centroids=6, iters=1, attribute_cols=["lang"]
+    )
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_index(
+                spark,
+                path,
+                queries,
+                4,
+                nprobe=2,
+                member_filter="lang <> 'de'",
+            ).collect(),
+        )
+    )
+    n = delete_from_ivf_index(spark, path, where="lang = 'de'")
+    assert n == corpus.filter(F.col("lang") == "de").count()
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, 4, nprobe=2)
+            .collect(),
+        )
+    )
+    assert got == want and got
+    de_ids = {
+        r[0]
+        for r in corpus.filter(F.col("lang") == "de")
+        .select("vec_id")
+        .collect()
+    }
+    assert not {r[2] for r in got} & de_ids
+
+
+def test_compact_preserves_results_and_clears_debt(spark, tmp_path):
+    corpus = _corpus(spark)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+
+    # doom a scattered handful PLUS one entire cell (its directory
+    # must disappear at compaction)
+    cells_df = spark.read.parquet(f"{path}/cells")
+    a_cell = cells_df.groupBy("cell").count().first()["cell"]
+    cell_ids = {
+        r["vec_id"]
+        for r in cells_df.filter(F.col("cell") == a_cell).collect()
+    }
+    doomed = cell_ids | {5, 77, 210}
+    delete_from_ivf_index(spark, path, sorted(doomed))
+
+    before = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, 5, nprobe=3)
+            .collect(),
+        )
+    )
+    desc = {
+        r["cell"]: r
+        for r in describe_ivf_index(spark, path).collect()
+    }
+    assert desc[None]["n_dead"] == len(doomed)
+    assert desc[None]["n_rows"] == 300 - len(doomed)
+
+    compact_ivf_index(spark, path)
+
+    after = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, 5, nprobe=3)
+            .collect(),
+        )
+    )
+    assert after == before and after
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert not os.path.isdir(f"{path}/cells/cell={a_cell}")
+    # physically gone, not just masked
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/cells")
+        .select("vec_id")
+        .collect()
+    }
+    assert not left & doomed and len(left) == 300 - len(doomed)
+    desc2 = {
+        r["cell"]: r
+        for r in describe_ivf_index(spark, path).collect()
+    }
+    assert desc2[None]["n_dead"] == 0
+    assert desc2[None]["n_rows"] == 300 - len(doomed)
+
+
+def test_stream_ingest_equals_batch_append(spark, tmp_path):
+    """Streaming a batch into the index == append_ivf_index of the
+    same rows (same frozen quantizer), and the streamed rows are
+    searchable without compaction."""
+    base = _corpus(spark, n=240)
+    extra = _corpus(spark, n=60, start=1000)
+    queries = base.filter(F.col("vec_id") % 60 == 0).unionByName(
+        extra.filter(F.col("vec_id") % 20 == 0)
+    )
+    p_stream = str(tmp_path / "idx_stream")
+    p_batch = str(tmp_path / "idx_batch")
+    # identical deterministic builds
+    build_ivf_index(base, p_stream, n_centroids=6, iters=1)
+    build_ivf_index(base, p_batch, n_centroids=6, iters=1)
+    append_ivf_index(spark, p_batch, extra)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    extra.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src) + "/*")
+    q = (
+        append_ivf_index_stream(stream, p_stream)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, p_stream, queries, 5, nprobe=2)
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, p_batch, queries, 5, nprobe=2)
+            .collect(),
+        )
+    )
+    assert got == want and got
+    # streamed ids actually reachable (full-depth ranking: the base
+    # corpus's period-23 generator duplicates every extra vector at
+    # lower ids, so exact-dup ties keep extras out of a k=5 cut)
+    reach = query_ivf_index(
+        spark, p_stream, queries, 10_000, nprobe=2
+    ).collect()
+    assert {r[2] for r in reach} & set(range(1000, 1060))
+    # live occupancy counts the segment rows
+    desc = {
+        r["cell"]: r["n_rows"]
+        for r in describe_ivf_index(spark, p_stream).collect()
+    }
+    assert desc[None] == 300
+
+    # sealing the segments changes nothing for queries
+    compact_ivf_index(spark, p_stream)
+    assert not os.path.isdir(f"{p_stream}/stream_cells")
+    sealed = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, p_stream, queries, 5, nprobe=2)
+            .collect(),
+        )
+    )
+    assert sealed == want
+
+
+def test_segment_replay_does_not_duplicate(spark, tmp_path):
+    """The idempotence contract: re-writing the SAME micro-batch id
+    (a replay after a crash between sink write and offset commit)
+    overwrites its segment instead of appending rows."""
+    from knn_using_hadoop_spark.operators.similarity import (
+        _ingest_index_batch,
+    )
+
+    base = _corpus(spark, n=120)
+    extra = _corpus(spark, n=30, start=500)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_centroids=5, iters=1)
+    for _replay in range(2):
+        _ingest_index_batch(
+            spark,
+            path,
+            extra,
+            cells_dir=f"{path}/stream_cells/ingest_batch=0",
+            codes_dir=f"{path}/stream_pq_codes/ingest_batch=0",
+            mode="overwrite",
+        )
+    desc = {
+        r["cell"]: r["n_rows"]
+        for r in describe_ivf_index(spark, path).collect()
+    }
+    assert desc[None] == 150  # not 180
+
+
+def test_ivfpq_lifecycle_stream_delete_compact(spark, tmp_path):
+    """Full lifecycle on the COMPRESSED path: streamed codes are
+    ADC-searchable, tombstones mask both stores, refine reaches a
+    streamed vector's raw row, and compaction is invisible."""
+    dim, k = 8, 4
+
+    def mk(n, start=0):
+        # modulus > every generated id (2131 prime, gcd(13, m)=1):
+        # i -> i*13 mod m is injective over base AND streamed ids,
+        # so the only exact duplicate in the index is the planted
+        # one at vec_id 2000 (no accidental tie classes)
+        rows = [
+            (
+                i,
+                [
+                    float((i * 13 + j * 5) % 2131) + 0.5
+                    for j in range(dim)
+                ],
+            )
+            for i in range(start, start + n)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    base = mk(240)
+    # streamed batch contains an exact duplicate of query 0's vector
+    dup = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 2000).alias("vec_id"), "embedding"
+    )
+    extra = mk(40, start=1000).unionByName(dup)
+    queries = base.filter(F.col("vec_id") % 60 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        base, path, n_centroids=6, iters=1, pq=True, dim=dim,
+        m=4, ks=16,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    extra.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src) + "/*")
+    q = (
+        append_ivf_index_stream(stream, path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # streamed codes are searchable: query 0's exact duplicate shows
+    # up in the FULL ADC ranking with the query's own quantization
+    # error — the MINIMUM adc_dist any candidate can achieve (its
+    # codes are the per-sub argmins of the query's lookup tables)
+    full = [
+        tuple(r)
+        for r in query_ivfpq_index(
+            spark, path, queries, 10_000, nprobe=1
+        ).collect()
+    ]
+    q0 = {r[2]: r[3] for r in full if r[0] == 0}
+    assert 2000 in q0 and q0[2000] == min(q0.values())
+    # refine reaches the streamed vector's RAW row (segment store):
+    # exact dist 0.0, rank 1 — the corpus has no tie classes
+    ref = query_ivfpq_index(
+        spark, path, queries, k, nprobe=1, refine_k=40
+    )
+    r2 = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["dist"])
+        for r in ref.collect()
+    }
+    assert r2[(0, 1)] == (2000, 0.0)
+
+    # delete the duplicate + a base id: full-ranking pin on ADC
+    doomed = {2000, 7}
+    delete_from_ivf_index(spark, path, sorted(doomed))
+    got = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(spark, path, queries, k, nprobe=1)
+            .collect(),
+        )
+    )
+    assert got == _drop_doomed_and_rerank(full, doomed, k)
+    assert not {r[2] for r in got} & doomed
+
+    before_ref = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(
+                spark, path, queries, k, nprobe=1, refine_k=12
+            ).collect(),
+        )
+    )
+    compact_ivf_index(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert not os.path.isdir(f"{path}/stream_cells")
+    assert not os.path.isdir(f"{path}/stream_pq_codes")
+    after = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(spark, path, queries, k, nprobe=1)
+            .collect(),
+        )
+    )
+    assert after == got
+    after_ref = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(
+                spark, path, queries, k, nprobe=1, refine_k=12
+            ).collect(),
+        )
+    )
+    assert after_ref == before_ref
+    # codes physically purged too
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/pq_codes")
+        .select("vec_id")
+        .collect()
+    }
+    assert not left & doomed and len(left) == 240 + 41 - 2
+
+
+def test_delete_requires_exactly_one_selector(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        _corpus(spark, n=50), path, n_centroids=3, iters=1
+    )
+    with pytest.raises(ValueError):
+        delete_from_ivf_index(spark, path)
+    with pytest.raises(ValueError):
+        delete_from_ivf_index(
+            spark, path, [1], where="vec_id = 2"
+        )
