@@ -73,6 +73,44 @@ def _auto_n_planes(
     return max(3, min(24, p))
 
 
+def _training_sample(
+    corpus: DataFrame,
+    train_n: int | None,
+    *,
+    n: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bounded, deterministic quantizer-training sample.
+
+    FAISS trains its coarse and PQ quantizers on a sample (its
+    default caps training at ~256 points per centroid), never the
+    corpus: quantizer quality saturates long before the data does,
+    while each Lloyd round over the full relation is a complete
+    corpus pass + shuffle — at 100 TB the training cost, not the
+    assignment cost, dominates index builds. ``train_n`` caps the
+    training relation at ~train_n rows (expectation) by keeping ids
+    whose xxhash64 falls in a 1/ceil(n/train_n) slice of hash space:
+    one narrow filter, no shuffle, no RNG state — the sample is a
+    pure function of the ids, so training is reproducible across
+    runs, sessions, and engines. ``train_n=None`` (the default
+    everywhere) trains on the full corpus — the oracle-pinned
+    behavior of every registered query. Sizing: keep train_n well
+    above the centroid/codeword count (FAISS warns below ~39x).
+    Derived-lineage callers pass the precomputed ``n=`` (the same
+    escape as the auto knobs) to avoid an extra count job.
+    """
+    if train_n is None:
+        return corpus
+    if n is None:
+        n = corpus.count()
+    if n <= train_n:
+        return corpus
+    ratio = -(-n // train_n)
+    return corpus.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(ratio)) == 0
+    )
+
+
 def _dot_hof(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(
@@ -1469,11 +1507,19 @@ def ivf_kmeans_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_n: int | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic Lloyd-refined IVF centroids: (centroid_id, centv).
 
     Seeds = the first ``n_centroids`` corpus vectors by id (standard
     corpus-point seeding), then ``iters`` rounds of assign → mean.
+    ``train_n`` (r6, the FAISS training recipe) bounds BOTH stages to
+    a deterministic ~train_n-row hash sample (``_training_sample``)
+    — each Lloyd round then costs O(train_n), not a full corpus pass;
+    with ``train_n >= n`` the sample is the corpus and the output is
+    bit-identical to the default. ``n=`` supplies the corpus count
+    precomputed (the auto-knob escape).
     Fully deterministic and oracle-reproducible: assignment ranks on
     cosine rounded to 6dp with ties to the lowest centroid_id, and the
     recomputed centroid components are ``round(avg(x), 6)`` — double
@@ -1496,8 +1542,9 @@ def ivf_kmeans_centroids(
     (test_mean_vectors_real_corpus), so a flip would be caught, not
     silent.
     """
+    train = _training_sample(corpus, train_n, n=n, id_col=id_col)
     cents = (
-        corpus.orderBy(F.col(id_col).asc())
+        train.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -1506,13 +1553,13 @@ def ivf_kmeans_centroids(
     )
     for _ in range(iters):
         cells = ivf_assign_cells(
-            corpus,
+            train,
             cents.select("centroid_id", F.col("centv").alias(vec_col)),
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,
         )
-        assigned = corpus.select(
+        assigned = train.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vv")
         ).join(cells, "vec_id")
         cents = mean_vectors(assigned, "cell", "vv").select(
@@ -1533,6 +1580,7 @@ def ivf_probe_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    train_n: int | None = None,
     impl: str = "vectorized",
 ) -> DataFrame:
     """IVF ANN with k-means-refined cells and multi-probe search.
@@ -1546,6 +1594,11 @@ def ivf_probe_topk(
     ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``);
     ``n=`` supplies the corpus count precomputed (r5 verdict #3 —
     derived-lineage callers avoid an extra full upstream execution).
+    ``train_n`` (r6) caps the quantizer FIT at a deterministic hash
+    sample (``_training_sample``): Lloyd rounds then cost O(train_n)
+    instead of a full corpus pass each — assignment and search are
+    unchanged and still cover every corpus row. Default None = full
+    training, the oracle-pinned behavior.
 
     ``impl="vectorized"`` (default) runs the candidate stage through
     the per-cell Arrow kernel (``_cell_topk_candidates``, emitting
@@ -1558,7 +1611,7 @@ def ivf_probe_topk(
         n_centroids = _auto_n_centroids(corpus, n=n)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
-        dim=dim,
+        dim=dim, train_n=train_n, n=n,
     ).localCheckpoint(eager=True)  # feeds assignment AND probe rank
     cells = ivf_assign_cells(
         corpus,
@@ -2361,6 +2414,7 @@ def pq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int | None = None,
     impl: str = "vectorized",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over PQ codes:
@@ -2388,7 +2442,7 @@ def pq_topk(
     if iters > 0:
         cb = pq_refine_codebook(
             corpus, cb, m=m, dim=dim, iters=iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, train_n=train_n,
         ).localCheckpoint(eager=True)  # feeds encode AND the ADC table
     sub_w = dim // m
     if impl == "vectorized" and isinstance(
@@ -2688,6 +2742,8 @@ def pq_refine_codebook(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int | None = None,
+    n: int | None = None,
     impl: str = "vectorized",
 ) -> DataFrame:
     """Per-subspace Lloyd refinement of a PQ codebook.
@@ -2701,7 +2757,13 @@ def pq_refine_codebook(
     drop out (both engines agree). Measured on the synthetic
     embeddings: one iteration lifts recall@10 from 0.54 to 0.65 at
     m=32, ks=32. Returns (sub, code, cv) with sub-width arrays.
+    ``train_n`` (r6, the FAISS recipe) bounds each refinement round
+    to a deterministic ~train_n-row hash sample of the corpus
+    (``_training_sample``); the ENCODE of the corpus (the caller's
+    job) is unaffected. Default None = full-corpus refinement, the
+    oracle-pinned behavior.
     """
+    corpus = _training_sample(corpus, train_n, n=n, id_col=id_col)
     sub_w = dim // m
     subs = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -2883,6 +2945,7 @@ def ivfpq_topk(
     refine_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_n: int | None = None,
     impl: str = "vectorized",
 ) -> DataFrame:
     """Full IVFPQ: coarse cell filter upstream of ADC scoring —
@@ -2929,7 +2992,8 @@ def ivfpq_topk(
             corpus, queries, refine_k,
             n_centroids=n_centroids, m=m, ks=ks, dim=dim,
             iters=iters, residual=residual, refine_k=None,
-            id_col=id_col, vec_col=vec_col, impl=impl,
+            id_col=id_col, vec_col=vec_col, train_n=train_n,
+            impl=impl,
         ).select("query_id", "vec_id")
         mem = corpus.select(
             F.col(id_col).alias("vec_id"),
@@ -2997,7 +3061,7 @@ def ivfpq_topk(
     if iters > 0:
         cb = pq_refine_codebook(
             corpus, cb, m=m, dim=dim, iters=iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, train_n=train_n,
         ).localCheckpoint(eager=True)
     sub_w_v = dim // m
     if impl == "vectorized" and isinstance(
@@ -3360,6 +3424,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     dim: int | None = None,
     collapse: bool | str = "auto",
+    train_n: int | None = None,
     impl: str = "vectorized",
 ) -> DataFrame:
     """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540).
@@ -3444,9 +3509,14 @@ def semdedup_prune(
     """
     if n_centroids is None:
         n_centroids = _auto_n_centroids(corpus, n=n)
+    # train_n (r6): bounded quantizer fit, see _training_sample.
+    # With it set the fit sees a hash sample rather than the full
+    # (duplicate-weighted) corpus — cell SHAPES may differ from the
+    # default, keep semantics within each cell are unchanged; the
+    # registered oracle keeps train_n=None (full fit).
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
-        dim=dim,
+        dim=dim, train_n=train_n, n=n,
     ).localCheckpoint(eager=True)  # feeds assignment AND member join
     ck = None
     pair_src = corpus
@@ -3705,6 +3775,7 @@ def build_ivf_index(
     pq_iters: int = 1,
     pq_residual: bool = False,
     attribute_cols: list[str] | None = None,
+    train_n: int | None = None,
 ) -> None:
     """Persist an IVF index: build once, query many.
 
@@ -3717,7 +3788,12 @@ def build_ivf_index(
     workflow every production ANN deployment uses — the inline
     ``ivf_*_topk`` operators rebuild the quantizer per query batch.
     ``n_centroids=None`` derives C = sqrt(n) (``_auto_n_centroids``);
-    ``n=`` supplies the count precomputed.
+    ``n=`` supplies the count precomputed. ``train_n`` (r6, the
+    FAISS training recipe) caps the coarse-quantizer fit AND the PQ
+    codebook refinement at a deterministic ~train_n-row hash sample
+    (``_training_sample``) — at index-build scale the Lloyd rounds
+    stop being full corpus passes while assignment/encode still
+    cover every row; default None trains on the full corpus.
 
     ``pq=True`` (r5 verdict #5) additionally persists the COMPRESSED
     search path — the FAISS-style artifact a 100 TB deployment
@@ -3754,7 +3830,7 @@ def build_ivf_index(
         n_centroids = _auto_n_centroids(corpus, n=n)
     cents = ivf_kmeans_centroids(
         corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col,
-        dim=dim,
+        dim=dim, train_n=train_n, n=n,
     )
     cells = ivf_assign_cells(
         corpus,
@@ -3809,9 +3885,12 @@ def build_ivf_index(
         corpus, m=m, ks=ks, dim=dim, id_col=id_col, vec_col=vec_col
     )
     if pq_iters > 0:
+        # n=n: the residual relation has exactly the corpus's row
+        # count, so the sample ratio needs no count of the derived
+        # lineage
         cb = pq_refine_codebook(
             corpus, cb, m=m, dim=dim, iters=pq_iters,
-            id_col=id_col, vec_col=vec_col,
+            id_col=id_col, vec_col=vec_col, train_n=train_n, n=n,
         )
     cb = cb.localCheckpoint(eager=True)  # feeds write AND encode
     cb.write.mode("overwrite").parquet(f"{path}/pq_codebook")
