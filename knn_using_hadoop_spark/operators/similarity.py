@@ -4787,6 +4787,15 @@ def compact_ivf_index(spark, path: str) -> None:
     directories are dropped afterwards, so queries return to the
     single-scan plan. Query results are invariant under compaction
     (pinned in pytest).
+
+    Crash ordering: each store's segment directory is dropped only
+    AFTER that store's rewrite, and the tombstone directory is
+    dropped LAST, after every store — so a compaction that dies
+    midway leaves a state where every query is still correct
+    (not-yet-compacted stores still union their segments; already-
+    purged stores anti-join tombstones as a no-op), and re-running
+    compact converges. Single-writer assumed, as with any
+    non-catalog parquet maintenance.
     """
     import os
     import shutil
@@ -4918,3 +4927,105 @@ def describe_ivf_index(spark, path: str) -> DataFrame:
         "n_rows",
         F.col("n_dead").cast("bigint"),
     ).unionByName(summary)
+
+
+def evaluate_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    nprobes: tuple | list = (1, 2, 4),
+    pq: bool = False,
+    refine_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall sweep of a persisted index against exact ground truth.
+
+    The FAISS benchmark loop as ops tooling: before pointing a query
+    load at an index (or after an append/delete/compact cycle), run
+    a SAMPLE of queries at each candidate ``nprobe`` and report
+    recall@k against the exact ranking over the index's LIVE members
+    (segments in, tombstones out — the same relation the queries
+    rank). Ground truth uses the metric the evaluated path ranks by:
+    rounded cosine for the raw path (``query_ivf_index``), rounded
+    squared L2 for the PQ path (``query_ivfpq_index`` ADC /
+    refine) — recall of an L2 index against a cosine oracle would
+    be metric-mismatched. Cost: ground truth is one brute-force
+    |live| x |queries| pass (queries broadcast) — that is what exact
+    ground truth costs, which is why this takes a query SAMPLE, not
+    a workload. Returns one row per swept nprobe:
+    (nprobe, pq, refine_k, k, n_queries, recall).
+
+    The operating-point story: pick the smallest nprobe whose recall
+    clears the product bar — probes scale query cost linearly while
+    recall saturates, and the right answer shifts with corpus shape,
+    C, and compaction state, which is why it is measured, not
+    guessed.
+    """
+    mem = _read_index_members(spark, path, "cells").select(
+        "vec_id", "cv", "cvn"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(_sqnorm(F.col(vec_col), None)).alias("qvn"),
+    )
+    nq = q.count()
+    pairs = mem.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    if pq:
+        order = F.col("score").asc_nulls_last()
+        score = _sub_sqdist(F.col("qv"), F.col("cv"))
+    else:
+        order = F.col("score").desc_nulls_last()
+        score = F.round(
+            _dot(F.col("qv"), F.col("cv"), None)
+            / F.nullif(F.col("qvn") * F.col("cvn"), F.lit(0.0)),
+            6,
+        )
+    w = Window.partitionBy("query_id").orderBy(
+        order, F.col("vec_id").asc()
+    )
+    exact = (
+        pairs.select("query_id", "vec_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    denom = exact.count()
+    rows = []
+    for np_ in nprobes:
+        if pq:
+            got = query_ivfpq_index(
+                spark, path, queries, k, nprobe=int(np_),
+                refine_k=refine_k, id_col=id_col, vec_col=vec_col,
+            )
+        else:
+            got = query_ivf_index(
+                spark, path, queries, k, nprobe=int(np_),
+                id_col=id_col, vec_col=vec_col,
+            )
+        hits = (
+            got.select("query_id", "vec_id")
+            .join(exact, ["query_id", "vec_id"])
+            .count()
+        )
+        rows.append(
+            (
+                int(np_),
+                bool(pq),
+                refine_k,
+                int(k),
+                int(nq),
+                (hits / denom) if denom else 0.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, pq boolean, refine_k int, k int, "
+        "n_queries long, recall double",
+    )

@@ -466,3 +466,49 @@ def test_delete_requires_exactly_one_selector(spark, tmp_path):
         delete_from_ivf_index(
             spark, path, [1], where="vec_id = 2"
         )
+
+
+def test_evaluate_ivf_index_recall_sweep(spark, tmp_path):
+    """The evaluator's contract: recall hits 1.0 when every cell is
+    probed, is monotone in nprobe, and evaluates the LIVE index —
+    after a delete the ground truth excludes tombstoned rows, so a
+    full-probe sweep stays at 1.0."""
+    from knn_using_hadoop_spark.operators.similarity import (
+        evaluate_ivf_index,
+    )
+
+    corpus = _corpus(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+    sweep = {
+        r["nprobe"]: r["recall"]
+        for r in evaluate_ivf_index(
+            spark, path, queries, 5, nprobes=(1, 2, 8)
+        ).collect()
+    }
+    assert sweep[8] == 1.0  # all cells probed == exact
+    assert sweep[1] <= sweep[2] <= sweep[8]
+    assert sweep[1] > 0.0
+
+    # lifecycle-aware: doomed rows leave BOTH sides of the measure
+    delete_from_ivf_index(spark, path, [7, 40, 41, 150, 299])
+    post = {
+        r["nprobe"]: r["recall"]
+        for r in evaluate_ivf_index(
+            spark, path, queries, 5, nprobes=(8,)
+        ).collect()
+    }
+    assert post[8] == 1.0
+
+    # PQ variant: refine at full probe converges to exact L2
+    p2 = str(tmp_path / "idx_pq")
+    build_ivf_index(
+        corpus, p2, n_centroids=6, iters=1, pq=True, dim=8,
+        m=4, ks=16,
+    )
+    pq_sweep = evaluate_ivf_index(
+        spark, p2, queries, 5, nprobes=(6,), pq=True, refine_k=300
+    ).collect()
+    assert pq_sweep[0]["recall"] == 1.0
+    assert pq_sweep[0]["pq"] and pq_sweep[0]["refine_k"] == 300
