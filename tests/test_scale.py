@@ -109,3 +109,65 @@ def test_scale_ceiling(spark, corpora, name, corpus, ceiling):
         f"{name}@{corpus}: {dt:.0f}s >= ceiling {ceiling}s — "
         "scale regression (see NOTES.md band for this query)"
     )
+
+
+def test_index_lifecycle_ceiling_at_100x(spark, corpora):
+    """r6: the persisted-index lifecycle at 200k x 64d — sampled-
+    training build, batch append, a streamed-style segment, a
+    predicate delete, the recall evaluator on a query sample, and
+    compaction — under one generous ceiling. Catches the regression
+    classes the lifecycle invites: a fit gone back to full-corpus
+    Lloyd, a query scanning dead segments, a compact rewriting
+    every cell for a bounded delete, an evaluator gone quadratic
+    in the corpus instead of the sample."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators import similarity as sim
+
+    _, scale = corpora
+    emb = spark.read.parquet(
+        f"{scale}/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    base = emb.filter(F.col("vec_id") % 10 > 1).localCheckpoint(
+        eager=True
+    )
+    nb = base.count()
+    batch_a = emb.filter(F.col("vec_id") % 10 == 0)
+    batch_b = emb.filter(F.col("vec_id") % 10 == 1)
+    queries = emb.filter(F.col("vec_id") % 7000 == 0).limit(30)
+    nq = queries.count()  # the shifted-id corpus yields ~29
+    path = "/tmp/spark_graft_idx_lifecycle"
+    shutil.rmtree(path, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    sim.build_ivf_index(
+        base, path, iters=2, dim=64, n=nb, train_n=10_000
+    )
+    sim.append_ivf_index(spark, path, batch_a)
+    # a streamed micro-batch's segment (the foreachBatch write body)
+    sim._ingest_index_batch(
+        spark,
+        path,
+        batch_b,
+        cells_dir=f"{path}/stream_cells/ingest_batch=0",
+        codes_dir=f"{path}/stream_pq_codes/ingest_batch=0",
+        mode="overwrite",
+    )
+    ndel = sim.delete_from_ivf_index(
+        spark, path, where="vec_id % 997 = 7"
+    )
+    rec = sim.evaluate_ivf_index(
+        spark, path, queries, 10, nprobes=(8,)
+    ).collect()[0]
+    sim.compact_ivf_index(spark, path)
+    got = sim.query_ivf_index(spark, path, queries, 10, nprobe=8)
+    n_rows = got.count()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+
+    assert ndel > 0 and n_rows > 0
+    assert 0.0 <= rec["recall"] <= 1.0 and rec["n_queries"] == nq
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert dt < 500, f"index lifecycle at 100x: {dt:.0f}s"
