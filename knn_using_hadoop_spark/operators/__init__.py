@@ -38,6 +38,10 @@ from knn_using_hadoop_spark.operators.pipeline import (
     dedup_incremental,
     pack_greedy,
 )
+from knn_using_hadoop_spark.operators.retrieval import (
+    bm25_topk,
+    rrf_fuse,
+)
 from knn_using_hadoop_spark.operators.sketches import kmv_distinct
 from knn_using_hadoop_spark.operators.similarity import (
     cosine_classify,
@@ -96,6 +100,8 @@ __all__ = [
     "bfs_depths",
     "bfs_depths_converged",
     "triangle_count",
+    "bm25_topk",
+    "rrf_fuse",
     "attach_media",
     "binary_stats",
     "decode_media",

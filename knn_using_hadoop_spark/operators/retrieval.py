@@ -1,0 +1,175 @@
+"""Lexical + hybrid retrieval: BM25 top-k and reciprocal-rank fusion.
+
+The retrieval half of a RAG / training-data pipeline: BM25 is the
+lexical ranking every production search stack runs (Lucene/Elastic
+default), and reciprocal-rank fusion (RRF; Cormack, Clarke &
+Buettcher, SIGIR'09) is the standard way to merge it with a vector
+ranking without score calibration. Both are pure DataFrame
+compositions — inverted-index join, group aggregation, ranking
+window — so Catalyst owns the physical plan and the repo's
+determinism protocol (6dp-rounded scores, id tie-breaks) makes the
+rankings oracle-reproducible.
+
+Not in the reference (``/root/reference`` is a KNN classifier); these
+belong to the LLM-data-pipeline surface mandated alongside it, and
+compose with ``similarity.cosine_topk`` / the IVF family for the
+vector leg.
+
+Scale shape: the BM25 match join shuffles on ``term`` and inherits
+the Zipf skew of natural text — ``max_df`` drops terms above a
+document-frequency cap from the MATCH (the Lucene stop-term recipe:
+a term in half the corpus carries ~zero idf but quadratic join
+fan-out). Doc-side statistics are corpus-wide aggregates computed
+once and broadcast as one-row relations — no driver-side action in
+the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators.text import tokens
+
+__all__ = ["bm25_topk", "rrf_fuse"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranking of ``docs`` for each query: (query_id, rank,
+    doc_id, bm25).
+
+    Standard Okapi BM25 with the Lucene idf (always positive)::
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+        s(q, d) = sum over distinct q terms of
+                  idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
+
+    Plan: one pass builds (doc_id, term, tf) + doc lengths; corpus
+    aggregates (N, avgdl) ride as broadcast one-row relations; query
+    terms (distinct — short-query convention) equi-join the term
+    relation (the inverted-index join, shuffled on term); one group
+    aggregation per (query, doc) and a ranking window cut to k.
+    Scores rounded to 6dp before ranking, ties to the lowest doc_id
+    — the repo protocol, so a DuckDB twin reproduces the ranking.
+
+    ``max_df`` drops terms whose document frequency exceeds the cap
+    from the MATCH join only (idf still computed from true df):
+    the stop-term guard for Zipf skew. None = exact BM25.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    dlen = d.select(
+        "doc_id", F.size("_toks").cast("double").alias("dl")
+    )
+    dterms = (
+        d.select("doc_id", F.explode("_toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    stats = dlen.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = dterms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= float(max_df))
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        qterms.join(dfreq, "term")
+        .join(dterms, "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "bm25")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int,
+    *,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings: (query_id, rank,
+    <item_col>, rrf).
+
+    Each input carries (query_col, item_col, rank); an item scores
+    ``sum over the lists it appears in of 1 / (k_rrf + rank)`` —
+    rank positions fuse, raw scores never meet, which is the whole
+    point (BM25 and cosine live on incomparable scales). k_rrf=60 is
+    the paper's constant. Scores rounded to 6dp, ties to the lowest
+    item id — the repo ranking protocol. Missing items simply
+    contribute nothing from lists that missed them (the paper's
+    convention).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("_item"),
+            (1.0 / (F.lit(float(k_rrf)) + F.col("rank"))).alias(
+                "_part"
+            ),
+        )
+        for r in rankings
+    ]
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    fused = allp.groupBy("query_id", "_item").agg(
+        F.round(F.sum("_part"), 6).alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("_item").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col("_item").alias(item_col),
+            "rrf",
+        )
+    )
