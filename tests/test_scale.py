@@ -171,3 +171,28 @@ def test_index_lifecycle_ceiling_at_100x(spark, corpora):
     assert 0.0 <= rec["recall"] <= 1.0 and rec["n_queries"] == nq
     assert not os.path.isdir(f"{path}/tombstones")
     assert dt < 500, f"index lifecycle at 100x: {dt:.0f}s"
+
+
+def test_bm25_maxdf_ceiling_at_100x(spark, corpora):
+    """r6: BM25 over the 500k-doc corpus with the stop-term guard.
+    The 100x synthetic vocabulary is ~82 words — every term is a
+    stop-term, the designed worst case for the match join; max_df
+    must keep the guarded path bounded (warm band 12.7-15.1s;
+    exact on this corpus is 60-230s by its true pair volume and is
+    NOT asserted here)."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import bm25_topk
+
+    _, scale = corpora
+    docs = spark.read.parquet(
+        f"{scale}/documents.parquet"
+    ).localCheckpoint(eager=True)
+    q = docs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    t0 = time.perf_counter()
+    n = bm25_topk(docs, q, 10, max_df=50_000).count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 90, f"bm25 max_df at 100x: {dt:.0f}s"
