@@ -4749,6 +4749,15 @@ def delete_from_ivf_index(
     resolved to ids in one pruned scan over live members, streamed
     segments included) must be given. Returns the number of distinct
     ids tombstoned by THIS request.
+
+    Tombstones mask an ID, not a row version: re-inserting a
+    tombstoned vec_id (append or stream) before compaction leaves
+    the new row masked too — delete-then-reinsert of the same id
+    needs a ``compact_ivf_index`` between, or fresh ids (pinned in
+    pytest). Supporting in-place PK replacement would require
+    versioned tombstones (insert-time watermarks per segment, the
+    Delta/Milvus MVCC machinery) — out of scope for a parquet-level
+    index.
     """
     if (ids is None) == (where is None):
         raise ValueError("pass exactly one of ids / where")

@@ -512,3 +512,25 @@ def test_evaluate_ivf_index_recall_sweep(spark, tmp_path):
     ).collect()
     assert pq_sweep[0]["recall"] == 1.0
     assert pq_sweep[0]["pq"] and pq_sweep[0]["refine_k"] == 300
+
+
+def test_tombstone_masks_reinserted_id_until_compact(spark, tmp_path):
+    """Documented semantics: tombstones mask the ID — a re-insert of
+    a deleted vec_id before compaction stays invisible; after
+    compaction (tombstones cleared) a fresh insert of that id is
+    live again."""
+    corpus = _corpus(spark, n=120)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=5, iters=1)
+    delete_from_ivf_index(spark, path, [7])
+
+    reinsert = corpus.filter(F.col("vec_id") == 7)
+    append_ivf_index(spark, path, reinsert)
+    queries = corpus.filter(F.col("vec_id") == 30)
+    got = query_ivf_index(spark, path, queries, 10_000, nprobe=5)
+    assert 7 not in {r["vec_id"] for r in got.collect()}
+
+    compact_ivf_index(spark, path)  # clears the tombstone...
+    append_ivf_index(spark, path, reinsert)  # ...fresh insert lives
+    got2 = query_ivf_index(spark, path, queries, 10_000, nprobe=5)
+    assert 7 in {r["vec_id"] for r in got2.collect()}
