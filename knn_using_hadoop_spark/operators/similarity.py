@@ -4949,6 +4949,7 @@ def evaluate_ivf_index(
     refine_k: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Recall sweep of a persisted index against exact ground truth.
 
@@ -4962,9 +4963,11 @@ def evaluate_ivf_index(
     squared L2 for the PQ path (``query_ivfpq_index`` ADC /
     refine) — recall of an L2 index against a cosine oracle would
     be metric-mismatched. Cost: ground truth is one brute-force
-    |live| x |queries| pass (queries broadcast) — that is what exact
-    ground truth costs, which is why this takes a query SAMPLE, not
-    a workload. Returns one row per swept nprobe:
+    |live| x |queries| pass through the shared Arrow kernels
+    (``cosine_topk`` / ``l2_topk`` over the live-member relation —
+    never an interpreted pair fold) — that is what exact ground
+    truth costs, which is why this takes a query SAMPLE, not a
+    workload. Returns one row per swept nprobe:
     (nprobe, pq, refine_k, k, n_queries, recall).
 
     The operating-point story: pick the smallest nprobe whose recall
@@ -4974,36 +4977,20 @@ def evaluate_ivf_index(
     guessed.
     """
     mem = _read_index_members(spark, path, "cells").select(
-        "vec_id", "cv", "cvn"
+        "vec_id", F.col("cv").alias("embedding")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qv"),
-        F.sqrt(_sqnorm(F.col(vec_col), None)).alias("qvn"),
+    qdf = queries.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
     )
-    nq = q.count()
-    pairs = mem.crossJoin(F.broadcast(q)).filter(
-        F.col("vec_id") != F.col("query_id")
+    nq = qdf.count()
+    ranked = (
+        l2_topk(mem, qdf, k)
+        if pq
+        else cosine_topk(mem, qdf, k, dim)
     )
-    if pq:
-        order = F.col("score").asc_nulls_last()
-        score = _sub_sqdist(F.col("qv"), F.col("cv"))
-    else:
-        order = F.col("score").desc_nulls_last()
-        score = F.round(
-            _dot(F.col("qv"), F.col("cv"), None)
-            / F.nullif(F.col("qvn") * F.col("cvn"), F.lit(0.0)),
-            6,
-        )
-    w = Window.partitionBy("query_id").orderBy(
-        order, F.col("vec_id").asc()
-    )
-    exact = (
-        pairs.select("query_id", "vec_id", score.alias("score"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id")
-        .localCheckpoint(eager=True)
+    exact = ranked.select("query_id", "vec_id").localCheckpoint(
+        eager=True
     )
     denom = exact.count()
     rows = []
