@@ -40,6 +40,7 @@ from knn_using_hadoop_spark.operators.pipeline import (
 )
 from knn_using_hadoop_spark.operators.retrieval import (
     bm25_topk,
+    maxp_doc_topk,
     rrf_fuse,
 )
 from knn_using_hadoop_spark.operators.sketches import kmv_distinct
@@ -101,6 +102,7 @@ __all__ = [
     "bfs_depths_converged",
     "triangle_count",
     "bm25_topk",
+    "maxp_doc_topk",
     "rrf_fuse",
     "attach_media",
     "binary_stats",

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from knn_using_hadoop_spark.operators.text import tokens
 
-__all__ = ["bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_topk", "maxp_doc_topk", "rrf_fuse"]
 
 
 def bm25_topk(
@@ -189,5 +189,68 @@ def rrf_fuse(
             "rank",
             F.col("_item").alias(item_col),
             "rrf",
+        )
+    )
+
+
+def maxp_doc_topk(
+    chunk_ranking: DataFrame,
+    chunk_doc_map: DataFrame,
+    k: int,
+    *,
+    agg: str = "max",
+    score_col: str = "bm25",
+    chunk_col: str = "chunk_id",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level ranking -> document ranking: (query_id, rank,
+    doc_id, score).
+
+    The standard long-document recipe (MaxP; Dai & Callan,
+    SIGIR'19): retrieval runs at chunk granularity — chunks fit
+    embedding/context windows and BM25's length normalization — and
+    a document scores as its best chunk (``agg="max"``) or the sum
+    over its retrieved chunks (``agg="sum"``, rewarding multi-hit
+    docs). RAG pipelines are chunk-native, so this is the join that
+    turns ``chunk_windows`` + ``bm25_topk``/ANN output back into
+    document results.
+
+    ``chunk_ranking`` carries (query_id, <chunk_col>, <score_col>)
+    — the output of ``bm25_topk``/``cosine_topk``/``rrf_fuse`` over
+    chunks (their item column renamed or passed via ``chunk_col``);
+    only retrieved chunks contribute (rank-k truncation upstream is
+    part of the recipe). ``chunk_doc_map`` carries
+    (<chunk_col>, <doc_col>); chunk ids must be GLOBALLY unique —
+    ``chunk_windows``' chunk_id is the per-document window POSITION,
+    so derive a key first (e.g. ``doc_id * K + chunk_id``, as the
+    pytest composition does). One equi-join + one (query, doc)
+    aggregation + the ranking window; 6dp-rounded scores, lowest-doc
+    ties — the repo protocol.
+    """
+    if agg not in ("max", "sum"):
+        raise ValueError("agg must be 'max' or 'sum'")
+    joined = chunk_ranking.select(
+        "query_id",
+        F.col(chunk_col).alias("_chunk"),
+        F.col(score_col).alias("_s"),
+    ).join(
+        chunk_doc_map.select(
+            F.col(chunk_col).alias("_chunk"),
+            F.col(doc_col).alias("_doc"),
+        ),
+        "_chunk",
+    )
+    fn = F.max if agg == "max" else F.sum
+    scored = joined.groupBy("query_id", "_doc").agg(
+        F.round(fn("_s"), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("_doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("_doc").alias(doc_col), "score"
         )
     )

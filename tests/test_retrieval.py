@@ -225,3 +225,89 @@ def test_hybrid_bm25_cosine_smoke(spark):
         )
     )
     assert self_hits * 2 > len(lq)
+
+
+def test_maxp_doc_topk_hand_computed(spark):
+    from knn_using_hadoop_spark.operators.retrieval import (
+        maxp_doc_topk,
+    )
+
+    ranking = spark.createDataFrame(
+        [
+            (1, 100, 1, 5.5),
+            (1, 101, 2, 4.0),
+            (1, 102, 3, 3.0),
+            (1, 103, 4, 2.0),
+        ],
+        "query_id long, chunk_id long, rank int, bm25 double",
+    )
+    cmap = spark.createDataFrame(
+        # chunks 100,103 -> doc 7; 101 -> doc 8; 102 -> doc 9
+        [(100, 7), (101, 8), (102, 9), (103, 7), (999, 99)],
+        "chunk_id long, doc_id long",
+    )
+    got = sorted(
+        map(tuple, maxp_doc_topk(ranking, cmap, 3).collect())
+    )
+    # max: doc 7 = max(5.5, 2.0) = 5.5; doc 8 = 4.0; doc 9 = 3.0
+    assert got == [(1, 1, 7, 5.5), (1, 2, 8, 4.0), (1, 3, 9, 3.0)]
+    got_sum = sorted(
+        map(
+            tuple,
+            maxp_doc_topk(ranking, cmap, 3, agg="sum").collect(),
+        )
+    )
+    # sum: doc 7 = 7.5 — multi-hit doc rewarded
+    assert got_sum == [(1, 1, 7, 7.5), (1, 2, 8, 4.0), (1, 3, 9, 3.0)]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        maxp_doc_topk(ranking, cmap, 3, agg="median")
+
+
+def test_maxp_composes_with_chunked_bm25(spark):
+    """The long-document recipe end-to-end: chunk_windows -> BM25
+    over chunks -> MaxP back to docs. A long document whose single
+    relevant passage sits mid-document must WIN under chunked MaxP
+    scoring (BM25's length normalization buries it at whole-doc
+    granularity: its one passage competes against the full doc
+    length)."""
+    from knn_using_hadoop_spark.operators.pipeline import (
+        chunk_windows,
+    )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_topk,
+        maxp_doc_topk,
+    )
+
+    filler = " ".join(f"w{i % 7}" for i in range(400))
+    needle = "quantum flux capacitor alignment"
+    long_doc = filler + " " + needle + " " + filler
+    docs = spark.createDataFrame(
+        [
+            (0, long_doc),
+            (1, "short note on flux only"),
+            (2, filler),
+        ],
+        "doc_id long, text string",
+    )
+    # chunk_windows' chunk_id is the per-doc window POSITION —
+    # derive a globally unique key before treating chunks as docs
+    chunks = chunk_windows(docs, size=64, overlap=16).select(
+        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias(
+            "chunk_id"
+        ),
+        F.col("doc_id"),
+        F.col("chunk_text").alias("text"),
+    ).localCheckpoint(eager=True)
+    q = spark.createDataFrame(
+        [(1, needle)], "query_id long, text string"
+    )
+    chunk_rank = bm25_topk(
+        chunks, q, 10, id_col="chunk_id", text_col="text"
+    ).withColumnRenamed("doc_id", "chunk_id")
+    got = maxp_doc_topk(
+        chunk_rank, chunks.select("chunk_id", "doc_id"), 3
+    ).collect()
+    top = min(got, key=lambda r: r["rank"])
+    assert top["doc_id"] == 0
