@@ -5025,3 +5025,59 @@ def evaluate_ivf_index(
         "nprobe int, pq boolean, refine_k int, k int, "
         "n_queries long, recall double",
     )
+
+
+def tune_nprobe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    target_recall: float,
+    *,
+    pq: bool = False,
+    refine_k: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> dict:
+    """Pick the smallest nprobe whose sampled recall@k clears a bar.
+
+    The operating-point decision ``evaluate_ivf_index`` informs,
+    made executable (the FAISS autotune idea, scoped to the one knob
+    probes actually trade on): sweep nprobe over doublings
+    1, 2, 4, ... up to C (the stored centroid count) and return the
+    first point at or above ``target_recall`` — probe cost is linear
+    in nprobe while recall saturates, so the first clearing point is
+    the cheapest. Exact ground truth is computed ONCE per sweep by
+    the evaluator (its dominant cost); each candidate adds one
+    sampled query pass. Returns ``{"nprobe": int | None, "recall":
+    float, "swept": [(nprobe, recall), ...]}`` — ``nprobe=None``
+    (with the full-probe recall reported) means even probing every
+    cell missed the bar: for the PQ path that is quantization loss
+    (raise m/ks or refine_k, not nprobe), for the raw path a
+    too-small query sample or ties at the k boundary.
+    """
+    n_cells = spark.read.parquet(f"{path}/centroids").count()
+    cands: list[int] = []
+    p = 1
+    while p < n_cells:
+        cands.append(p)
+        p *= 2
+    cands.append(int(n_cells))
+    sweep = evaluate_ivf_index(
+        spark,
+        path,
+        queries,
+        k,
+        nprobes=cands,
+        pq=pq,
+        refine_k=refine_k,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).collect()
+    swept = sorted((r["nprobe"], r["recall"]) for r in sweep)
+    for np_, rec in swept:
+        if rec >= target_recall:
+            return {"nprobe": np_, "recall": rec, "swept": swept}
+    return {"nprobe": None, "recall": swept[-1][1], "swept": swept}

@@ -534,3 +534,29 @@ def test_tombstone_masks_reinserted_id_until_compact(spark, tmp_path):
     append_ivf_index(spark, path, reinsert)  # ...fresh insert lives
     got2 = query_ivf_index(spark, path, queries, 10_000, nprobe=5)
     assert 7 in {r["vec_id"] for r in got2.collect()}
+
+
+def test_tune_nprobe_picks_cheapest_clearing_point(spark, tmp_path):
+    from knn_using_hadoop_spark.operators.similarity import (
+        tune_nprobe,
+    )
+
+    corpus = _corpus(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+
+    out = tune_nprobe(spark, path, queries, 5, 1.0)
+    # full probe is exact, so a 1.0 bar is always reachable — and
+    # the pick must be the FIRST swept point that clears it
+    assert out["nprobe"] is not None and out["recall"] == 1.0
+    firsts = [np_ for np_, rec in out["swept"] if rec >= 1.0]
+    assert out["nprobe"] == min(firsts)
+    # monotone sweep ends at the all-cells point
+    assert out["swept"][-1][0] == 8
+    recs = [rec for _, rec in out["swept"]]
+    assert recs == sorted(recs)
+
+    # an unreachable bar reports None with the full-probe recall
+    out2 = tune_nprobe(spark, path, queries, 5, 1.1)
+    assert out2["nprobe"] is None and out2["recall"] == 1.0
