@@ -89,6 +89,55 @@ BENCH_QUERIES = [
 ]
 
 
+def _hybrid_retrieval(spark, sf_dir: str):
+    """The retrieval surface composed end-to-end (r6 verdict #4):
+    chunk_windows -> BM25 over chunks -> MaxP back to documents,
+    fused with the cosine vector ranking by RRF. Not a registry
+    query (the registry is frozen at 210); benched here so the
+    retrieval operators get wall-clocked per round like their ANN
+    siblings. max_df is 10% of the corpus — the same stop-term
+    guard ratio the 500k scale ceiling runs (the synthetic
+    vocabulary makes every term a stop term)."""
+    from knn_using_hadoop_spark.operators.pipeline import (
+        chunk_windows,
+    )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_topk,
+        maxp_doc_topk,
+        rrf_fuse,
+    )
+    from knn_using_hadoop_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    chunks = chunk_windows(docs, size=64, overlap=16, with_key=True)
+    chunk_rank = bm25_topk(
+        chunks.select(
+            "chunk_key", F.col("chunk_text").alias("text")
+        ),
+        queries,
+        10,
+        id_col="chunk_key",
+        max_df=500,
+    )
+    lex = maxp_doc_topk(
+        chunk_rank,
+        chunks.select("chunk_key", "doc_id"),
+        10,
+        chunk_col="chunk_key",
+    )
+    qv = emb.filter(F.col("vec_id") % 100 == 0)
+    vec = cosine_topk(emb, qv, 10, 64).select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id")
+    )
+    return rrf_fuse([lex, vec], 10)
+
+
 def _materialize(df) -> None:
     """Execute a result fully via the noop sink.
 
@@ -118,68 +167,35 @@ def main() -> None:
     qs = contract.queries()
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
-    # best-of-N per query (default 5): later runs reuse compiled
-    # codegen and warm parquet footers, so min-of-runs strips the ±3s
-    # JIT noise (NOTES.md) without changing what is measured — each
-    # run still plans + executes the full query cold of any result
-    # cache. With 5 runs the per-query min/median/max in "stats" are
-    # variance-pinned by default (VERDICT r3 ask #2: runs=2 made
-    # "med" the cold run); "queries" stays min-of-runs for
+    # best-of-N rounds per query (default 5): later rounds reuse
+    # compiled codegen and warm parquet footers, so min-of-rounds
+    # strips the ±3s JIT noise (NOTES.md) without changing what is
+    # measured — each sample still plans + executes the full query
+    # cold of any result cache. With 5 rounds the per-query
+    # min/median/max in "stats" are variance-pinned by default
+    # (VERDICT r3 ask #2); "queries" stays min-of-rounds for
     # cross-round comparability.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    # Warm-all barrier (default on; SPARK_GRAFT_BENCH_WARMUP=0 skips):
-    # one untimed pass over every bench query before ANY timing starts.
-    # Without it, each query's first timed run carries whatever
-    # JIT/codegen/shuffle warmth the queries BEFORE it happened to
-    # build, so adding/reordering bench entries shifts every
-    # downstream min — three rounds of review cycles went to
-    # adjudicating exactly that noise (VERDICT r4 "what's wrong" #2).
-    # After the barrier all timed runs measure the same warm-state
-    # regime regardless of position in the list.
-    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-        for name in BENCH_QUERIES:
-            _materialize(qs[name](spark, SF_DIR))
-        print("# warm-all barrier complete", file=sys.stderr)
-
-    def record(name: str, samples: list[float]) -> None:
-        samples = sorted(samples)
-        timings[name] = round(samples[0], 3)
-        stats[name] = {
-            "min": round(samples[0], 3),
-            "med": round(samples[len(samples) // 2], 3),
-            "max": round(samples[-1], 3),
-        }
-
-    for name in BENCH_QUERIES:
-        fn = qs[name]
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            _materialize(df)
-            samples.append(time.perf_counter() - t0)
-        record(name, samples)
-        n = fn(spark, SF_DIR).count()  # untimed, for the report line
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-
-    # flagship KNN (mod=1000 at sf0.1 -> ~600 queries x ~600k train =
-    # ~360M distance evals)
-    samples, n = [], -1
-    for _ in range(runs):
-        t0 = time.perf_counter()
+    # Every timed leg as a (name, thunk) pair so ALL legs — registry
+    # queries, the two KNN workloads, and the composed retrieval
+    # pipeline — share one warm barrier and one interleaved schedule.
+    def _knn_large():
         train, test = contract.knn_tables(spark, SF_DIR, mod=1000)
-        df = knn_predict(
+        # flagship KNN (mod=1000 at sf0.1 -> ~600 queries x ~600k
+        # train = ~360M distance evals)
+        return knn_predict(
             train, test, contract.KNN_K, dim=len(contract.KNN_FEATURES)
         )
-        _materialize(df)
-        samples.append(time.perf_counter() - t0)
-    n = df.count()
-    record("knn_predict_large", samples)
-    print(
-        f"# knn_predict_large: {n} rows in {timings['knn_predict_large']}s",
-        file=sys.stderr,
+
+    legs: list = [
+        (name, (lambda nm=name: qs[nm](spark, SF_DIR)))
+        for name in BENCH_QUERIES
+    ]
+    legs.append(
+        ("hybrid_retrieval", lambda: _hybrid_retrieval(spark, SF_DIR))
     )
+    legs.append(("knn_predict_large", _knn_large))
 
     # the reference's own largest committed workload (BASELINE.md: large
     # ARFF, 30,803 train x 1,718 test, k=3, ~52.9M distance evals) run
@@ -189,29 +205,64 @@ def main() -> None:
         from knn_using_hadoop_spark.sources.arff import read_arff_features
 
         par = spark.sparkContext.defaultParallelism
-        # a small single-file ARFF is one input split; spread the
-        # train side so the cross join parallelizes
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
+
+        def _knn_ref_arff():
+            # a small single-file ARFF is one input split; spread the
+            # train side so the cross join parallelizes. sample=512 is
+            # the measured prefilter optimum for this workload shape
+            # (1718 test x 31k train) — knn.py sizing note
             train = read_arff_features(
                 spark, f"{ref}/large-train.arff"
             ).repartition(par)
             test = read_arff_features(spark, f"{ref}/large-test.arff")
-            # sample=512 is the measured prefilter optimum for this
-            # workload shape (1718 test x 31k train) — knn.py sizing note
-            df = knn_predict(
+            return knn_predict(
                 train, test, 3, dim=11, prefilter_sample=512
             )
-            _materialize(df)
-            samples.append(time.perf_counter() - t0)
-        n = df.count()
-        record("knn_reference_large_arff", samples)
-        print(
-            f"# knn_reference_large_arff: {n} predictions in "
-            f"{timings['knn_reference_large_arff']}s",
-            file=sys.stderr,
-        )
+
+        legs.append(("knn_reference_large_arff", _knn_ref_arff))
+
+    # Warm-all barrier (default on; SPARK_GRAFT_BENCH_WARMUP=0 skips):
+    # one untimed pass over every bench leg before ANY timing starts.
+    # Without it, each leg's first timed run carries whatever
+    # JIT/codegen/shuffle warmth the legs BEFORE it happened to
+    # build, so adding/reordering bench entries shifts every
+    # downstream min — three rounds of review cycles went to
+    # adjudicating exactly that noise (VERDICT r4 "what's wrong" #2).
+    # After the barrier all timed runs measure the same warm-state
+    # regime regardless of position in the list.
+    if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
+        for _, thunk in legs:
+            _materialize(thunk())
+        print("# warm-all barrier complete", file=sys.stderr)
+
+    # Interleaved rounds (r6 verdict #1): one pass over the FULL leg
+    # list per round, `runs` rounds, min over rounds. With the old
+    # consecutive best-of-5 per query, a transient host load spike
+    # landed on ALL of one query's samples and survived min-of-5 —
+    # the driver's r6 artifact printed a false 15x regression on
+    # events_windowed_agg exactly that way (3.887s min-of-5 vs 0.158s
+    # quiet-box, zero commits on its path). Round-robin spreads any
+    # spike across at most one sample of each leg, so min-over-rounds
+    # sheds it. What is measured per sample is unchanged: plan +
+    # execute the full query, warm of JIT but cold of any result
+    # cache.
+    samples: dict[str, list[float]] = {name: [] for name, _ in legs}
+    for _ in range(runs):
+        for name, thunk in legs:
+            t0 = time.perf_counter()
+            _materialize(thunk())
+            samples[name].append(time.perf_counter() - t0)
+
+    for name, thunk in legs:
+        s = sorted(samples[name])
+        timings[name] = round(s[0], 3)
+        stats[name] = {
+            "min": round(s[0], 3),
+            "med": round(s[len(s) // 2], 3),
+            "max": round(s[-1], 3),
+        }
+        n = thunk().count()  # untimed, for the report line
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # The driver captures only the last ~2000 bytes of stdout and

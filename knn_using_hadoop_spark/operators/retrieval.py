@@ -56,20 +56,33 @@ def bm25_topk(
         s(q, d) = sum over distinct q terms of
                   idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b*dl/avgdl))
 
-    Plan — the inverted-index discipline: only the QUERY TERMS'
-    posting lists are ever materialized. The distinct query terms
-    (bounded by the query sample — broadcast) semi-filter the
-    exploded token stream at the scan, BEFORE any shuffle, so the
-    (doc, term, tf) aggregation and the df count shuffle matched
-    occurrences only — never the corpus's full vocabulary. On a
-    Heaps-law corpus that bounds the work by the query terms'
-    posting lists. Doc lengths come from ``size()`` without
-    exploding; corpus aggregates (N, avgdl) ride as a broadcast
-    one-row relation. Per-query-term df is TRUE corpus df (every
-    occurrence of a query term survives the semi-filter), so scores
-    are exact BM25. One (query, doc) group aggregation, ranking
-    window cut to k on 6dp-rounded scores with lowest-doc_id ties —
-    the repo protocol, DuckDB-reproducible.
+    Plan — the inverted-index discipline, ONE corpus scan (r6
+    verdict #3): only the QUERY TERMS' posting lists are ever
+    materialized. The corpus is tokenized and position-exploded
+    once; a broadcast left join against the distinct query terms
+    (bounded by the query sample) marks matches, and a row survives
+    to the shuffle only if it is a match OR the document's head
+    token (``pos`` 0, or the ``posexplode_outer`` null row of an
+    empty document) — the head rows are how corpus statistics ride
+    the same scan. The (doc, term) aggregation then yields BOTH the
+    posting lists (groups with matched occurrences: tf, dl) and
+    exactly one head-marked group per document (n_docs, avgdl),
+    ``localCheckpoint``-ed so the statistics branch and the scoring
+    branch replay the aggregate, never the scan (the old shape
+    re-tokenized the corpus in three lineages: doc lengths for the
+    stats, doc lengths again for the score join, and the posting
+    explode — at 100 TB, two extra full-corpus passes). The
+    checkpointed relation is matched postings + one ~24-byte row
+    per document — the same size class as the curation pipeline's
+    checkpointed content-key relation. Per-query-term df is TRUE
+    corpus df (every occurrence of a query term survives the
+    filter), so scores are exact BM25. One (query, doc) group
+    aggregation, ranking window cut to k on 6dp-rounded scores with
+    lowest-id ties — the repo protocol, DuckDB-reproducible. The
+    output id column is named ``id_col``, matching
+    ``rrf_fuse``/``maxp_doc_topk``'s pass-through convention.
+    Note the checkpoint makes this operator EAGER on the corpus
+    side: the scan runs at call time, not first action.
 
     ``max_df`` drops terms whose document frequency exceeds the cap
     from the MATCH join only (idf still computed from true df): the
@@ -83,17 +96,6 @@ def bm25_topk(
     answers the same top-10 in ~13s. None = exact BM25; production
     search engines (Lucene WAND) prune the same way.
     """
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    )
-    dlen = d.select(
-        "doc_id", F.size("_toks").cast("double").alias("dl")
-    )
-    stats = dlen.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -101,13 +103,42 @@ def bm25_topk(
         )
         .distinct()
     )
-    # posting lists for query terms ONLY: broadcast semi-filter at
-    # the exploded scan — matched occurrences are all that shuffles
-    occ = d.select("doc_id", F.explode("_toks").alias("term")).join(
-        F.broadcast(qterms.select("term").distinct()), "term"
+    qset = (
+        qterms.select("term").distinct().withColumn("_m", F.lit(1))
     )
-    dterms = occ.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        F.posexplode_outer("_toks").alias("pos", "term"),
+    )
+    head = (F.col("pos") == 0) | F.col("pos").isNull()
+    # the single corpus pass: broadcast-mark query-term matches,
+    # keep matches + one head row per doc, aggregate, checkpoint —
+    # postings (tf > 0) and corpus stats (head groups) both read
+    # the checkpointed aggregate, never the scan again
+    per = (
+        ex.join(F.broadcast(qset), "term", "left")
+        .filter((F.col("_m") == 1) | head)
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
+            .cast("double")
+            .alias("tf"),
+            F.first("dl").alias("dl"),
+            F.max(F.when(head, 1).otherwise(0)).alias("_head"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per.filter(F.col("_head") == 1).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dterms = per.filter(F.col("tf") > 0).select(
+        "doc_id", "term", "tf", "dl"
     )
     dfreq = dterms.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("df")
@@ -125,7 +156,6 @@ def bm25_topk(
     scored = (
         qterms.join(dfreq, "term")
         .join(dterms, "term")
-        .join(dlen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
@@ -136,7 +166,9 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "bm25")
+        .select(
+            "query_id", "rank", F.col("doc_id").alias(id_col), "bm25"
+        )
     )
 
 
@@ -222,10 +254,10 @@ def maxp_doc_topk(
     part of the recipe). ``chunk_doc_map`` carries
     (<chunk_col>, <doc_col>); chunk ids must be GLOBALLY unique —
     ``chunk_windows``' chunk_id is the per-document window POSITION,
-    so derive a key first (e.g. ``doc_id * K + chunk_id``, as the
-    pytest composition does). One equi-join + one (query, doc)
-    aggregation + the ranking window; 6dp-rounded scores, lowest-doc
-    ties — the repo protocol.
+    so chunk with ``chunk_windows(..., with_key=True)`` and pass
+    ``chunk_col="chunk_key"`` (the composition the pytest runs).
+    One equi-join + one (query, doc) aggregation + the ranking
+    window; 6dp-rounded scores, lowest-doc ties — the repo protocol.
     """
     if agg not in ("max", "sum"):
         raise ValueError("agg must be 'max' or 'sum'")

@@ -1543,8 +1543,18 @@ def ivf_kmeans_centroids(
     silent.
     """
     train = _training_sample(corpus, train_n, n=n, id_col=id_col)
+    seed_src = train
+    if train_n is not None and train is not corpus:
+        # the hash sample is ~train_n only in EXPECTATION — if it
+        # undershoots n_centroids, limit() would silently seed (and
+        # emit) fewer centroids (ADVICE r6 #3). Seed from the full
+        # corpus in that case; Lloyd rounds still run on the sample.
+        # The count is one narrow-filter job, paid only on the
+        # sampled path.
+        if train.count() < n_centroids:
+            seed_src = corpus
     cents = (
-        train.orderBy(F.col(id_col).asc())
+        seed_src.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
         .select(
             F.col(id_col).alias("centroid_id"),
@@ -4761,6 +4771,13 @@ def delete_from_ivf_index(
     """
     if (ids is None) == (where is None):
         raise ValueError("pass exactly one of ids / where")
+    # the tombstone column type follows the CELL STORE's vec_id
+    # schema (ADVICE r6 #2): an index built with a string/int id_col
+    # must not get long-typed tombstones (the anti-join would
+    # type-mismatch and silently mask nothing)
+    vt = spark.read.parquet(f"{path}/cells").schema[
+        "vec_id"
+    ].dataType
     if where is not None:
         doomed = (
             _read_index_members(spark, path, "cells")
@@ -4770,10 +4787,11 @@ def delete_from_ivf_index(
             .select("vec_id")
         )
     elif isinstance(ids, DataFrame):
-        doomed = ids.select("vec_id")
+        doomed = ids.select(F.col("vec_id").cast(vt))
     else:
         doomed = spark.createDataFrame(
-            [(int(i),) for i in ids], "vec_id long"
+            [(i,) for i in ids],
+            T.StructType([T.StructField("vec_id", vt)]),
         )
     doomed = doomed.distinct().localCheckpoint(eager=True)
     n = doomed.count()
@@ -4803,8 +4821,13 @@ def compact_ivf_index(spark, path: str) -> None:
     midway leaves a state where every query is still correct
     (not-yet-compacted stores still union their segments; already-
     purged stores anti-join tombstones as a no-op), and re-running
-    compact converges. Single-writer assumed, as with any
-    non-catalog parquet maintenance.
+    compact converges. The one midway window — dead between a
+    store's rewrite and its segment removal, leaving streamed rows
+    in BOTH base and segment — is closed by the survivor id-dedup
+    below (ADVICE r6 #1): queries between the crash and the re-run
+    see duplicate (identical) member rows for those ids, and the
+    re-run folds them back to one. Single-writer assumed, as with
+    any non-catalog parquet maintenance.
     """
     import os
     import shutil
@@ -4848,8 +4871,17 @@ def compact_ivf_index(spark, path: str) -> None:
                 spark, path, store
             ).filter(
                 F.col("cell").isin([int(c) for c in affected])
-            ).localCheckpoint(eager=True)  # materialized BEFORE the
-            # overwrite — the plan reads the very files it replaces
+            ).dropDuplicates(["vec_id"]).localCheckpoint(
+                eager=True
+            )  # materialized BEFORE the overwrite — the plan reads
+            # the very files it replaces. dropDuplicates (ADVICE r6
+            # #1): a compaction that crashed between a store's
+            # dynamic overwrite and its segment removal leaves
+            # streamed rows in BOTH base and segments; base UNION
+            # segments would then bake the duplicates in permanently
+            # on the re-run. vec_id is the index PK (tombstones mask
+            # by id), so id-dedup is exact; the extra shuffle is
+            # bounded by the affected cells.
             kept = {
                 r["cell"]
                 for r in survivors.select("cell").distinct().collect()
@@ -4889,6 +4921,17 @@ def describe_ivf_index(spark, path: str) -> DataFrame:
     tombstoned ids excluded — what a query can actually rank);
     ``n_dead`` counts tombstoned rows still physically present, the
     compaction-debt gauge (``compact_ivf_index`` returns it to 0).
+
+    ``n_segments`` / ``n_stream`` (r6 verdict #6) gauge the OTHER
+    compaction debt — file-count debt: streaming ingest writes one
+    ``ingest_batch=N`` directory per micro-batch, and at production
+    batch rates the segment count degrades scan planning (footer
+    reads, tiny files) long before ``n_dead`` moves. Per cell,
+    ``n_stream`` is the physical row count still sitting in stream
+    segments and ``n_segments`` the number of micro-batch segments
+    touching that cell; the summary row carries the stream-row total
+    and the TOTAL segment-directory count. Compaction returns both
+    to 0 (pinned in pytest).
     """
     import os
 
@@ -4926,15 +4969,55 @@ def describe_ivf_index(spark, path: str) -> DataFrame:
         cells = cells.withColumn(
             "n_dead", F.lit(0).cast("bigint")
         )
+    sdir = f"{path}/stream_cells"
+    batches = (
+        [
+            e
+            for e in os.listdir(sdir)
+            if e.startswith("ingest_batch=")
+        ]
+        if os.path.isdir(sdir)
+        else []
+    )
+    if batches:
+        segstats = (
+            spark.read.parquet(sdir)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n_stream"),
+                F.countDistinct("ingest_batch").alias(
+                    "n_segments"
+                ),
+            )
+        )
+        cells = cells.join(segstats, "cell", "full_outer").select(
+            "cell",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+            F.coalesce("n_stream", F.lit(0)).alias("n_stream"),
+            F.coalesce("n_segments", F.lit(0)).alias(
+                "n_segments"
+            ),
+        )
+    else:
+        cells = cells.withColumn(
+            "n_stream", F.lit(0).cast("bigint")
+        ).withColumn("n_segments", F.lit(0).cast("bigint"))
     summary = cells.agg(
         F.lit(None).cast("bigint").alias("cell"),
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_dead").alias("n_dead"),
+        F.sum("n_stream").alias("n_stream"),
+        # the summary's segment count is the DIRECTORY count (the
+        # planning-debt unit), not the per-cell sum
+        F.lit(len(batches)).cast("bigint").alias("n_segments"),
     )
     return cells.select(
         F.col("cell").cast("bigint"),
         "n_rows",
         F.col("n_dead").cast("bigint"),
+        F.col("n_stream").cast("bigint"),
+        F.col("n_segments").cast("bigint"),
     ).unionByName(summary)
 
 
@@ -4976,6 +5059,38 @@ def evaluate_ivf_index(
     C, and compaction state, which is why it is measured, not
     guessed.
     """
+    exact, nq, denom = _index_ground_truth(
+        spark, path, queries, k,
+        pq=pq, id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    rows = [
+        (
+            int(np_),
+            bool(pq),
+            refine_k,
+            int(k),
+            int(nq),
+            _index_recall_at(
+                spark, path, queries, k, exact, denom, int(np_),
+                pq=pq, refine_k=refine_k,
+                id_col=id_col, vec_col=vec_col,
+            ),
+        )
+        for np_ in nprobes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nprobe int, pq boolean, refine_k int, k int, "
+        "n_queries long, recall double",
+    )
+
+
+def _index_ground_truth(
+    spark, path, queries, k, *, pq, id_col, vec_col, dim
+):
+    """Exact top-k over the index's LIVE members (checkpointed) plus
+    the query and ground-truth-row counts — computed ONCE per sweep,
+    shared by every candidate nprobe."""
     mem = _read_index_members(spark, path, "cells").select(
         "vec_id", F.col("cv").alias("embedding")
     )
@@ -4992,39 +5107,31 @@ def evaluate_ivf_index(
     exact = ranked.select("query_id", "vec_id").localCheckpoint(
         eager=True
     )
-    denom = exact.count()
-    rows = []
-    for np_ in nprobes:
-        if pq:
-            got = query_ivfpq_index(
-                spark, path, queries, k, nprobe=int(np_),
-                refine_k=refine_k, id_col=id_col, vec_col=vec_col,
-            )
-        else:
-            got = query_ivf_index(
-                spark, path, queries, k, nprobe=int(np_),
-                id_col=id_col, vec_col=vec_col,
-            )
-        hits = (
-            got.select("query_id", "vec_id")
-            .join(exact, ["query_id", "vec_id"])
-            .count()
+    return exact, nq, exact.count()
+
+
+def _index_recall_at(
+    spark, path, queries, k, exact, denom, nprobe,
+    *, pq, refine_k, id_col, vec_col,
+):
+    """Sampled recall@k of one candidate nprobe against the
+    checkpointed ground truth — one query pass."""
+    if pq:
+        got = query_ivfpq_index(
+            spark, path, queries, k, nprobe=nprobe,
+            refine_k=refine_k, id_col=id_col, vec_col=vec_col,
         )
-        rows.append(
-            (
-                int(np_),
-                bool(pq),
-                refine_k,
-                int(k),
-                int(nq),
-                (hits / denom) if denom else 0.0,
-            )
+    else:
+        got = query_ivf_index(
+            spark, path, queries, k, nprobe=nprobe,
+            id_col=id_col, vec_col=vec_col,
         )
-    return spark.createDataFrame(
-        rows,
-        "nprobe int, pq boolean, refine_k int, k int, "
-        "n_queries long, recall double",
+    hits = (
+        got.select("query_id", "vec_id")
+        .join(exact, ["query_id", "vec_id"])
+        .count()
     )
+    return (hits / denom) if denom else 0.0
 
 
 def tune_nprobe(
@@ -5048,10 +5155,15 @@ def tune_nprobe(
     1, 2, 4, ... up to C (the stored centroid count) and return the
     first point at or above ``target_recall`` — probe cost is linear
     in nprobe while recall saturates, so the first clearing point is
-    the cheapest. Exact ground truth is computed ONCE per sweep by
-    the evaluator (its dominant cost); each candidate adds one
-    sampled query pass. Returns ``{"nprobe": int | None, "recall":
-    float, "swept": [(nprobe, recall), ...]}`` — ``nprobe=None``
+    the cheapest. Exact ground truth is computed ONCE per sweep (its
+    dominant cost); candidates are then evaluated INCREMENTALLY in
+    ascending order and the sweep STOPS at the first clearing point
+    (r6 verdict #2 — the old shape evaluated every doubling up to C
+    before picking, paying log2(C) sampled passes even when nprobe=1
+    cleared the bar; pinned in pytest via a call counter). Returns
+    ``{"nprobe": int | None, "recall": float, "swept": [(nprobe,
+    recall), ...]}`` — ``swept`` lists only the candidates that
+    actually ran (that truncation IS the saving). ``nprobe=None``
     (with the full-probe recall reported) means even probing every
     cell missed the bar: for the PQ path that is quantization loss
     (raise m/ks or refine_k, not nprobe), for the raw path a
@@ -5064,20 +5176,18 @@ def tune_nprobe(
         cands.append(p)
         p *= 2
     cands.append(int(n_cells))
-    sweep = evaluate_ivf_index(
-        spark,
-        path,
-        queries,
-        k,
-        nprobes=cands,
-        pq=pq,
-        refine_k=refine_k,
-        id_col=id_col,
-        vec_col=vec_col,
-        dim=dim,
-    ).collect()
-    swept = sorted((r["nprobe"], r["recall"]) for r in sweep)
-    for np_, rec in swept:
+    exact, _nq, denom = _index_ground_truth(
+        spark, path, queries, k,
+        pq=pq, id_col=id_col, vec_col=vec_col, dim=dim,
+    )
+    swept: list[tuple[int, float]] = []
+    for np_ in cands:
+        rec = _index_recall_at(
+            spark, path, queries, k, exact, denom, int(np_),
+            pq=pq, refine_k=refine_k,
+            id_col=id_col, vec_col=vec_col,
+        )
+        swept.append((int(np_), rec))
         if rec >= target_recall:
-            return {"nprobe": np_, "recall": rec, "swept": swept}
+            return {"nprobe": int(np_), "recall": rec, "swept": swept}
     return {"nprobe": None, "recall": swept[-1][1], "swept": swept}

@@ -278,14 +278,24 @@ def test_stream_ingest_equals_batch_append(spark, tmp_path):
         spark, p_stream, queries, 10_000, nprobe=2
     ).collect()
     assert {r[2] for r in reach} & set(range(1000, 1060))
-    # live occupancy counts the segment rows
+    # live occupancy counts the segment rows; the segment-debt
+    # gauges (r6 verdict #6) see the micro-batch before sealing
     desc = {
-        r["cell"]: r["n_rows"]
+        r["cell"]: r
         for r in describe_ivf_index(spark, p_stream).collect()
     }
-    assert desc[None] == 300
+    assert desc[None]["n_rows"] == 300
+    assert desc[None]["n_stream"] == 60
+    assert desc[None]["n_segments"] == 1
+    assert (
+        sum(
+            r["n_stream"] for c, r in desc.items() if c is not None
+        )
+        == 60
+    )
 
-    # sealing the segments changes nothing for queries
+    # sealing the segments changes nothing for queries — and
+    # returns the segment debt to zero
     compact_ivf_index(spark, p_stream)
     assert not os.path.isdir(f"{p_stream}/stream_cells")
     sealed = sorted(
@@ -296,6 +306,12 @@ def test_stream_ingest_equals_batch_append(spark, tmp_path):
         )
     )
     assert sealed == want
+    desc2 = {
+        r["cell"]: r
+        for r in describe_ivf_index(spark, p_stream).collect()
+    }
+    assert desc2[None]["n_stream"] == 0
+    assert desc2[None]["n_segments"] == 0
 
 
 def test_segment_replay_does_not_duplicate(spark, tmp_path):
@@ -455,6 +471,97 @@ def test_ivfpq_lifecycle_stream_delete_compact(spark, tmp_path):
     assert not left & doomed and len(left) == 240 + 41 - 2
 
 
+def test_delete_follows_index_id_type(spark, tmp_path):
+    """ADVICE r6 #2: tombstones take their vec_id type from the CELL
+    STORE's schema — an index built over string ids must accept a
+    string id list (the old int()/'vec_id long' hardcoding raised)
+    and actually mask those rows."""
+    corpus = _corpus(spark, n=60).select(
+        F.concat(F.lit("d"), F.col("vec_id").cast("string")).alias(
+            "vec_id"
+        ),
+        "embedding",
+    )
+    path = str(tmp_path / "idx_str")
+    build_ivf_index(corpus, path, n_centroids=4, iters=1)
+    assert (
+        str(
+            spark.read.parquet(f"{path}/cells")
+            .schema["vec_id"]
+            .dataType
+        )
+        == "StringType()"
+    )
+    n = delete_from_ivf_index(spark, path, ["d7", "d30", "d30"])
+    assert n == 2  # distinct ids, string-typed
+    queries = corpus.filter(F.col("vec_id") == "d11")
+    got = {
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, path, queries, 10_000, nprobe=4
+        ).collect()
+    }
+    assert got and not got & {"d7", "d30"}
+
+
+def test_compact_converges_from_crash_window_duplicates(
+    spark, tmp_path
+):
+    """ADVICE r6 #1: a compaction that dies between a store's
+    dynamic overwrite and its segment removal leaves streamed rows
+    in BOTH the base and the segment. Queries in that window see
+    duplicate (identical) member rows; the compact re-run must fold
+    them back to ONE copy, never bake duplicates into the base."""
+    from knn_using_hadoop_spark.operators.similarity import (
+        _ingest_index_batch,
+        _read_index_members,
+    )
+
+    base = _corpus(spark, n=120)
+    extra = _corpus(spark, n=30, start=500)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_centroids=5, iters=1)
+
+    def write_segment():
+        _ingest_index_batch(
+            spark,
+            path,
+            extra,
+            cells_dir=f"{path}/stream_cells/ingest_batch=0",
+            codes_dir=f"{path}/stream_pq_codes/ingest_batch=0",
+            mode="overwrite",
+        )
+
+    write_segment()
+    compact_ivf_index(spark, path)  # seals: extra now in the base
+    queries = base.filter(F.col("vec_id") % 30 == 0)
+    want = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, 5, nprobe=3)
+            .collect(),
+        )
+    )
+    # reconstruct the crash window: the sealed rows re-appear as a
+    # not-yet-removed segment
+    write_segment()
+    assert (
+        _read_index_members(spark, path, "cells").count() == 180
+    )  # 150 live + 30 identical duplicates, the documented window
+    compact_ivf_index(spark, path)
+    mem = _read_index_members(spark, path, "cells")
+    assert mem.count() == 150
+    assert mem.select("vec_id").distinct().count() == 150
+    got = sorted(
+        map(
+            tuple,
+            query_ivf_index(spark, path, queries, 5, nprobe=3)
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_delete_requires_exactly_one_selector(spark, tmp_path):
     path = str(tmp_path / "idx")
     build_ivf_index(
@@ -550,13 +657,46 @@ def test_tune_nprobe_picks_cheapest_clearing_point(spark, tmp_path):
     # full probe is exact, so a 1.0 bar is always reachable — and
     # the pick must be the FIRST swept point that clears it
     assert out["nprobe"] is not None and out["recall"] == 1.0
-    firsts = [np_ for np_, rec in out["swept"] if rec >= 1.0]
-    assert out["nprobe"] == min(firsts)
-    # monotone sweep ends at the all-cells point
-    assert out["swept"][-1][0] == 8
-    recs = [rec for _, rec in out["swept"]]
-    assert recs == sorted(recs)
+    # early-exit (r6 verdict #2): the sweep STOPS at the clearing
+    # point — swept ends there and nothing before it cleared
+    assert out["swept"][-1][0] == out["nprobe"]
+    assert all(rec < 1.0 for _, rec in out["swept"][:-1])
 
-    # an unreachable bar reports None with the full-probe recall
+    # an unreachable bar sweeps everything (monotone, ends at the
+    # all-cells point) and reports None with the full-probe recall
     out2 = tune_nprobe(spark, path, queries, 5, 1.1)
     assert out2["nprobe"] is None and out2["recall"] == 1.0
+    assert out2["swept"][-1][0] == 8
+    recs = [rec for _, rec in out2["swept"]]
+    assert recs == sorted(recs)
+
+
+def test_tune_nprobe_early_exit_never_runs_later_candidates(
+    spark, tmp_path, monkeypatch
+):
+    """r6 verdict #2 done-criterion: candidates beyond the first
+    clearing point NEVER execute. A spy on the module's
+    query_ivf_index records each candidate pass — with a trivially
+    clearable bar only nprobe=1 may run; with an impossible bar the
+    full doubling ladder runs."""
+    from knn_using_hadoop_spark.operators import similarity as sim
+
+    corpus = _corpus(spark, n=300)
+    queries = corpus.filter(F.col("vec_id") % 40 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(corpus, path, n_centroids=8, iters=1)
+
+    calls: list = []
+    real = sim.query_ivf_index
+
+    def spy(spark_, path_, queries_, k_, **kw):
+        calls.append(kw.get("nprobe"))
+        return real(spark_, path_, queries_, k_, **kw)
+
+    monkeypatch.setattr(sim, "query_ivf_index", spy)
+    out = sim.tune_nprobe(spark, path, queries, 5, 0.0)
+    assert out["nprobe"] == 1 and calls == [1]
+
+    calls.clear()
+    out2 = sim.tune_nprobe(spark, path, queries, 5, 2.0)
+    assert out2["nprobe"] is None and calls == [1, 2, 4, 8]

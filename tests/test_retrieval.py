@@ -137,6 +137,51 @@ def test_bm25_plan_is_jvm_only(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_bm25_one_corpus_scan(spark, tmp_path):
+    """r6 verdict #3: BM25 reads/tokenizes the corpus ONCE. The old
+    shape derived doc lengths (for the stats AND the score join) and
+    the posting explode as three lineages off the tokenized
+    projection — three full corpus passes at 100 TB. Executed-scan
+    counter: a mapInPandas wrapper spills each partition's row count
+    to a file; after bm25_topk (the checkpoint pass) plus full
+    materialization of the result, the corpus rows seen must equal
+    the corpus size exactly once."""
+    import os
+
+    marker = str(tmp_path / "scan_counts")
+    os.makedirs(marker, exist_ok=True)
+
+    def counted(it):
+        import os as _os
+        import uuid as _uuid
+
+        rows = 0
+        for pdf in it:
+            rows += len(pdf)
+            yield pdf
+        with open(
+            _os.path.join(marker, _uuid.uuid4().hex), "w"
+        ) as fh:
+            fh.write(str(rows))
+
+    docs = _spark_docs(spark).mapInPandas(
+        counted, "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame(
+        [(1, "quick fox"), (2, "zebra")],
+        "query_id long, text string",
+    )
+    got = bm25_topk(docs, qdf, 3).collect()
+    assert got
+    seen = sum(
+        int(open(os.path.join(marker, f)).read())
+        for f in os.listdir(marker)
+    )
+    assert seen == len(DOCS), (
+        f"corpus scanned {seen / len(DOCS):.1f}x, want exactly 1x"
+    )
+
+
 def test_rrf_fuse_hand_computed(spark):
     a = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
@@ -291,23 +336,35 @@ def test_maxp_composes_with_chunked_bm25(spark):
         ],
         "doc_id long, text string",
     )
-    # chunk_windows' chunk_id is the per-doc window POSITION —
-    # derive a globally unique key before treating chunks as docs
-    chunks = chunk_windows(docs, size=64, overlap=16).select(
-        (F.col("doc_id") * 10_000 + F.col("chunk_id")).alias(
-            "chunk_id"
-        ),
-        F.col("doc_id"),
-        F.col("chunk_text").alias("text"),
+    # with_key=True (r6 verdict #5): chunk_windows emits the
+    # globally-unique chunk_key, so the composition needs no
+    # hand-derived doc_id*K+chunk_id arithmetic
+    chunks = chunk_windows(
+        docs, size=64, overlap=16, with_key=True
     ).localCheckpoint(eager=True)
+    # the key is unique across documents and deterministic
+    assert (
+        chunks.select("chunk_key").distinct().count()
+        == chunks.count()
+    )
     q = spark.createDataFrame(
         [(1, needle)], "query_id long, text string"
     )
     chunk_rank = bm25_topk(
-        chunks, q, 10, id_col="chunk_id", text_col="text"
-    ).withColumnRenamed("doc_id", "chunk_id")
+        chunks.select(
+            "chunk_key", F.col("chunk_text").alias("text")
+        ),
+        q,
+        10,
+        id_col="chunk_key",
+    )
+    # bm25_topk passes the caller's id column name through
+    assert "chunk_key" in chunk_rank.columns
     got = maxp_doc_topk(
-        chunk_rank, chunks.select("chunk_id", "doc_id"), 3
+        chunk_rank,
+        chunks.select("chunk_key", "doc_id"),
+        3,
+        chunk_col="chunk_key",
     ).collect()
     top = min(got, key=lambda r: r["rank"])
     assert top["doc_id"] == 0

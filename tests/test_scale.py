@@ -165,11 +165,13 @@ def test_index_lifecycle_ceiling_at_100x(spark, corpora):
     got = sim.query_ivf_index(spark, path, queries, 10, nprobe=8)
     n_rows = got.count()
     dt = time.perf_counter() - t0
+    # compaction cleared the tombstones — asserted BEFORE the
+    # cleanup rmtree (ADVICE r6 #4: after it, the check is vacuous)
+    assert not os.path.isdir(f"{path}/tombstones")
     shutil.rmtree(path, ignore_errors=True)
 
     assert ndel > 0 and n_rows > 0
     assert 0.0 <= rec["recall"] <= 1.0 and rec["n_queries"] == nq
-    assert not os.path.isdir(f"{path}/tombstones")
     assert dt < 500, f"index lifecycle at 100x: {dt:.0f}s"
 
 

@@ -201,6 +201,25 @@ def test_persisted_build_with_train_n_matches_inline(spark, tmp_path):
     assert got == want and got
 
 
+def test_seed_undershoot_falls_back_to_corpus(spark):
+    """ADVICE r6 #3: the hash sample is ~train_n only in
+    EXPECTATION — when it realizes fewer rows than n_centroids, the
+    seed stage must fall back to the full corpus instead of
+    silently emitting fewer centroids via limit()."""
+    corpus = _uniform(spark, n=200)
+    realized = sim._training_sample(corpus, 4, n=200).count()
+    assert realized < 8  # the fixture's hash slice undershoots
+    cents = sim.ivf_kmeans_centroids(
+        corpus, 8, iters=0, train_n=4, n=200
+    )
+    assert cents.count() == 8
+    # the sampled path still seeds from the sample when it CAN
+    ok = sim.ivf_kmeans_centroids(
+        corpus, 8, iters=0, train_n=100, n=200
+    )
+    assert ok.count() == 8
+
+
 def test_pq_train_n_deterministic_and_sane(spark):
     corpus = _clustered(spark, dim=8).localCheckpoint(eager=True)
     queries = corpus.filter(F.col("vec_id") % 80 == 0)
