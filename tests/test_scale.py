@@ -175,6 +175,46 @@ def test_index_lifecycle_ceiling_at_100x(spark, corpora):
     assert dt < 500, f"index lifecycle at 100x: {dt:.0f}s"
 
 
+def test_residual_ivfpq_recall_floor_at_100x(spark, corpora):
+    """r6 verdict #7: the residual (IVFPQ_R) win pinned at the 200k
+    x 64d shape, not just the 320x16d fixture — a regression in the
+    per-(query,cell) re-centering path must fail loudly. Measured
+    (r7, deterministic: fixed query sample, RNG-free build):
+    residual recall@10 = 0.155 vs plain-PQ 0.110 at m=8/ks=16,
+    train_n=10k, C=auto(447), nprobe 8 (nprobe-saturated — 16 gives
+    the same, so the floor isolates quantization, exactly the path
+    re-centering changes). Floor 0.13 sits between the two."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators import similarity as sim
+
+    _, scale = corpora
+    emb = spark.read.parquet(
+        f"{scale}/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    n = emb.count()
+    queries = emb.filter(F.col("vec_id") % 7000 == 0).limit(30)
+    path = "/tmp/spark_graft_idx_residual_recall"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    sim.build_ivf_index(
+        emb, path, iters=2, dim=64, n=n, train_n=10_000,
+        pq=True, m=8, ks=16, pq_residual=True,
+    )
+    rec = sim.evaluate_ivf_index(
+        spark, path, queries, 10, nprobes=(8,), pq=True
+    ).collect()[0]["recall"]
+    dt = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    assert rec >= 0.13, (
+        f"residual IVFPQ recall@10 at 200k: {rec:.3f} < 0.13 floor "
+        "(plain PQ measures 0.110 here — re-centering regressed?)"
+    )
+    assert dt < 600, f"residual build+eval at 100x: {dt:.0f}s"
+
+
 def test_bm25_maxdf_ceiling_at_100x(spark, corpora):
     """r6: BM25 over the 500k-doc corpus with the stop-term guard.
     The 100x synthetic vocabulary is ~82 words — every term is a
@@ -198,3 +238,61 @@ def test_bm25_maxdf_ceiling_at_100x(spark, corpora):
     dt = time.perf_counter() - t0
     assert n > 0
     assert dt < 90, f"bm25 max_df at 100x: {dt:.0f}s"
+
+
+def test_hybrid_retrieval_ceiling_at_100x(spark, corpora):
+    """r6 verdict #4: the composed retrieval pipeline —
+    chunk_windows -> BM25 over chunks -> MaxP back to documents,
+    RRF-fused with the cosine vector ranking — wall-clocked at the
+    500k-doc / 200k-vector shape (warm band ~14-16s measured r7;
+    the BM25 stop-term guard and the chunk checkpoint keep the
+    tiny-vocabulary worst case bounded)."""
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.pipeline import (
+        chunk_windows,
+    )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_topk,
+        maxp_doc_topk,
+        rrf_fuse,
+    )
+    from knn_using_hadoop_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    _, scale = corpora
+    docs = spark.read.parquet(
+        f"{scale}/documents.parquet"
+    ).localCheckpoint(eager=True)
+    emb = spark.read.parquet(
+        f"{scale}/embeddings.parquet"
+    ).localCheckpoint(eager=True)
+    q = docs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    t0 = time.perf_counter()
+    chunks = chunk_windows(
+        docs, size=64, overlap=16, with_key=True
+    ).localCheckpoint(eager=True)
+    cr = bm25_topk(
+        chunks.select(
+            "chunk_key", F.col("chunk_text").alias("text")
+        ),
+        q,
+        10,
+        id_col="chunk_key",
+        max_df=50_000,
+    )
+    lex = maxp_doc_topk(
+        cr, chunks.select("chunk_key", "doc_id"), 10,
+        chunk_col="chunk_key",
+    )
+    qv = emb.filter(F.col("vec_id") % 7000 == 0)
+    vec = cosine_topk(emb, qv, 10, 64).select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id")
+    )
+    n = rrf_fuse([lex, vec], 10).count()
+    dt = time.perf_counter() - t0
+    assert n > 0
+    assert dt < 60, f"hybrid retrieval at 100x: {dt:.0f}s"
