@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from knn_using_hadoop_spark.operators.text import tokens
 
-__all__ = ["bm25_topk", "maxp_doc_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_topk",
+    "build_text_index",
+    "maxp_doc_topk",
+    "query_text_index",
+    "rrf_fuse",
+]
 
 
 def bm25_topk(
@@ -156,6 +162,192 @@ def bm25_topk(
     scored = (
         qterms.join(dfreq, "term")
         .join(dterms, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("doc_id").alias(id_col), "bm25"
+        )
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Persist a BM25 inverted index: tokenize once, query many.
+
+    ``bm25_topk`` re-tokenizes its corpus per query batch — right
+    for ad-hoc use, wrong for a serving index: at 100 TB the
+    tokenize pass dwarfs every query. This is the Lucene workflow as
+    parquet artifacts (the lexical twin of ``build_ivf_index``):
+
+    * ``<path>/postings`` — one row per (doc, term): (term, doc_id,
+      tf, dl, head), hive-partitioned by ``bucket =
+      pmod(xxhash64(term), n_buckets)``. The bucketing is the point:
+      a query's terms map to a bounded set of buckets, so the query
+      scan prunes to those directories (the probed-cells trick of
+      the IVF store, keyed by term hash instead of centroid).
+      ``head`` marks each document's first-position group (and the
+      null-term row of a termless document), so corpus statistics
+      can be recomputed from the index alone — no raw-corpus
+      dependency survives the build. ``dl`` rides denormalized on
+      every posting, so query-time scoring needs no doc-length join.
+    * ``<path>/terms`` — (term, df), same bucketing: TRUE document
+      frequency fixed at build time.
+    * ``<path>/stats`` — one row (n_docs, avgdl).
+    * ``<path>/meta`` — one row (n_buckets).
+
+    Build cost: ONE corpus scan (the same single-pass shape
+    ``bm25_topk`` uses, minus the query filter) + aggregates over
+    the written store. ``query_text_index`` then reproduces
+    ``bm25_topk``'s ranking bit-for-bit (parity pinned in pytest)
+    without ever touching the raw corpus.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    ex = d.select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        F.posexplode_outer("_toks").alias("pos", "term"),
+    )
+    head = (F.col("pos") == 0) | F.col("pos").isNull()
+    per = ex.groupBy("doc_id", "term").agg(
+        F.count(F.when(F.col("term").isNotNull(), 1))
+        .cast("double")
+        .alias("tf"),
+        F.first("dl").alias("dl"),
+        F.max(F.when(head, 1).otherwise(0))
+        .cast("int")
+        .alias("head"),
+    )
+    (
+        per.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    spark = docs.sparkSession
+    post = spark.read.parquet(f"{path}/postings")
+    # derived stores read the written index, never the corpus again
+    (
+        post.filter(F.col("tf") > 0)
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    (
+        post.filter(F.col("head") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def query_text_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k over a persisted ``build_text_index`` artifact:
+    (query_id, rank, <id_col>, bm25) — identical ranking and scores
+    to ``bm25_topk`` over the indexed corpus (pinned in pytest),
+    without tokenizing or scanning the corpus.
+
+    Plan: the distinct query terms map to their hash buckets; the
+    bucket ids are a bounded driver fetch (<= |distinct query
+    terms|, the probed-cells discipline) turned into a STATIC
+    partition filter, so the postings and terms scans read only the
+    probed directories (pruning pinned in pytest). A broadcast join
+    against the query terms narrows within the bucket; corpus
+    statistics ride as the one-row broadcast ``stats`` relation.
+    Scoring, rounding (6dp), and the lowest-id tie protocol are
+    ``bm25_topk``'s, applied to the same (tf, dl, df, N, avgdl)
+    values — which is why the outputs match exactly. ``max_df``
+    filters the build-time df store the same way ``bm25_topk``
+    filters its computed df (idf unchanged, match dropped).
+    """
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
+        "n_buckets"
+    ]
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    qset = (
+        qterms.select("term")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=True)  # reused: bucket fetch + joins
+    )
+    probed = [
+        r["bucket"]
+        for r in qset.select("bucket").distinct().collect()
+    ]  # bounded by the distinct query terms
+    posts = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("bucket").isin(probed))
+        .join(F.broadcast(qset.select("term")), "term")
+        .select("doc_id", "term", "tf", "dl")
+    )
+    dfreq = (
+        spark.read.parquet(f"{path}/terms")
+        .filter(F.col("bucket").isin(probed))
+        .join(F.broadcast(qset.select("term")), "term")
+        .select("term", "df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= float(max_df))
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        qterms.join(dfreq, "term")
+        .join(posts, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))

@@ -182,6 +182,97 @@ def test_bm25_one_corpus_scan(spark, tmp_path):
     )
 
 
+def test_text_index_matches_inline_bm25(spark, tmp_path):
+    """The persisted inverted index reproduces bm25_topk exactly —
+    same scores, ranks, and ties, with and without max_df, including
+    the corpus statistics a null-text (termless) document shifts —
+    while never touching the raw corpus at query time."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = spark.createDataFrame(
+        list(DOCS) + [(6, None)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, n_buckets=8)
+    queries = [(100, "quick fox"), (101, "zebra"), (102, "warm lazy")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    want = sorted(map(tuple, bm25_topk(docs, qdf, 4).collect()))
+    got = sorted(
+        map(tuple, query_text_index(spark, path, qdf, 4).collect())
+    )
+    assert got == want and got
+    # max_df flows through the persisted df store identically
+    want2 = sorted(
+        map(tuple, bm25_topk(docs, qdf, 6, max_df=2).collect())
+    )
+    got2 = sorted(
+        map(
+            tuple,
+            query_text_index(spark, path, qdf, 6, max_df=2)
+            .collect(),
+        )
+    )
+    assert got2 == want2
+    # zero-match queries yield zero rows
+    q0 = spark.createDataFrame(
+        [(9, "xylophone")], "query_id long, text string"
+    )
+    assert query_text_index(spark, path, q0, 3).count() == 0
+    # id_col pass-through, as in bm25_topk
+    assert "doc_id" in query_text_index(spark, path, qdf, 3).columns
+
+
+def test_text_index_prunes_to_probed_buckets(spark, tmp_path):
+    """The probed-cells discipline on the lexical store: a query's
+    terms map to hash buckets, and the postings/terms scans read
+    ONLY those partition directories."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(_spark_docs(spark), path, n_buckets=16)
+    import os
+
+    on_disk = {
+        e
+        for e in os.listdir(f"{path}/postings")
+        if e.startswith("bucket=")
+    }
+    assert len(on_disk) > 2  # the fixture spreads over buckets
+    qdf = spark.createDataFrame(
+        [(1, "zebra")], "query_id long, text string"
+    )
+    out = query_text_index(spark, path, qdf, 6)
+    expected_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("zebra")), F.lit(16)).cast("int")
+    ).collect()[0][0]
+    import re
+
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pfs = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    pruned = [
+        pf
+        for pf in pfs
+        if f"= {expected_bucket})" in pf
+        or f"IN ({expected_bucket})" in pf
+    ]
+    # both the postings scan and the terms scan carry the static
+    # single-bucket filter (a 1-element isin plans as equality)
+    assert len(pruned) >= 2, (pfs, expected_bucket)
+    # and the result is still the right ranking
+    ids = [
+        r["doc_id"]
+        for r in sorted(out.collect(), key=lambda r: r["rank"])
+    ]
+    assert set(ids) == {3, 4} and ids[0] == 3
+
+
 def test_rrf_fuse_hand_computed(spark):
     a = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
