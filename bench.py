@@ -159,7 +159,20 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark("bench")
+    # codegen cache sized to the leg list: the interleaved schedule
+    # (r6 verdict #1) runs ~38 distinct plans per round, each with
+    # several generated classes — Spark's default 100-entry codegen
+    # cache thrashes between two samples of the same leg, charging
+    # every sub-second leg a ~0.1-0.6s recompile that consecutive
+    # best-of-5 never paid (measured: first interleaved snapshot ran
+    # 1.5-2x on sub-second legs, 1.0x on multi-second ones — a fixed
+    # per-sample constant, not a scaling change). A serving cluster
+    # sizes this cache to its workload; the bench does the same so
+    # min-of-rounds keeps measuring warm-JIT execution.
+    spark = get_spark(
+        "bench",
+        extra_conf={"spark.sql.codegen.cache.maxEntries": "4096"},
+    )
     # untimed warmup: JVM/codegen/parquet-footer init shouldn't be
     # attributed to the first query
     for t in ("lineitem", "orders", "events", "documents", "embeddings"):

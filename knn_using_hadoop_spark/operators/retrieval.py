@@ -28,12 +28,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from knn_using_hadoop_spark.operators.text import tokens
 
 __all__ = [
+    "append_text_index",
     "bm25_topk",
     "build_text_index",
+    "compact_text_index",
+    "delete_from_text_index",
+    "describe_text_index",
     "maxp_doc_topk",
     "query_text_index",
     "rrf_fuse",
@@ -178,6 +183,37 @@ def bm25_topk(
     )
 
 
+def _text_postings(
+    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """One corpus pass -> the bucketed postings relation: (doc_id,
+    term, tf, dl, head, bucket). ``head`` marks exactly one group
+    per document (the position-0 token's group, or the null-term
+    row of a termless document), so n_docs/avgdl rebuild from the
+    store alone. Shared by build and segment append."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        F.posexplode_outer("_toks").alias("pos", "term"),
+    )
+    head = (F.col("pos") == 0) | F.col("pos").isNull()
+    return ex.groupBy("doc_id", "term").agg(
+        F.count(F.when(F.col("term").isNotNull(), 1))
+        .cast("double")
+        .alias("tf"),
+        F.first("dl").alias("dl"),
+        F.max(F.when(head, 1).otherwise(0))
+        .cast("int")
+        .alias("head"),
+    ).withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    )
+
+
 def build_text_index(
     docs: DataFrame,
     path: str,
@@ -215,30 +251,8 @@ def build_text_index(
     ``bm25_topk``'s ranking bit-for-bit (parity pinned in pytest)
     without ever touching the raw corpus.
     """
-    d = docs.select(
-        F.col(id_col).alias("doc_id"),
-        tokens(F.col(text_col)).alias("_toks"),
-    )
-    ex = d.select(
-        "doc_id",
-        F.size("_toks").cast("double").alias("dl"),
-        F.posexplode_outer("_toks").alias("pos", "term"),
-    )
-    head = (F.col("pos") == 0) | F.col("pos").isNull()
-    per = ex.groupBy("doc_id", "term").agg(
-        F.count(F.when(F.col("term").isNotNull(), 1))
-        .cast("double")
-        .alias("tf"),
-        F.first("dl").alias("dl"),
-        F.max(F.when(head, 1).otherwise(0))
-        .cast("int")
-        .alias("head"),
-    )
     (
-        per.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-        )
+        _text_postings(docs, id_col, text_col, n_buckets)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
@@ -254,11 +268,15 @@ def build_text_index(
         .partitionBy("bucket")
         .parquet(f"{path}/terms")
     )
+    # sum_dl rides along so segment statistics combine exactly
+    # (avgdl = sum(sum_dl)/sum(n_docs) across base + appended
+    # segments — the same arithmetic as one global avg)
     (
         post.filter(F.col("head") == 1)
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
         )
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
@@ -266,6 +284,233 @@ def build_text_index(
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def append_text_index(
+    spark,
+    path: str,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_id: int | None = None,
+) -> None:
+    """Segment-append new documents to a persisted text index — the
+    Lucene segment model: the batch becomes its own self-contained
+    ``postings_seg/ingest_batch=N`` directory (bucketed like the
+    base store, so query pruning covers it), ONE corpus pass over
+    the new docs, and NO statistics store is touched — query-time
+    df/n_docs/avgdl contributions derive from the segment's own
+    postings and head rows, so a crash can never leave postings and
+    statistics out of sync (the segment directory either commits or
+    it doesn't). ``compact_text_index`` later folds segments into
+    the base.
+
+    ``batch_id=None`` takes the next free integer (a directory
+    probe — the local-FS stand-in for a catalog lookup); streaming
+    replays pass their micro-batch id explicitly and the overwrite
+    makes re-delivery idempotent, exactly like the IVF store's
+    ``_ingest_index_batch``. Appends assume NEW doc_ids: the store
+    keys postings by (doc_id, term), so re-ingesting a live id
+    double-counts its tf until a delete + compact — same PK
+    discipline as the IVF lifecycle (tombstones mask ids)."""
+    import os
+
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
+        "n_buckets"
+    ]
+    sdir = f"{path}/postings_seg"
+    if batch_id is None:
+        existing = [
+            int(e.split("=", 1)[1])
+            for e in (os.listdir(sdir) if os.path.isdir(sdir) else [])
+            if e.startswith("ingest_batch=")
+        ]
+        batch_id = (max(existing) + 1) if existing else 0
+    (
+        _text_postings(docs, id_col, text_col, n_buckets)
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{sdir}/ingest_batch={int(batch_id)}")
+    )
+
+
+def delete_from_text_index(
+    spark,
+    path: str,
+    ids: DataFrame | list | None = None,
+    *,
+    where: Column | str | None = None,
+) -> int:
+    """Tombstone-delete documents from a persisted text index.
+
+    Exactly one of ``ids`` (DataFrame with a ``doc_id`` column, or a
+    Python id list — typed from the postings store's doc_id schema)
+    / ``where`` (a predicate over the postings columns: doc_id,
+    term, tf, dl — e.g. ``"term = 'badword'"`` dooms every document
+    CONTAINING a term; resolved over base + segments). Tombstoned
+    ids are anti-joined out of every query match BEFORE scoring — a
+    deleted document is never returned. Statistics (df, N, avgdl)
+    keep counting the physical rows until ``compact_text_index``,
+    the Lucene deleted-docs semantics (documented on the query
+    path). Returns the number of distinct ids tombstoned by THIS
+    request. Tombstones mask the ID: re-appending a tombstoned
+    doc_id stays invisible until a compact clears the tombstone —
+    the IVF lifecycle's re-insert contract, pinned in pytest."""
+    import os
+
+    if (ids is None) == (where is None):
+        raise ValueError("pass exactly one of ids / where")
+    vt = spark.read.parquet(f"{path}/postings").schema[
+        "doc_id"
+    ].dataType
+    if where is not None:
+        members = spark.read.parquet(f"{path}/postings")
+        sdir = f"{path}/postings_seg"
+        if os.path.isdir(sdir) and any(
+            e.startswith("ingest_batch=") for e in os.listdir(sdir)
+        ):
+            members = members.unionByName(
+                spark.read.parquet(sdir).drop("ingest_batch")
+            )
+        doomed = members.filter(
+            F.expr(where) if isinstance(where, str) else where
+        ).select("doc_id")
+    elif isinstance(ids, DataFrame):
+        doomed = ids.select(F.col("doc_id").cast(vt))
+    else:
+        doomed = spark.createDataFrame(
+            [(i,) for i in ids],
+            T.StructType([T.StructField("doc_id", vt)]),
+        )
+    doomed = doomed.distinct().localCheckpoint(eager=True)
+    n = doomed.count()
+    if n:
+        doomed.write.mode("append").parquet(f"{path}/tombstones")
+    return n
+
+
+def compact_text_index(spark, path: str) -> None:
+    """Fold segments and tombstones into the base text index — the
+    Lucene merge: live postings (base + segments, tombstoned docs
+    dropped) rewrite the base store, then the df and corpus-stats
+    stores recompute from the rewritten postings (statistics snap
+    back to exactly-live, the post-merge semantics). Bounded by the
+    INDEX size, never the corpus — no re-tokenization.
+
+    Crash ordering mirrors ``compact_ivf_index``: survivors are
+    id-deduped on (doc_id, term) and checkpointed BEFORE the
+    overwrite (the plan reads the files it replaces; a crash
+    between the rewrite and segment removal leaves duplicate
+    identical rows that the re-run folds back), segments are
+    dropped only after the postings+terms+stats rewrite, tombstones
+    last."""
+    import os
+    import shutil
+
+    sdir = f"{path}/postings_seg"
+    tdir = f"{path}/tombstones"
+    has_seg = os.path.isdir(sdir) and any(
+        e.startswith("ingest_batch=") for e in os.listdir(sdir)
+    )
+    has_tomb = os.path.isdir(tdir) and bool(os.listdir(tdir))
+    if not (has_seg or has_tomb):
+        return
+    members = spark.read.parquet(f"{path}/postings")
+    if has_seg:
+        members = members.unionByName(
+            spark.read.parquet(sdir).drop("ingest_batch")
+        )
+    if has_tomb:
+        members = members.join(
+            spark.read.parquet(tdir).select("doc_id").distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    live = members.dropDuplicates(
+        ["doc_id", "term"]
+    ).localCheckpoint(eager=True)
+    (
+        live.write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    post = spark.read.parquet(f"{path}/postings")
+    (
+        post.filter(F.col("tf") > 0)
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(f"{path}/terms")
+    )
+    (
+        post.filter(F.col("head") == 1)
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{path}/stats")
+    )
+    if has_seg:
+        shutil.rmtree(sdir, ignore_errors=True)
+    if has_tomb:
+        shutil.rmtree(tdir, ignore_errors=True)
+
+
+def describe_text_index(spark, path: str) -> DataFrame:
+    """One-row index gauge: (n_docs, n_postings, n_segments,
+    n_dead_docs). ``n_docs``/``n_postings`` count LIVE state (what a
+    query can match); ``n_segments`` is the micro-batch directory
+    count and ``n_dead_docs`` the tombstoned ids still physically
+    present — the two compaction-debt gauges
+    (``compact_text_index`` returns both to 0, pinned in pytest)."""
+    import os
+
+    members = spark.read.parquet(f"{path}/postings")
+    sdir = f"{path}/postings_seg"
+    batches = (
+        [
+            e
+            for e in os.listdir(sdir)
+            if e.startswith("ingest_batch=")
+        ]
+        if os.path.isdir(sdir)
+        else []
+    )
+    if batches:
+        members = members.unionByName(
+            spark.read.parquet(sdir).drop("ingest_batch")
+        )
+    tdir = f"{path}/tombstones"
+    n_dead = 0
+    if os.path.isdir(tdir) and os.listdir(tdir):
+        tomb = spark.read.parquet(tdir).select("doc_id").distinct()
+        n_dead = (
+            members.select("doc_id")
+            .distinct()
+            .join(tomb, "doc_id")
+            .count()
+        )
+        members = members.join(tomb, "doc_id", "left_anti")
+    live = members.agg(
+        F.count(F.when(F.col("head") == 1, 1)).alias("n_docs"),
+        F.count(F.when(F.col("tf") > 0, 1)).alias("n_postings"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(live["n_docs"]),
+                int(live["n_postings"]),
+                len(batches),
+                int(n_dead),
+            )
+        ],
+        "n_docs long, n_postings long, n_segments int, "
+        "n_dead_docs long",
+    )
 
 
 def query_text_index(
@@ -298,7 +543,22 @@ def query_text_index(
     values — which is why the outputs match exactly. ``max_df``
     filters the build-time df store the same way ``bm25_topk``
     filters its computed df (idf unchanged, match dropped).
+
+    Lifecycle-aware: appended segments
+    (``append_text_index``) union into the match under the same
+    bucket pruning, their df and (n_docs, avgdl) contributions
+    derived from the segment postings at query time (segments are
+    self-contained — no separate statistics store to fall out of
+    sync); tombstoned documents (``delete_from_text_index``) are
+    anti-joined out of the match BEFORE scoring, so they can never
+    be returned. Statistics follow the Lucene semantics: deleted
+    documents still count in df/N/avgdl until
+    ``compact_text_index`` folds the physical store (exactly as
+    Lucene scores against pre-merge segment stats); matching is
+    exact throughout.
     """
+    import os
+
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
         "n_buckets"
     ]
@@ -322,21 +582,72 @@ def query_text_index(
         r["bucket"]
         for r in qset.select("bucket").distinct().collect()
     ]  # bounded by the distinct query terms
+    sdir = f"{path}/postings_seg"
+    seg = (
+        spark.read.parquet(sdir).drop("ingest_batch")
+        if os.path.isdir(sdir)
+        and any(
+            e.startswith("ingest_batch=") for e in os.listdir(sdir)
+        )
+        else None
+    )
+    members = spark.read.parquet(f"{path}/postings")
+    if seg is not None:
+        members = members.unionByName(seg)
     posts = (
-        spark.read.parquet(f"{path}/postings")
-        .filter(F.col("bucket").isin(probed))
+        members.filter(F.col("bucket").isin(probed))
         .join(F.broadcast(qset.select("term")), "term")
         .select("doc_id", "term", "tf", "dl")
     )
+    tdir = f"{path}/tombstones"
+    if os.path.isdir(tdir) and os.listdir(tdir):
+        tomb = spark.read.parquet(tdir).select("doc_id")
+        posts = posts.join(tomb, "doc_id", "left_anti")
     dfreq = (
         spark.read.parquet(f"{path}/terms")
         .filter(F.col("bucket").isin(probed))
         .join(F.broadcast(qset.select("term")), "term")
         .select("term", "df")
     )
+    stats = spark.read.parquet(f"{path}/stats").select(
+        "n_docs", "avgdl"
+    )
+    if seg is not None:
+        # segment df for the query terms, from the pruned segment
+        # postings; segment doc stats from the (column-pruned) head
+        # rows — both derived, nothing stored to drift
+        seg_df = (
+            seg.filter(F.col("bucket").isin(probed))
+            .filter(F.col("tf") > 0)
+            .join(F.broadcast(qset.select("term")), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        )
+        dfreq = (
+            dfreq.unionByName(seg_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        base_stats = spark.read.parquet(f"{path}/stats").select(
+            "n_docs", "sum_dl"
+        )
+        seg_stats = seg.filter(F.col("head") == 1).agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+        )
+        stats = (
+            base_stats.unionByName(seg_stats)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            .select(
+                "n_docs",
+                (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+            )
+        )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= float(max_df))
-    stats = spark.read.parquet(f"{path}/stats")
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)

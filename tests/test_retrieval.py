@@ -273,6 +273,157 @@ def test_text_index_prunes_to_probed_buckets(spark, tmp_path):
     assert set(ids) == {3, 4} and ids[0] == 3
 
 
+def _drop_doomed_and_rerank(full_rows, doomed, k):
+    """Reference semantics: a query's FULL ranking minus doomed ids,
+    renumbered, cut to k — scores of survivors unchanged (the
+    Lucene deleted-docs statistics contract)."""
+    out = []
+    byq: dict = {}
+    for r in sorted(
+        map(tuple, full_rows), key=lambda r: (r[0], r[1])
+    ):
+        if r[2] in doomed:
+            continue
+        n = byq.get(r[0], 0) + 1
+        byq[r[0]] = n
+        if n <= k:
+            out.append((r[0], n, r[2], r[3]))
+    return sorted(out)
+
+
+def test_text_index_lifecycle_append_delete_compact(spark, tmp_path):
+    """The lexical store's lifecycle mirrors the IVF one: segment
+    appends are searchable immediately with EXACT bm25_topk parity
+    (df and corpus stats combine across base + segments at query
+    time); tombstoned docs leave the match but not the statistics
+    (Lucene deleted-docs semantics — survivor scores unchanged);
+    compaction folds everything, snaps statistics to exactly-live,
+    and clears both debt gauges."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        describe_text_index,
+        query_text_index,
+    )
+    import os
+
+    base_docs = spark.createDataFrame(
+        DOCS[:4], "doc_id long, text string"
+    )
+    extra_docs = spark.createDataFrame(
+        DOCS[4:], "doc_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(base_docs, path, n_buckets=8)
+    append_text_index(spark, path, extra_docs)
+
+    queries = [(100, "quick fox"), (101, "zebra"), (102, "warm lazy")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = sorted(
+        map(tuple, query_text_index(spark, path, qdf, 6).collect())
+    )
+    want = sorted(
+        map(tuple, bm25_topk(_spark_docs(spark), qdf, 6).collect())
+    )
+    assert got == want and got  # appended segment == one corpus
+
+    d0 = describe_text_index(spark, path).collect()[0]
+    assert d0["n_docs"] == 6 and d0["n_segments"] == 1
+    assert d0["n_dead_docs"] == 0
+
+    # tombstone one doc: it leaves every ranking, survivors keep
+    # their scores (stats still count the physical rows)
+    pre_full = query_text_index(spark, path, qdf, 100).collect()
+    assert delete_from_text_index(spark, path, [0]) == 1
+    post = sorted(
+        map(
+            tuple,
+            query_text_index(spark, path, qdf, 100).collect(),
+        )
+    )
+    assert post == _drop_doomed_and_rerank(pre_full, {0}, 100)
+    assert describe_text_index(spark, path).collect()[0][
+        "n_dead_docs"
+    ] == 1
+
+    # predicate delete: every doc CONTAINING a term
+    assert (
+        delete_from_text_index(spark, path, where="term = 'zebra'")
+        == 2
+    )
+
+    compact_text_index(spark, path)
+    assert not os.path.isdir(f"{path}/postings_seg")
+    assert not os.path.isdir(f"{path}/tombstones")
+    d1 = describe_text_index(spark, path).collect()[0]
+    assert d1["n_docs"] == 3 and d1["n_segments"] == 0
+    assert d1["n_dead_docs"] == 0
+    # post-compact statistics snap to exactly-live: parity with a
+    # fresh bm25 over the surviving docs
+    live = spark.createDataFrame(
+        [DOCS[1], DOCS[2], DOCS[5]], "doc_id long, text string"
+    )
+    got2 = sorted(
+        map(tuple, query_text_index(spark, path, qdf, 6).collect())
+    )
+    want2 = sorted(map(tuple, bm25_topk(live, qdf, 6).collect()))
+    assert got2 == want2
+
+
+def test_text_index_replay_and_tombstone_mask(spark, tmp_path):
+    """Replay idempotence (same batch_id overwrites its segment)
+    and the tombstone-masks-the-ID contract: a re-appended deleted
+    doc stays invisible until a compact clears the tombstone."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        describe_text_index,
+        query_text_index,
+    )
+
+    base_docs = spark.createDataFrame(
+        DOCS[:4], "doc_id long, text string"
+    )
+    extra_docs = spark.createDataFrame(
+        DOCS[4:], "doc_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(base_docs, path, n_buckets=8)
+    for _replay in range(2):
+        append_text_index(spark, path, extra_docs, batch_id=0)
+    d = describe_text_index(spark, path).collect()[0]
+    assert d["n_docs"] == 6 and d["n_segments"] == 1  # not 8/2
+
+    qdf = spark.createDataFrame(
+        [(102, "warm lazy")], "query_id long, text string"
+    )
+
+    def visible():
+        return {
+            r[2]
+            for r in query_text_index(
+                spark, path, qdf, 100
+            ).collect()
+        }
+
+    assert 5 in visible()
+    delete_from_text_index(spark, path, [5])
+    assert 5 not in visible()
+    # re-append the tombstoned id: still masked
+    doc5 = spark.createDataFrame(
+        [DOCS[5]], "doc_id long, text string"
+    )
+    append_text_index(spark, path, doc5)
+    assert 5 not in visible()
+    compact_text_index(spark, path)  # clears the tombstone...
+    append_text_index(spark, path, doc5)  # ...fresh append lives
+    assert 5 in visible()
+
+
 def test_rrf_fuse_hand_computed(spark):
     a = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
