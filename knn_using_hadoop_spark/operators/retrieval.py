@@ -34,6 +34,7 @@ from knn_using_hadoop_spark.operators.text import tokens
 
 __all__ = [
     "append_text_index",
+    "append_text_index_stream",
     "bm25_topk",
     "build_text_index",
     "compact_text_index",
@@ -53,6 +54,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    min_match: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str = "query_id",
@@ -60,6 +62,13 @@ def bm25_topk(
 ) -> DataFrame:
     """BM25 ranking of ``docs`` for each query: (query_id, rank,
     doc_id, bm25).
+
+    ``min_match`` (Lucene minimum_should_match): a document
+    qualifies only if it matches at least that many DISTINCT query
+    terms — the standard any-match-is-too-loose guard for long
+    queries. Counted over terms surviving ``max_df`` (a stop-term
+    dropped from the match cannot count toward the minimum, exactly
+    as in Lucene). Default 1 = plain disjunction.
 
     Standard Okapi BM25 with the Lucene idf (always positive)::
 
@@ -169,8 +178,15 @@ def bm25_topk(
         .join(dterms, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            # one row per matched distinct term (qterms and the
+            # (doc, term) postings are both distinct on term)
+            F.count(F.lit(1)).alias("_nm"),
+        )
     )
+    if min_match > 1:
+        scored = scored.filter(F.col("_nm") >= min_match)
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )
@@ -332,6 +348,47 @@ def append_text_index(
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{sdir}/ingest_batch={int(batch_id)}")
+    )
+
+
+def append_text_index_stream(
+    stream_df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Continuous ingestion into a persisted text index — the
+    growing-segment half of the Lucene/LSM model, the lexical twin
+    of ``append_ivf_index_stream``.
+
+    Each micro-batch lands as its own self-contained postings
+    segment via ``append_text_index(batch_id=<micro-batch id>)``
+    with mode=overwrite — a batch replayed after a crash between
+    the sink write and the offset commit REPLACES its own segment
+    instead of duplicating rows (effectively-once). Streamed
+    documents are searchable immediately (query-time df/stats
+    derive from the segment itself); ``compact_text_index``
+    periodically seals segments into the base store.
+
+    Returns the unstarted ``DataStreamWriter`` — callers pick the
+    trigger/checkpointLocation and ``.start()`` it.
+    """
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        append_text_index(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            id_col=id_col,
+            text_col=text_col,
+            batch_id=int(batch_id),
+        )
+
+    return stream_df.writeStream.foreachBatch(feed).outputMode(
+        "append"
     )
 
 
@@ -522,6 +579,7 @@ def query_text_index(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    min_match: int = 1,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
@@ -661,8 +719,14 @@ def query_text_index(
         .join(posts, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("_nm"),
+        )
     )
+    if min_match > 1:
+        # Lucene minimum_should_match, same contract as bm25_topk
+        scored = scored.filter(F.col("_nm") >= min_match)
     w = Window.partitionBy("query_id").orderBy(
         F.col("bm25").desc(), F.col("doc_id").asc()
     )

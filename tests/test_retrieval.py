@@ -30,7 +30,8 @@ DOCS = [
 ]
 
 
-def _bm25_ref(docs, queries, k, k1=1.2, b=0.75, max_df=None):
+def _bm25_ref(docs, queries, k, k1=1.2, b=0.75, max_df=None,
+              min_match=1):
     toks = {d: t.split(" ") for d, t in docs}
     n = float(len(docs))
     avgdl = sum(len(t) for t in toks.values()) / n
@@ -43,7 +44,7 @@ def _bm25_ref(docs, queries, k, k1=1.2, b=0.75, max_df=None):
         scores = {}
         for d, t in toks.items():
             s = 0.0
-            hit = False
+            matched = 0
             for term in set(qt.split(" ")):
                 if term not in df:
                     continue
@@ -52,7 +53,7 @@ def _bm25_ref(docs, queries, k, k1=1.2, b=0.75, max_df=None):
                 tf = float(t.count(term))
                 if tf == 0.0:
                     continue
-                hit = True
+                matched += 1
                 idf = math.log(
                     1.0 + (n - df[term] + 0.5) / (df[term] + 0.5)
                 )
@@ -62,7 +63,7 @@ def _bm25_ref(docs, queries, k, k1=1.2, b=0.75, max_df=None):
                     * (k1 + 1.0)
                     / (tf + k1 * (1 - b + b * len(t) / avgdl))
                 )
-            if hit:
+            if matched >= max(min_match, 1):
                 scores[d] = round(s, 6)
         ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         out += [
@@ -118,6 +119,118 @@ def test_max_df_caps_the_match_join_only(spark):
     # TRUE df, so zebra contributions are identical)
     assert got == _bm25_ref(DOCS, queries, 6, max_df=2)
     assert {r[2] for r in got} == {3, 4}  # the-only docs are gone
+
+
+def test_bm25_min_match(spark, tmp_path):
+    """Lucene minimum_should_match: docs matching fewer than m
+    distinct query terms drop out; stop-terms dropped by max_df
+    cannot count toward the minimum. Pinned against the python
+    reference on both the inline and the indexed path."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    queries = [(1, "quick brown dog"), (2, "the zebra")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                _spark_docs(spark), qdf, 6, min_match=2
+            ).collect(),
+        )
+    )
+    want = _bm25_ref(DOCS, queries, 6, min_match=2)
+    assert got == want and got
+    # docs 0 and 1 match all of quick+brown+dog; no single-term doc
+    q1 = {r[2] for r in got if r[0] == 1}
+    assert q1 == {0, 1}
+    # max_df interplay: "the" (df=3) is capped out of the match, so
+    # the zebra docs have only 1 countable term -> min_match=2 empty
+    got2 = sorted(
+        map(
+            tuple,
+            bm25_topk(
+                _spark_docs(spark), qdf, 6, min_match=2, max_df=2
+            ).collect(),
+        )
+    )
+    assert got2 == _bm25_ref(DOCS, queries, 6, min_match=2, max_df=2)
+    assert not {r for r in got2 if r[0] == 2}
+    # indexed path: same contract
+    path = str(tmp_path / "tidx")
+    build_text_index(_spark_docs(spark), path, n_buckets=8)
+    got3 = sorted(
+        map(
+            tuple,
+            query_text_index(
+                spark, path, qdf, 6, min_match=2
+            ).collect(),
+        )
+    )
+    assert got3 == want
+
+
+def test_text_index_streaming_ingest(spark, tmp_path):
+    """append_text_index_stream == batch append of the same rows,
+    searchable without compaction — the effectively-once foreachBatch
+    contract of the IVF stream twin."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        append_text_index_stream,
+        build_text_index,
+        query_text_index,
+    )
+
+    base = spark.createDataFrame(DOCS[:4], "doc_id long, text string")
+    extra = spark.createDataFrame(
+        DOCS[4:], "doc_id long, text string"
+    )
+    p_stream = str(tmp_path / "t_stream")
+    p_batch = str(tmp_path / "t_batch")
+    build_text_index(base, p_stream, n_buckets=8)
+    build_text_index(base, p_batch, n_buckets=8)
+    append_text_index(spark, p_batch, extra)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    extra.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src) + "/*")
+    q = (
+        append_text_index_stream(stream, p_stream)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    qdf = spark.createDataFrame(
+        [(100, "quick fox"), (102, "warm lazy")],
+        "query_id long, text string",
+    )
+    got = sorted(
+        map(
+            tuple,
+            query_text_index(spark, p_stream, qdf, 6).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            query_text_index(spark, p_batch, qdf, 6).collect(),
+        )
+    )
+    assert got == want and got
+    # and both equal one-corpus inline bm25
+    inline = sorted(
+        map(tuple, bm25_topk(_spark_docs(spark), qdf, 6).collect())
+    )
+    assert got == inline
 
 
 def test_bm25_plan_is_jvm_only(spark):
