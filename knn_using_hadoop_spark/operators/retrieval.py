@@ -42,6 +42,7 @@ __all__ = [
     "describe_text_index",
     "maxp_doc_topk",
     "query_text_index",
+    "rank_eval",
     "rrf_fuse",
 ]
 
@@ -737,6 +738,129 @@ def query_text_index(
             "query_id", "rank", F.col("doc_id").alias(id_col), "bm25"
         )
     )
+
+
+def rank_eval(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Retrieval-quality metrics against a relevance-judgments
+    table — the trec_eval loop as ONE plan: per judged query
+    (query_id, n_rel, hits, recall, precision, rr, ndcg) at cutoff
+    ``k``, plus a macro-average summary row (query_id null). The
+    ops twin of ``evaluate_ivf_index`` for the lexical/hybrid side:
+    run it over ``bm25_topk`` / ``query_text_index`` / ``rrf_fuse``
+    / ``maxp_doc_topk`` output after every index build or fusion
+    change.
+
+    ``ranking`` carries (query_col, rank, item_col) — rank-k
+    truncation upstream is fine, rows past ``k`` are ignored.
+    ``qrels`` carries (query_col, item_col, rel_col) graded
+    relevance; ``rel > 0`` is relevant for recall/precision/MRR,
+    and nDCG uses the burst gain ``2^rel - 1`` with the
+    ``log2(rank+1)`` discount (the trec_eval/Järvelin-Kekäläinen
+    formulation), ideal DCG from the query's own judgments cut to
+    k. Metrics are computed over JUDGED queries only (a query with
+    judgments but no retrieved rows scores 0 across the board — the
+    honest macro average); unjudged retrieved items count as
+    non-relevant, exactly as in pooled evaluation. 6dp-rounded, so
+    the report is engine-reproducible.
+    """
+    j = qrels.select(
+        F.col(query_col).alias("query_id"),
+        F.col(item_col).alias("_item"),
+        F.col(rel_col).cast("double").alias("_rel"),
+    )
+    per_q = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias(
+            "n_rel"
+        )
+    )
+    # ideal DCG: the query's own judgments, best-first, cut to k
+    wi = Window.partitionBy("query_id").orderBy(
+        F.col("_rel").desc(), F.col("_item").asc()
+    )
+    idcg = (
+        j.filter(F.col("_rel") > 0)
+        .withColumn("_i", F.row_number().over(wi))
+        .filter(F.col("_i") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+                / F.log2(F.col("_i") + 1.0)
+            ).alias("_idcg")
+        )
+    )
+    got = (
+        ranking.select(
+            F.col(query_col).alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col(item_col).alias("_item"),
+        )
+        .filter(F.col("rank") <= k)
+        .join(j, ["query_id", "_item"], "left")
+        .withColumn("_rel", F.coalesce("_rel", F.lit(0.0)))
+    )
+    agg = got.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias(
+            "hits"
+        ),
+        F.max(
+            F.when(
+                F.col("_rel") > 0, 1.0 / F.col("rank")
+            ).otherwise(0.0)
+        ).alias("rr"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
+            / F.log2(F.col("rank") + 1.0)
+        ).alias("_dcg"),
+    )
+    per = (
+        per_q.join(agg, "query_id", "left")
+        .join(idcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce("hits", F.lit(0)).alias("hits"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce("hits", F.lit(0)) / F.col("n_rel"),
+                ).otherwise(0.0),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.coalesce("hits", F.lit(0)) / float(k), 6
+            ).alias("precision"),
+            F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("rr"),
+            F.round(
+                F.when(
+                    F.col("_idcg") > 0,
+                    F.coalesce("_dcg", F.lit(0.0))
+                    / F.col("_idcg"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+    summary = per.agg(
+        F.lit(None).cast(j.schema["query_id"].dataType).alias(
+            "query_id"
+        ),
+        F.sum("n_rel").alias("n_rel"),
+        F.sum("hits").alias("hits"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("rr"), 6).alias("rr"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+    )
+    return per.unionByName(summary)
 
 
 def rrf_fuse(

@@ -627,6 +627,101 @@ def test_hybrid_bm25_cosine_smoke(spark):
     assert self_hits * 2 > len(lq)
 
 
+def test_rank_eval_hand_computed(spark):
+    """trec_eval replica on a hand-worked case: graded gains
+    (2^rel - 1, log2(rank+1) discount), judged-queries-only macro
+    average, a judged query with no retrieved rows scoring zero,
+    unjudged retrieved items counting as non-relevant."""
+    import math as m
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        rank_eval,
+    )
+
+    qrels = spark.createDataFrame(
+        [(1, 10, 2), (1, 11, 1), (1, 12, 1), (2, 20, 1), (3, 30, 1)],
+        "query_id long, doc_id long, rel int",
+    )
+    ranking = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 99), (1, 3, 11),
+         (2, 1, 21), (2, 2, 22), (2, 3, 20)],
+        "query_id long, rank int, doc_id long",
+    )
+    got = {
+        r["query_id"]: r
+        for r in rank_eval(ranking, qrels, 3).collect()
+    }
+    ndcg1 = round(
+        (3.0 / m.log2(2) + 1.0 / m.log2(4))
+        / (3.0 / m.log2(2) + 1.0 / m.log2(3) + 1.0 / m.log2(4)),
+        6,
+    )
+    assert (
+        got[1]["n_rel"], got[1]["hits"], got[1]["recall"],
+        got[1]["precision"], got[1]["rr"], got[1]["ndcg"],
+    ) == (3, 2, 0.666667, 0.666667, 1.0, ndcg1)
+    assert (
+        got[2]["recall"], got[2]["precision"], got[2]["rr"],
+        got[2]["ndcg"],
+    ) == (1.0, 0.333333, 0.333333, 0.5)
+    # judged, nothing retrieved -> zeros (counted in the macro avg)
+    assert (
+        got[3]["hits"], got[3]["recall"], got[3]["ndcg"]
+    ) == (0, 0.0, 0.0)
+    s = got[None]
+    assert s["n_rel"] == 5 and s["hits"] == 3
+    assert s["recall"] == round((0.666667 + 1.0 + 0.0) / 3, 6)
+    assert s["rr"] == round((1.0 + 0.333333 + 0.0) / 3, 6)
+    assert s["ndcg"] == round((ndcg1 + 0.5 + 0.0) / 3, 6)
+
+    # a perfect ranking scores 1.0 on recall/rr/ndcg
+    perfect = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 11), (1, 3, 12), (2, 1, 20),
+         (3, 1, 30)],
+        "query_id long, rank int, doc_id long",
+    )
+    ps = {
+        r["query_id"]: r
+        for r in rank_eval(perfect, qrels, 3).collect()
+    }
+    assert (
+        ps[None]["recall"], ps[None]["rr"], ps[None]["ndcg"]
+    ) == (1.0, 1.0, 1.0)
+
+
+def test_rank_eval_composes_with_text_index(spark, tmp_path):
+    """End-to-end: self-retrieval qrels (each query's own document
+    is its single relevant item) over the persisted index — the
+    evaluation loop a deployment runs after every index change.
+    The smoke's observed property: most queries retrieve self in
+    the top-10, so MRR is high but not 1.0."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+        rank_eval,
+    )
+
+    docs = _spark_docs(spark)
+    path = str(tmp_path / "tidx")
+    build_text_index(docs, path, n_buckets=8)
+    queries = docs.select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    ranking = query_text_index(spark, path, queries, 10)
+    qrels = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("doc_id"),
+        F.lit(1).alias("rel"),
+    )
+    s = {
+        r["query_id"]: r
+        for r in rank_eval(ranking, qrels, 10).collect()
+    }[None]
+    assert s["n_rel"] == 6
+    assert s["rr"] > 0.5 and s["recall"] > 0.5
+    assert 0.0 < s["ndcg"] <= 1.0
+
+
 def test_maxp_doc_topk_hand_computed(spark):
     from knn_using_hadoop_spark.operators.retrieval import (
         maxp_doc_topk,
