@@ -201,20 +201,30 @@ def bm25_topk(
 
 
 def _text_postings(
-    docs: DataFrame, id_col: str, text_col: str, n_buckets: int
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int,
+    attribute_cols: list[str] | None = None,
 ) -> DataFrame:
     """One corpus pass -> the bucketed postings relation: (doc_id,
-    term, tf, dl, head, bucket). ``head`` marks exactly one group
-    per document (the position-0 token's group, or the null-term
-    row of a termless document), so n_docs/avgdl rebuild from the
-    store alone. Shared by build and segment append."""
+    term, tf, dl, head, bucket[, attributes]). ``head`` marks
+    exactly one group per document (the position-0 token's group,
+    or the null-term row of a termless document), so n_docs/avgdl
+    rebuild from the store alone. ``attribute_cols`` ride
+    denormalized on every posting row (parquet dictionary encoding
+    keeps the repeats cheap) so a metadata predicate can reach the
+    postings SCAN. Shared by build and segment append."""
+    attrs = list(attribute_cols or [])
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
         tokens(F.col(text_col)).alias("_toks"),
+        *[F.col(c) for c in attrs],
     ).select(
         "doc_id",
         F.size("_toks").cast("double").alias("dl"),
         F.posexplode_outer("_toks").alias("pos", "term"),
+        *attrs,
     )
     head = (F.col("pos") == 0) | F.col("pos").isNull()
     return ex.groupBy("doc_id", "term").agg(
@@ -225,6 +235,7 @@ def _text_postings(
         F.max(F.when(head, 1).otherwise(0))
         .cast("int")
         .alias("head"),
+        *[F.first(c).alias(c) for c in attrs],
     ).withColumn(
         "bucket",
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
@@ -238,6 +249,7 @@ def build_text_index(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = 64,
+    attribute_cols: list[str] | None = None,
 ) -> None:
     """Persist a BM25 inverted index: tokenize once, query many.
 
@@ -267,9 +279,19 @@ def build_text_index(
     the written store. ``query_text_index`` then reproduces
     ``bm25_topk``'s ranking bit-for-bit (parity pinned in pytest)
     without ever touching the raw corpus.
+
+    ``attribute_cols`` (filtered lexical search, the text twin of
+    the IVF store's r6 feature): extra per-document columns ride
+    denormalized on the postings rows, so
+    ``query_text_index(doc_filter=...)`` can apply a metadata
+    predicate AT THE SCAN (parquet pushdown) — the Elastic/Lucene
+    filtered-query workflow. The attribute list is recorded in the
+    meta manifest so segment appends carry the same columns.
     """
     (
-        _text_postings(docs, id_col, text_col, n_buckets)
+        _text_postings(
+            docs, id_col, text_col, n_buckets, attribute_cols
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/postings")
@@ -299,7 +321,8 @@ def build_text_index(
         .parquet(f"{path}/stats")
     )
     spark.createDataFrame(
-        [(int(n_buckets),)], "n_buckets int"
+        [(int(n_buckets), list(attribute_cols or []))],
+        "n_buckets int, attribute_cols array<string>",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -330,12 +353,14 @@ def append_text_index(
     ``_ingest_index_batch``. Appends assume NEW doc_ids: the store
     keys postings by (doc_id, term), so re-ingesting a live id
     double-counts its tf until a delete + compact — same PK
-    discipline as the IVF lifecycle (tombstones mask ids)."""
+    discipline as the IVF lifecycle (tombstones mask ids).
+    Attribute columns recorded at build time are carried on the
+    segment rows too (the meta manifest is the contract)."""
     import os
 
-    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
-        "n_buckets"
-    ]
+    meta = spark.read.parquet(f"{path}/meta").collect()[0]
+    n_buckets = meta["n_buckets"]
+    attrs = list(meta["attribute_cols"] or [])
     sdir = f"{path}/postings_seg"
     if batch_id is None:
         existing = [
@@ -345,7 +370,7 @@ def append_text_index(
         ]
         batch_id = (max(existing) + 1) if existing else 0
     (
-        _text_postings(docs, id_col, text_col, n_buckets)
+        _text_postings(docs, id_col, text_col, n_buckets, attrs)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{sdir}/ingest_batch={int(batch_id)}")
@@ -581,6 +606,7 @@ def query_text_index(
     b: float = 0.75,
     max_df: int | None = None,
     min_match: int = 1,
+    doc_filter: Column | str | None = None,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
@@ -615,6 +641,16 @@ def query_text_index(
     ``compact_text_index`` folds the physical store (exactly as
     Lucene scores against pre-merge segment stats); matching is
     exact throughout.
+
+    ``doc_filter`` (filtered lexical search): a Column or SQL
+    string over doc_id + the build-time ``attribute_cols``, applied
+    to the postings scan BEFORE the term join (parquet pushdown,
+    pinned in pytest) — the result is the exact BM25 top-k among
+    the filter's survivors, scored with CORPUS-WIDE statistics: the
+    Lucene/Elastic filtered-query contract (a filter restricts
+    matches, it does not re-weight idf). Equivalently: the full
+    ranking post-filtered and re-ranked, with no rank-k starvation
+    (pinned).
     """
     import os
 
@@ -653,6 +689,12 @@ def query_text_index(
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
         members = members.unionByName(seg)
+    if doc_filter is not None:
+        members = members.filter(
+            F.expr(doc_filter)
+            if isinstance(doc_filter, str)
+            else doc_filter
+        )
     posts = (
         members.filter(F.col("bucket").isin(probed))
         .join(F.broadcast(qset.select("term")), "term")

@@ -537,6 +537,72 @@ def test_text_index_replay_and_tombstone_mask(spark, tmp_path):
     assert 5 in visible()
 
 
+def test_text_index_doc_filter(spark, tmp_path):
+    """Filtered lexical search (the text twin of the IVF store's
+    member_filter): attribute columns persisted at build, a
+    metadata predicate applied to the postings scan (parquet
+    pushdown), results = the exact top-k among the filter's
+    survivors scored with CORPUS-WIDE statistics — i.e. the FULL
+    ranking post-filtered and re-ranked, no rank-k starvation. The
+    filter follows appended segments too."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        query_text_index,
+    )
+
+    langs = ["en", "de"]
+    docs = spark.createDataFrame(
+        [(d, t, langs[d % 2]) for d, t in DOCS],
+        "doc_id long, text string, lang string",
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        docs.filter(F.col("doc_id") <= 3),
+        path,
+        n_buckets=8,
+        attribute_cols=["lang"],
+    )
+    append_text_index(spark, path, docs.filter(F.col("doc_id") > 3))
+    queries = [(1, "quick fox"), (2, "zebra"), (3, "warm lazy")]
+    qdf = spark.createDataFrame(queries, "query_id long, text string")
+
+    full = query_text_index(spark, path, qdf, 100).collect()
+    non_en = {d for d, _t in DOCS if d % 2 == 1}
+    for k in (1, 2, 6):
+        got = sorted(
+            map(
+                tuple,
+                query_text_index(
+                    spark, path, qdf, k, doc_filter="lang = 'en'"
+                ).collect(),
+            )
+        )
+        assert got == _drop_doomed_and_rerank(full, non_en, k)
+    # k=1 above IS the starvation case: zebra's top-1 overall (doc
+    # 3, de) is filtered, and the en runner-up (doc 4) must surface
+    got1 = {
+        r[0]: r[2]
+        for r in map(
+            tuple,
+            query_text_index(
+                spark, path, qdf, 1, doc_filter="lang = 'en'"
+            ).collect(),
+        )
+    }
+    assert got1[2] == 4
+    # the predicate reaches the postings scan as a pushed filter
+    out = query_text_index(
+        spark, path, qdf, 3, doc_filter="lang = 'en'"
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("lang" in pf for pf in pushed), pushed
+
+
 def test_rrf_fuse_hand_computed(spark):
     a = spark.createDataFrame(
         [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
