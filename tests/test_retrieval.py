@@ -250,6 +250,29 @@ def test_bm25_plan_is_jvm_only(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_text_index_plan_is_jvm_only(spark, tmp_path):
+    """Same anti-pattern pin for the persisted-index query path: no
+    row-Python, top-k window planned as a group limit."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(_spark_docs(spark), path, n_buckets=8)
+    qdf = spark.createDataFrame(
+        [(1, "quick fox")], "query_id long, text string"
+    )
+    plan = (
+        query_text_index(spark, path, qdf, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_bm25_one_corpus_scan(spark, tmp_path):
     """r6 verdict #3: BM25 reads/tokenizes the corpus ONCE. The old
     shape derived doc lengths (for the stats AND the score join) and
