@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from knn_using_hadoop_spark.operators.text import tokens
+from knn_using_hadoop_spark.sources import index_store as store
 
 __all__ = [
     "append_text_index",
@@ -56,6 +57,7 @@ def bm25_topk(
     b: float = 0.75,
     max_df: int | None = None,
     min_match: int = 1,
+    materialize: str = "checkpoint",
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str = "query_id",
@@ -102,8 +104,33 @@ def bm25_topk(
     lowest-id ties — the repo protocol, DuckDB-reproducible. The
     output id column is named ``id_col``, matching
     ``rrf_fuse``/``maxp_doc_topk``'s pass-through convention.
-    Note the checkpoint makes this operator EAGER on the corpus
-    side: the scan runs at call time, not first action.
+
+    ``materialize`` picks how the (doc, term) aggregate is shared
+    between the statistics branch and the scoring branch (r7 verdict
+    #2 / ADVICE #4 — the default used to be mandatory):
+
+    * ``"checkpoint"`` (default): ``localCheckpoint(eager=True)`` —
+      the corpus scan runs AT CALL TIME and the aggregate is pinned
+      in executor-local storage. Guarantees exactly one corpus scan
+      no matter how many actions later read the result; right at
+      100 TB (two saved corpus passes dwarf the checkpoint write),
+      but it makes the operator eager and stateful (an executor
+      loss fails the query instead of recomputing), and on a small
+      or RAM-cached corpus the write is pure tax — the 500k A/B
+      measured 14.1s -> 17.3s on a cached corpus (NOTES r7).
+    * ``"persist"``: MEMORY_AND_DISK cache, still LAZY — nothing
+      runs at call time; the first action materializes the
+      aggregate once and later branches/actions read the cache,
+      which stays recomputable on executor loss (lineage kept).
+      The caller owns ``unpersist()`` (or leaves it to LRU).
+    * ``"none"``: plain lazy composition — zero call-time work and
+      no pinned state; within one action Spark's exchange reuse
+      still runs the corpus scan once (the aggregate subtree is
+      byte-identical across branches), but separate actions each
+      rescan. Right for ad-hoc plan-only use and for callers that
+      checkpoint downstream anyway.
+
+    All three modes return identical results (pinned in pytest).
 
     ``max_df`` drops terms whose document frequency exceeds the cap
     from the MATCH join only (idf still computed from true df): the
@@ -133,7 +160,12 @@ def bm25_topk(
     )
     ex = d.select(
         "doc_id",
-        F.size("_toks").cast("double").alias("dl"),
+        # a null-text doc has size(null)=-1; clamp so it counts as an
+        # EMPTY doc (dl=0) in avgdl instead of subtracting from it
+        # (r7 ADVICE #2)
+        F.greatest(F.size("_toks"), F.lit(0))
+        .cast("double")
+        .alias("dl"),
         F.posexplode_outer("_toks").alias("pos", "term"),
     )
     head = (F.col("pos") == 0) | F.col("pos").isNull()
@@ -152,8 +184,17 @@ def bm25_topk(
             F.first("dl").alias("dl"),
             F.max(F.when(head, 1).otherwise(0)).alias("_head"),
         )
-        .localCheckpoint(eager=True)
     )
+    if materialize == "checkpoint":
+        per = per.localCheckpoint(eager=True)
+    elif materialize == "persist":
+        from pyspark import StorageLevel
+
+        per = per.persist(StorageLevel.MEMORY_AND_DISK)
+    elif materialize != "none":
+        raise ValueError(
+            "materialize must be 'checkpoint', 'persist' or 'none'"
+        )
     stats = per.filter(F.col("_head") == 1).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -222,7 +263,10 @@ def _text_postings(
         *[F.col(c) for c in attrs],
     ).select(
         "doc_id",
-        F.size("_toks").cast("double").alias("dl"),
+        # null-text clamp, same contract as bm25_topk (r7 ADVICE #2)
+        F.greatest(F.size("_toks"), F.lit(0))
+        .cast("double")
+        .alias("dl"),
         F.posexplode_outer("_toks").alias("pos", "term"),
         *attrs,
     )
@@ -355,20 +399,17 @@ def append_text_index(
     double-counts its tf until a delete + compact — same PK
     discipline as the IVF lifecycle (tombstones mask ids).
     Attribute columns recorded at build time are carried on the
-    segment rows too (the meta manifest is the contract)."""
-    import os
+    segment rows too (the meta manifest is the contract).
 
+    All store probes go through ``sources/index_store`` (Hadoop
+    FileSystem API), so the lifecycle behaves identically on local
+    paths, ``file://`` URIs, and ``hdfs://``/``s3a://`` stores."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
     n_buckets = meta["n_buckets"]
     attrs = list(meta["attribute_cols"] or [])
     sdir = f"{path}/postings_seg"
     if batch_id is None:
-        existing = [
-            int(e.split("=", 1)[1])
-            for e in (os.listdir(sdir) if os.path.isdir(sdir) else [])
-            if e.startswith("ingest_batch=")
-        ]
-        batch_id = (max(existing) + 1) if existing else 0
+        batch_id = store.next_batch_id(spark, sdir)
     (
         _text_postings(docs, id_col, text_col, n_buckets, attrs)
         .write.mode("overwrite")
@@ -440,8 +481,6 @@ def delete_from_text_index(
     request. Tombstones mask the ID: re-appending a tombstoned
     doc_id stays invisible until a compact clears the tombstone —
     the IVF lifecycle's re-insert contract, pinned in pytest."""
-    import os
-
     if (ids is None) == (where is None):
         raise ValueError("pass exactly one of ids / where")
     vt = spark.read.parquet(f"{path}/postings").schema[
@@ -449,13 +488,9 @@ def delete_from_text_index(
     ].dataType
     if where is not None:
         members = spark.read.parquet(f"{path}/postings")
-        sdir = f"{path}/postings_seg"
-        if os.path.isdir(sdir) and any(
-            e.startswith("ingest_batch=") for e in os.listdir(sdir)
-        ):
-            members = members.unionByName(
-                spark.read.parquet(sdir).drop("ingest_batch")
-            )
+        seg = store.read_segments(spark, f"{path}/postings_seg")
+        if seg is not None:
+            members = members.unionByName(seg)
         doomed = members.filter(
             F.expr(where) if isinstance(where, str) else where
         ).select("doc_id")
@@ -488,28 +523,16 @@ def compact_text_index(spark, path: str) -> None:
     identical rows that the re-run folds back), segments are
     dropped only after the postings+terms+stats rewrite, tombstones
     last."""
-    import os
-    import shutil
-
     sdir = f"{path}/postings_seg"
     tdir = f"{path}/tombstones"
-    has_seg = os.path.isdir(sdir) and any(
-        e.startswith("ingest_batch=") for e in os.listdir(sdir)
-    )
-    has_tomb = os.path.isdir(tdir) and bool(os.listdir(tdir))
-    if not (has_seg or has_tomb):
+    seg = store.read_segments(spark, sdir)
+    has_tomb = store.has_children(spark, tdir)
+    if seg is None and not has_tomb:
         return
     members = spark.read.parquet(f"{path}/postings")
-    if has_seg:
-        members = members.unionByName(
-            spark.read.parquet(sdir).drop("ingest_batch")
-        )
-    if has_tomb:
-        members = members.join(
-            spark.read.parquet(tdir).select("doc_id").distinct(),
-            "doc_id",
-            "left_anti",
-        )
+    if seg is not None:
+        members = members.unionByName(seg)
+    members = store.mask_tombstones(spark, tdir, members, "doc_id")
     live = members.dropDuplicates(
         ["doc_id", "term"]
     ).localCheckpoint(eager=True)
@@ -537,10 +560,10 @@ def compact_text_index(spark, path: str) -> None:
         .write.mode("overwrite")
         .parquet(f"{path}/stats")
     )
-    if has_seg:
-        shutil.rmtree(sdir, ignore_errors=True)
+    if seg is not None:
+        store.remove_dir(spark, sdir)
     if has_tomb:
-        shutil.rmtree(tdir, ignore_errors=True)
+        store.remove_dir(spark, tdir)
 
 
 def describe_text_index(spark, path: str) -> DataFrame:
@@ -550,27 +573,18 @@ def describe_text_index(spark, path: str) -> DataFrame:
     count and ``n_dead_docs`` the tombstoned ids still physically
     present — the two compaction-debt gauges
     (``compact_text_index`` returns both to 0, pinned in pytest)."""
-    import os
-
     members = spark.read.parquet(f"{path}/postings")
     sdir = f"{path}/postings_seg"
-    batches = (
-        [
-            e
-            for e in os.listdir(sdir)
-            if e.startswith("ingest_batch=")
-        ]
-        if os.path.isdir(sdir)
-        else []
-    )
-    if batches:
-        members = members.unionByName(
-            spark.read.parquet(sdir).drop("ingest_batch")
-        )
+    batches = store.segment_batch_ids(spark, sdir)
+    seg = store.read_segments(spark, sdir)
+    if seg is not None:
+        members = members.unionByName(seg)
     tdir = f"{path}/tombstones"
     n_dead = 0
-    if os.path.isdir(tdir) and os.listdir(tdir):
-        tomb = spark.read.parquet(tdir).select("doc_id").distinct()
+    tomb = store.read_tombstones(
+        spark, tdir, "doc_id", distinct=True
+    )
+    if tomb is not None:
         n_dead = (
             members.select("doc_id")
             .distinct()
@@ -651,9 +665,22 @@ def query_text_index(
     matches, it does not re-weight idf). Equivalently: the full
     ranking post-filtered and re-ranked, with no rank-k starvation
     (pinned).
-    """
-    import os
 
+    Crash-window hygiene (r7 ADVICE #1): matched postings are
+    id-deduped on (doc_id, term) after the term join — a compaction
+    that died between the base rewrite and segment removal leaves
+    the same posting in both, and without the dedup its tf (and the
+    ``min_match`` counter) would double until the compact re-run.
+    The dedup covers MATCHED postings only (bounded by the query
+    terms' lists, never the index). Segment-derived df and (n_docs,
+    avgdl) contributions are likewise deduped within the segment
+    union; in the crash window itself the base statistics stores
+    already count the folded segment rows, so df/N/avgdl may run
+    high by the window's rows until the compact re-run — the same
+    statistics-lag-physical-state semantics as deletes (scoring
+    statistics are approximate between maintenance ops; MATCHING is
+    exact always).
+    """
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
         "n_buckets"
     ]
@@ -677,15 +704,7 @@ def query_text_index(
         r["bucket"]
         for r in qset.select("bucket").distinct().collect()
     ]  # bounded by the distinct query terms
-    sdir = f"{path}/postings_seg"
-    seg = (
-        spark.read.parquet(sdir).drop("ingest_batch")
-        if os.path.isdir(sdir)
-        and any(
-            e.startswith("ingest_batch=") for e in os.listdir(sdir)
-        )
-        else None
-    )
+    seg = store.read_segments(spark, f"{path}/postings_seg")
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
         members = members.unionByName(seg)
@@ -700,10 +719,15 @@ def query_text_index(
         .join(F.broadcast(qset.select("term")), "term")
         .select("doc_id", "term", "tf", "dl")
     )
-    tdir = f"{path}/tombstones"
-    if os.path.isdir(tdir) and os.listdir(tdir):
-        tomb = spark.read.parquet(tdir).select("doc_id")
-        posts = posts.join(tomb, "doc_id", "left_anti")
+    if seg is not None:
+        # fold crash-window duplicates (same posting in base AND a
+        # not-yet-removed segment) before tf/min_match aggregation;
+        # placed after the bucket prune + term join so it only ever
+        # touches matched postings
+        posts = posts.dropDuplicates(["doc_id", "term"])
+    posts = store.mask_tombstones(
+        spark, f"{path}/tombstones", posts, "doc_id"
+    )
     dfreq = (
         spark.read.parquet(f"{path}/terms")
         .filter(F.col("bucket").isin(probed))
@@ -721,6 +745,8 @@ def query_text_index(
             seg.filter(F.col("bucket").isin(probed))
             .filter(F.col("tf") > 0)
             .join(F.broadcast(qset.select("term")), "term")
+            # a doc landing in two segments must count once
+            .dropDuplicates(["doc_id", "term"])
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("double").alias("df"))
         )
@@ -732,9 +758,13 @@ def query_text_index(
         base_stats = spark.read.parquet(f"{path}/stats").select(
             "n_docs", "sum_dl"
         )
-        seg_stats = seg.filter(F.col("head") == 1).agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
+        seg_stats = (
+            seg.filter(F.col("head") == 1)
+            .dropDuplicates(["doc_id"])
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
         )
         stats = (
             base_stats.unionByName(seg_stats)

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from knn_using_hadoop_spark.sources import index_store as store
+
 
 def _auto_n_centroids(corpus: DataFrame, n: int | None = None) -> int:
     """Data-dependent cell count: C = clamp(round(sqrt(n)), 4, 4096).
@@ -3934,7 +3936,7 @@ def build_ivf_index(
 
 
 def _read_index_members(
-    spark, path: str, store: str, probed_cells: list | None = None
+    spark, path: str, store_name: str, probed_cells: list | None = None
 ) -> DataFrame:
     """LIVE members of an index store (``cells`` / ``pq_codes``),
     optionally restricted to probed cells: the base store unioned
@@ -3944,26 +3946,21 @@ def _read_index_members(
     tombstoned ids (broadcast-size anti-join between compactions).
     When no segments or tombstones exist this is exactly the plain
     pruned scan — the existing partition-pruning pins are unchanged.
-    The directory probes are the local-FS stand-in for a catalog
-    lookup."""
-    import os
-
-    df = spark.read.parquet(f"{path}/{store}")
+    Directory probes go through ``sources/index_store`` (Hadoop
+    FileSystem API resolved from the path's scheme), so the lifecycle
+    behaves identically on local paths, ``file://`` URIs, and
+    ``hdfs://``/``s3a://`` stores (r7 verdict #1)."""
+    df = spark.read.parquet(f"{path}/{store_name}")
     if probed_cells is not None:
         df = df.filter(F.col("cell").isin(probed_cells))
-    sdir = f"{path}/stream_{store}"
-    if os.path.isdir(sdir) and any(
-        e.startswith("ingest_batch=") for e in os.listdir(sdir)
-    ):
-        seg = spark.read.parquet(sdir).drop("ingest_batch")
+    seg = store.read_segments(spark, f"{path}/stream_{store_name}")
+    if seg is not None:
         if probed_cells is not None:
             seg = seg.filter(F.col("cell").isin(probed_cells))
         df = df.unionByName(seg)
-    tdir = f"{path}/tombstones"
-    if os.path.isdir(tdir) and os.listdir(tdir):
-        tomb = spark.read.parquet(tdir).select("vec_id")
-        df = df.join(tomb, "vec_id", "left_anti")
-    return df
+    return store.mask_tombstones(
+        spark, f"{path}/tombstones", df, "vec_id"
+    )
 
 
 def query_ivf_index(
@@ -4591,9 +4588,7 @@ def _ingest_index_batch(
         .partitionBy("cell")
         .parquet(cells_dir)
     )
-    import os
-
-    if not os.path.isdir(f"{path}/pq_meta"):
+    if not store.exists_dir(spark, f"{path}/pq_meta"):
         return
     meta = spark.read.parquet(f"{path}/pq_meta").first()
     m, dim_pq = int(meta["m"]), int(meta["dim"])
@@ -4828,27 +4823,24 @@ def compact_ivf_index(spark, path: str) -> None:
     see duplicate (identical) member rows for those ids, and the
     re-run folds them back to one. Single-writer assumed, as with
     any non-catalog parquet maintenance.
-    """
-    import os
-    import shutil
 
+    All store probes and removals go through ``sources/index_store``
+    (Hadoop FileSystem API), so compaction works on ``file://`` /
+    ``hdfs://`` / ``s3a://`` stores exactly as on local paths.
+    """
     tomb_dir = f"{path}/tombstones"
-    has_tomb = os.path.isdir(tomb_dir) and bool(os.listdir(tomb_dir))
-    tomb = (
-        spark.read.parquet(tomb_dir).select("vec_id").distinct()
-        if has_tomb
-        else None
+    tomb = store.read_tombstones(
+        spark, tomb_dir, "vec_id", distinct=True
     )
-    for store in ("cells", "pq_codes"):
-        if not os.path.isdir(f"{path}/{store}"):
+    has_tomb = tomb is not None
+    for store_name in ("cells", "pq_codes"):
+        if not store.exists_dir(spark, f"{path}/{store_name}"):
             continue
-        sdir = f"{path}/stream_{store}"
-        has_stream = os.path.isdir(sdir) and any(
-            e.startswith("ingest_batch=") for e in os.listdir(sdir)
-        )
+        sdir = f"{path}/stream_{store_name}"
+        has_stream = store.has_segments(spark, sdir)
         if not (has_tomb or has_stream):
             continue
-        base = spark.read.parquet(f"{path}/{store}")
+        base = spark.read.parquet(f"{path}/{store_name}")
         affected: set[int] = set()
         if tomb is not None:
             affected |= {
@@ -4868,7 +4860,7 @@ def compact_ivf_index(spark, path: str) -> None:
             }  # bounded by C
         if affected:
             survivors = _read_index_members(
-                spark, path, store
+                spark, path, store_name
             ).filter(
                 F.col("cell").isin([int(c) for c in affected])
             ).dropDuplicates(["vec_id"]).localCheckpoint(
@@ -4895,19 +4887,19 @@ def compact_ivf_index(spark, path: str) -> None:
             try:
                 survivors.write.mode("overwrite").partitionBy(
                     "cell"
-                ).parquet(f"{path}/{store}")
+                ).parquet(f"{path}/{store_name}")
             finally:
                 spark.conf.set(
                     "spark.sql.sources.partitionOverwriteMode", prev
                 )
             for c in affected - kept:
-                shutil.rmtree(
-                    f"{path}/{store}/cell={c}", ignore_errors=True
+                store.remove_dir(
+                    spark, f"{path}/{store_name}/cell={c}"
                 )
         if has_stream:
-            shutil.rmtree(sdir, ignore_errors=True)
+            store.remove_dir(spark, sdir)
     if has_tomb:
-        shutil.rmtree(tomb_dir, ignore_errors=True)
+        store.remove_dir(spark, tomb_dir)
 
 
 def describe_ivf_index(spark, path: str) -> DataFrame:
@@ -4933,27 +4925,19 @@ def describe_ivf_index(spark, path: str) -> DataFrame:
     and the TOTAL segment-directory count. Compaction returns both
     to 0 (pinned in pytest).
     """
-    import os
-
     live = _read_index_members(spark, path, "cells")
     cells = live.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
     tdir = f"{path}/tombstones"
-    if os.path.isdir(tdir) and os.listdir(tdir):
+    tomb = store.read_tombstones(spark, tdir, "vec_id", distinct=True)
+    if tomb is not None:
         phys = spark.read.parquet(f"{path}/cells")
-        sdir = f"{path}/stream_cells"
-        if os.path.isdir(sdir) and any(
-            e.startswith("ingest_batch=") for e in os.listdir(sdir)
-        ):
-            phys = phys.unionByName(
-                spark.read.parquet(sdir).drop("ingest_batch")
-            )
+        seg = store.read_segments(spark, f"{path}/stream_cells")
+        if seg is not None:
+            phys = phys.unionByName(seg)
         dead = (
-            phys.join(
-                spark.read.parquet(tdir).select("vec_id").distinct(),
-                "vec_id",
-            )
+            phys.join(tomb, "vec_id")
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_dead"))
         )
@@ -4970,15 +4954,7 @@ def describe_ivf_index(spark, path: str) -> DataFrame:
             "n_dead", F.lit(0).cast("bigint")
         )
     sdir = f"{path}/stream_cells"
-    batches = (
-        [
-            e
-            for e in os.listdir(sdir)
-            if e.startswith("ingest_batch=")
-        ]
-        if os.path.isdir(sdir)
-        else []
-    )
+    batches = store.segment_batch_ids(spark, sdir)
     if batches:
         segstats = (
             spark.read.parquet(sdir)

@@ -700,3 +700,71 @@ def test_tune_nprobe_early_exit_never_runs_later_candidates(
     calls.clear()
     out2 = sim.tune_nprobe(spark, path, queries, 5, 2.0)
     assert out2["nprobe"] is None and calls == [1, 2, 4, 8]
+
+
+def test_ivf_lifecycle_on_file_uri(spark, tmp_path):
+    """r7 verdict #1: the lifecycle must work on a URI path, not
+    just a bare local path. Before r8, segment/tombstone discovery
+    used os.path.isdir/os.listdir and compaction used shutil.rmtree
+    — on ANY scheme-prefixed store (file://, hdfs://, s3a://) those
+    silently return False/no-op, so streamed segments vanished from
+    queries and deleted ids came back. All probes now go through the
+    Hadoop FileSystem API (sources/index_store) resolved from the
+    path's own scheme; file:// is the in-container stand-in for the
+    remote schemes (same code path: a URI the local os module cannot
+    see). Exercises build -> segment-ingest -> delete -> query ->
+    describe -> compact end-to-end on the URI."""
+    from knn_using_hadoop_spark.operators.similarity import (
+        _ingest_index_batch,
+    )
+
+    base = _corpus(spark, n=120)
+    extra = _corpus(spark, n=30, start=500)
+    path = f"file://{tmp_path}/idx"
+    build_ivf_index(base, path, n_centroids=5, iters=1)
+    # one streamed micro-batch segment (what the foreachBatch feed
+    # writes), landing under the URI
+    _ingest_index_batch(
+        spark,
+        path,
+        extra,
+        cells_dir=f"{path}/stream_cells/ingest_batch=0",
+        codes_dir=f"{path}/stream_pq_codes/ingest_batch=0",
+        mode="overwrite",
+    )
+    queries = base.filter(F.col("vec_id") % 30 == 0)
+    got = query_ivf_index(spark, path, queries, 5, nprobe=5)
+    streamed_hits = {
+        r["vec_id"] for r in got.collect() if r["vec_id"] >= 500
+    }
+    assert streamed_hits  # the segment is VISIBLE through the URI
+
+    doomed = sorted(streamed_hits)[:1] + [0]
+    assert delete_from_ivf_index(spark, path, doomed) == len(doomed)
+    post = {
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, path, queries, 1000, nprobe=5
+        ).collect()
+    }
+    assert not post & set(doomed)  # tombstones VISIBLE through the URI
+
+    d0 = describe_ivf_index(spark, path).collect()
+    total = next(r for r in d0 if r["cell"] is None)
+    assert total["n_segments"] == 1 and total["n_dead"] == len(doomed)
+
+    compact_ivf_index(spark, path)
+    # physical cleanup actually happened on the URI's filesystem
+    assert not os.path.isdir(f"{tmp_path}/idx/stream_cells")
+    assert not os.path.isdir(f"{tmp_path}/idx/tombstones")
+    d1 = describe_ivf_index(spark, path).collect()
+    total1 = next(r for r in d1 if r["cell"] is None)
+    assert total1["n_segments"] == 0 and total1["n_dead"] == 0
+    assert total1["n_rows"] == 150 - len(doomed)
+    post2 = {
+        r["vec_id"]
+        for r in query_ivf_index(
+            spark, path, queries, 1000, nprobe=5
+        ).collect()
+    }
+    assert post2 == post  # compaction invisible to queries
