@@ -342,11 +342,20 @@ def build_text_index(
     )
     spark = docs.sparkSession
     post = spark.read.parquet(f"{path}/postings")
-    # derived stores read the written index, never the corpus again
+    # derived stores read the written index, never the corpus again.
+    # max_tf/min_dl are the per-term impact bounds (Block-Max WAND's
+    # per-list metadata at term granularity) that let
+    # query_text_index's max-score pruning bound a term's best
+    # possible BM25 contribution without reading its posting list —
+    # free here (same aggregation that computes df).
     (
         post.filter(F.col("tf") > 0)
         .groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/terms")
@@ -545,7 +554,11 @@ def compact_text_index(spark, path: str) -> None:
     (
         post.filter(F.col("tf") > 0)
         .groupBy("bucket", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{path}/terms")
@@ -621,6 +634,8 @@ def query_text_index(
     max_df: int | None = None,
     min_match: int = 1,
     doc_filter: Column | str | None = None,
+    prune: bool | None = None,
+    theta_terms: int = 8,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
@@ -629,6 +644,55 @@ def query_text_index(
     (query_id, rank, <id_col>, bm25) — identical ranking and scores
     to ``bm25_topk`` over the indexed corpus (pinned in pytest),
     without tokenizing or scanning the corpus.
+
+    ``prune`` (r7 verdict #3 — max-score dynamic pruning, Turtle &
+    Flood, IP&M'95; the term-granularity form of Block-Max WAND):
+    EXACT top-k without the ``max_df`` stop-term guard, by skipping
+    the posting lists that provably cannot change the answer.
+    Three bounded passes before the scoring join:
+
+    1. A per-(query, term) upper bound on any single document's
+       contribution from that term: ``idf * (k1+1) * max_tf /
+       (max_tf + k1*(1-b+b*min_dl/avgdl))`` — monotone in tf (up)
+       and dl (down), so the build-time per-term ``max_tf/min_dl``
+       bounds it (segments contribute query-time-derived bounds;
+       legacy stores without the columns derive them from the
+       matched postings in one column-pruned aggregate).
+    2. A LOWER bound theta on the final k-th best score, two cheap
+       steps: partial scores over the query's ``theta_terms``
+       highest-ub terms among those with df <= 10% of the corpus
+       (the short, rare lists — the ones that decide rankings)
+       nominate max(64, 4k) seed documents per query; the seeds are
+       then FULLY scored and theta is the k-th best seed score —
+       every seed score is a real document score the final ranking
+       must beat, so theta is valid and far tighter than a
+       partial-sum bound on corpora where common terms carry most
+       of the score mass. Fewer than k seed matches => no theta,
+       no pruning.
+    3. Max-score term partition: terms are ranked by ub ascending
+       and prefix-summed; the largest prefix whose ub sum stays
+       below theta is NON-ESSENTIAL — a document matching only
+       those terms cannot reach the top k (its score is at most the
+       prefix sum). Candidate documents = matches of at least one
+       ESSENTIAL term; only candidates are scored, with ALL their
+       matched terms, so surviving scores are bit-identical to the
+       unpruned path (the pruning margin of 2e-6 clears the 6dp
+       rounding quantum, so no pruned document could have tied into
+       the rounded ranking; parity pinned in pytest, hostile-corpus
+       wall-clock in NOTES).
+
+    Default ``prune=None`` auto-enables exactly on the unguarded
+    exact path (``max_df is None and min_match == 1``) — the regime
+    whose pair volume is unbounded; ``max_df`` queries keep their
+    (already bounded) single-pass plan. ``prune=True`` forces it
+    (also under ``max_df``); ``prune=False`` disables.
+    ``min_match > 1`` cannot prune (dropping low-score docs changes
+    which docs survive the match-count filter, so theta would
+    over-prune) and raises if forced. On a corpus with NO rare
+    terms (every df above the 10% cap) theta never forms and the
+    plan degenerates to the unpruned shape plus three bounded
+    metadata passes — pruning is an optimization, never a
+    semantics change.
 
     Plan: the distinct query terms map to their hash buckets; the
     bucket ids are a bounded driver fetch (<= |distinct query
@@ -728,8 +792,19 @@ def query_text_index(
     posts = store.mask_tombstones(
         spark, f"{path}/tombstones", posts, "doc_id"
     )
+    if (prune is True) and min_match > 1:
+        raise ValueError(
+            "prune=True cannot compose with min_match > 1: pruning "
+            "drops provably-below-rank-k documents, but min_match "
+            "removes docs from the ranking by match count, so the "
+            "k-th-score bound would over-prune"
+        )
+    prune_active = (prune is True) or (
+        prune is None and max_df is None and min_match == 1
+    )
+    terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
-        spark.read.parquet(f"{path}/terms")
+        terms_store
         .filter(F.col("bucket").isin(probed))
         .join(F.broadcast(qset.select("term")), "term")
         .select("term", "df")
@@ -787,9 +862,164 @@ def query_text_index(
         1.0 - b + b * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    pair_src = qterms.join(dfreq, "term")
+    if prune_active:
+        # ---- max-score pruning (see docstring) ----
+        # per-term impact bounds: build-time columns when present
+        # (max/min fold loosely but safely over tombstoned and
+        # crash-window rows), segment bounds derived at query time,
+        # full derivation for legacy stores
+        if "max_tf" in terms_store.columns:
+            tb = (
+                terms_store.filter(F.col("bucket").isin(probed))
+                .join(F.broadcast(qset.select("term")), "term")
+                .select("term", "max_tf", "min_dl")
+            )
+            if seg is not None:
+                seg_tb = (
+                    seg.filter(F.col("bucket").isin(probed))
+                    .join(
+                        F.broadcast(qset.select("term")), "term"
+                    )
+                    .groupBy("term")
+                    .agg(
+                        F.max("tf").alias("max_tf"),
+                        F.min("dl").alias("min_dl"),
+                    )
+                )
+                tb = (
+                    tb.unionByName(seg_tb)
+                    .groupBy("term")
+                    .agg(
+                        F.max("max_tf").alias("max_tf"),
+                        F.min("min_dl").alias("min_dl"),
+                    )
+                )
+        else:
+            tb = posts.groupBy("term").agg(
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+        ub = (
+            idf
+            * (k1 + 1.0)
+            * F.col("max_tf")
+            / (
+                F.col("max_tf")
+                + k1
+                * (1.0 - b + b * F.col("min_dl") / F.col("avgdl"))
+            )
+        )
+        # (query, term) bound relation — query-sample-sized; one
+        # eager checkpoint so the theta and partition passes don't
+        # re-run the bound aggregation (bounded like qset above)
+        ub_rel = (
+            pair_src.join(tb, "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "term",
+                "df",
+                "n_docs",
+                idf.alias("_idf"),
+                ub.alias("_ub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # theta: k-th best PARTIAL score over the rare high-ub terms
+        wub = Window.partitionBy("query_id").orderBy(
+            F.col("_ub").desc(), F.col("term").asc()
+        )
+        tsel = (
+            ub_rel.filter(
+                F.col("df") <= 0.1 * F.col("n_docs")
+            )
+            .withColumn("_tr", F.row_number().over(wub))
+            .filter(F.col("_tr") <= int(theta_terms))
+            .select("query_id", "term", "_idf")
+        )
+        pcontrib = (
+            F.col("_idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        partial = (
+            tsel.join(posts, "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(pcontrib).alias("_ps"))
+        )
+        # seed docs: the best partial scorers, FULLY scored — the
+        # k-th best of real document scores is a far tighter theta
+        # than the k-th partial (partials ignore the common terms,
+        # which on high-df corpora carry most of the mass); still a
+        # valid lower bound because every seed score is a real
+        # score the final ranking must beat
+        wp = Window.partitionBy("query_id").orderBy(
+            F.col("_ps").desc(), F.col("doc_id").asc()
+        )
+        seed = (
+            partial.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= int(max(64, 4 * k)))
+            .select("query_id", "doc_id")
+        )
+        seed_scored = (
+            seed.join(posts, "doc_id")
+            .join(pair_src, ["query_id", "term"])
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(contrib).alias("_fs"))
+        )
+        wf = Window.partitionBy("query_id").orderBy(
+            F.col("_fs").desc(), F.col("doc_id").asc()
+        )
+        theta = (
+            seed_scored.withColumn("_fr", F.row_number().over(wf))
+            .filter(F.col("_fr") <= int(k))
+            .groupBy("query_id")
+            .agg(
+                F.min("_fs").alias("_theta"),
+                F.count(F.lit(1)).alias("_pn"),
+            )
+            # fewer than k seed matches -> no valid lower bound
+            .filter(F.col("_pn") >= int(k))
+            .select("query_id", "_theta")
+        )
+        # essential terms: ub ascending prefix sums above theta
+        # (2e-6 margin clears the 6dp rounding quantum, so a pruned
+        # doc can never tie into the rounded ranking)
+        wasc = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("_ub").asc(), F.col("term").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ess = (
+            ub_rel.withColumn("_cum", F.sum("_ub").over(wasc))
+            .join(theta, "query_id", "left")
+            .filter(
+                F.col("_theta").isNull()
+                | (F.col("_cum") > F.col("_theta") - F.lit(2.0e-6))
+            )
+            .select("query_id", "term")
+        )
+        cand = (
+            ess.join(posts, "term")
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        # candidates are scored with ALL their matched terms — the
+        # surviving sums are the unpruned path's, bit for bit
+        scored_src = cand.join(posts, "doc_id").join(
+            pair_src, ["query_id", "term"]
+        )
+    else:
+        scored_src = pair_src.join(posts, "term")
     scored = (
-        qterms.join(dfreq, "term")
-        .join(posts, "term")
+        scored_src
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -823,30 +1053,50 @@ def rank_eval(
 ) -> DataFrame:
     """Retrieval-quality metrics against a relevance-judgments
     table — the trec_eval loop as ONE plan: per judged query
-    (query_id, n_rel, hits, recall, precision, rr, ndcg) at cutoff
-    ``k``, plus a macro-average summary row (query_id null). The
-    ops twin of ``evaluate_ivf_index`` for the lexical/hybrid side:
-    run it over ``bm25_topk`` / ``query_text_index`` / ``rrf_fuse``
-    / ``maxp_doc_topk`` output after every index build or fusion
-    change.
+    (query_id, n_rel, hits, recall, precision, rr, ap, ndcg,
+    judged) at cutoff ``k``, plus a macro-average summary row
+    (query_id null). The ops twin of ``evaluate_ivf_index`` for the
+    lexical/hybrid side: run it over ``bm25_topk`` /
+    ``query_text_index`` / ``rrf_fuse`` / ``maxp_doc_topk`` output
+    after every index build or fusion change.
 
     ``ranking`` carries (query_col, rank, item_col) — rank-k
     truncation upstream is fine, rows past ``k`` are ignored.
     ``qrels`` carries (query_col, item_col, rel_col) graded
-    relevance; ``rel > 0`` is relevant for recall/precision/MRR,
+    relevance; ``rel > 0`` is relevant for recall/precision/MRR/AP,
     and nDCG uses the burst gain ``2^rel - 1`` with the
     ``log2(rank+1)`` discount (the trec_eval/Järvelin-Kekäläinen
     formulation), ideal DCG from the query's own judgments cut to
-    k. Metrics are computed over JUDGED queries only (a query with
-    judgments but no retrieved rows scores 0 across the board — the
-    honest macro average); unjudged retrieved items count as
-    non-relevant, exactly as in pooled evaluation. 6dp-rounded, so
-    the report is engine-reproducible.
+    k. ``ap`` is trec_eval's ``map_cut.k``: the mean over the
+    query's relevant judgments of precision-at-the-rank for
+    relevant retrieved rows (n_rel in the denominator, so misses
+    below the cutoff cost exactly their share). ``judged`` is
+    judged@k — the fraction of retrieved rows carrying ANY
+    judgment (rel 0 included): the pool-coverage gauge that says
+    whether a low precision means bad ranking or unjudged corpus.
+    Metrics are computed over JUDGED queries only (a query with
+    judgments but no retrieved rows scores 0 across the board);
+    unjudged retrieved items count as non-relevant, exactly as in
+    pooled evaluation. Duplicate (query, item) judgments collapse
+    to their MAX grade before any counting (a duplicated qrel row
+    must not double hits or DCG; r7 ADVICE #3). The summary row
+    macro-averages the per-query metrics over queries with at
+    least one RELEVANT judgment — trec_eval drops no-relevant
+    queries from its averages (they are unscorable: recall and AP
+    have zero denominators), and their per-query rows stay in the
+    output for inspection. 6dp-rounded, so the report is
+    engine-reproducible.
     """
-    j = qrels.select(
-        F.col(query_col).alias("query_id"),
-        F.col(item_col).alias("_item"),
-        F.col(rel_col).cast("double").alias("_rel"),
+    j = (
+        qrels.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("_item"),
+            F.col(rel_col).cast("double").alias("_rel"),
+        )
+        # duplicate judgments for one (query, item) keep the max
+        # grade — the deterministic collapse (trec_eval keeps one)
+        .groupBy("query_id", "_item")
+        .agg(F.max("_rel").alias("_rel"))
     )
     per_q = j.groupBy("query_id").agg(
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias(
@@ -877,7 +1127,16 @@ def rank_eval(
         )
         .filter(F.col("rank") <= k)
         .join(j, ["query_id", "_item"], "left")
+        .withColumn("_judged", F.col("_rel").isNotNull())
         .withColumn("_rel", F.coalesce("_rel", F.lit(0.0)))
+    )
+    # running hit count down the ranking — the precision-at-rank
+    # AP needs; ranks are unique per query so the default
+    # range-to-current frame is exact (at most k rows per group)
+    wr = Window.partitionBy("query_id").orderBy("rank")
+    got = got.withColumn(
+        "_cum",
+        F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).over(wr),
     )
     agg = got.groupBy("query_id").agg(
         F.sum(F.when(F.col("_rel") > 0, 1).otherwise(0)).alias(
@@ -888,6 +1147,14 @@ def rank_eval(
                 F.col("_rel") > 0, 1.0 / F.col("rank")
             ).otherwise(0.0)
         ).alias("rr"),
+        F.sum(
+            F.when(
+                F.col("_rel") > 0, F.col("_cum") / F.col("rank")
+            ).otherwise(0.0)
+        ).alias("_apn"),
+        F.avg(
+            F.when(F.col("_judged"), 1.0).otherwise(0.0)
+        ).alias("_judged"),
         F.sum(
             (F.pow(F.lit(2.0), F.col("_rel")) - 1.0)
             / F.log2(F.col("rank") + 1.0)
@@ -913,24 +1180,47 @@ def rank_eval(
             F.round(F.coalesce("rr", F.lit(0.0)), 6).alias("rr"),
             F.round(
                 F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce("_apn", F.lit(0.0))
+                    / F.col("n_rel"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ap"),
+            F.round(
+                F.when(
                     F.col("_idcg") > 0,
                     F.coalesce("_dcg", F.lit(0.0))
                     / F.col("_idcg"),
                 ).otherwise(0.0),
                 6,
             ).alias("ndcg"),
+            F.round(
+                F.coalesce("_judged", F.lit(0.0)), 6
+            ).alias("judged"),
         )
     )
+    # macro averages over scorable queries only (>= 1 relevant
+    # judgment) — the trec_eval convention; n_rel/hits still sum
+    # over every judged query
+    scorable = F.when(F.col("n_rel") > 0, F.lit(1))
     summary = per.agg(
         F.lit(None).cast(j.schema["query_id"].dataType).alias(
             "query_id"
         ),
         F.sum("n_rel").alias("n_rel"),
         F.sum("hits").alias("hits"),
-        F.round(F.avg("recall"), 6).alias("recall"),
-        F.round(F.avg("precision"), 6).alias("precision"),
-        F.round(F.avg("rr"), 6).alias("rr"),
-        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+        F.round(F.avg(scorable * F.col("recall")), 6).alias(
+            "recall"
+        ),
+        F.round(F.avg(scorable * F.col("precision")), 6).alias(
+            "precision"
+        ),
+        F.round(F.avg(scorable * F.col("rr")), 6).alias("rr"),
+        F.round(F.avg(scorable * F.col("ap")), 6).alias("ap"),
+        F.round(F.avg(scorable * F.col("ndcg")), 6).alias("ndcg"),
+        F.round(F.avg(scorable * F.col("judged")), 6).alias(
+            "judged"
+        ),
     )
     return per.unionByName(summary)
 

@@ -720,7 +720,11 @@ def test_rank_eval_hand_computed(spark):
     """trec_eval replica on a hand-worked case: graded gains
     (2^rel - 1, log2(rank+1) discount), judged-queries-only macro
     average, a judged query with no retrieved rows scoring zero,
-    unjudged retrieved items counting as non-relevant."""
+    unjudged retrieved items counting as non-relevant, map_cut.k
+    (``ap``) and judged@k, duplicate qrel rows collapsing to their
+    max grade, and a no-relevant-judgments query (rel=0 only)
+    excluded from the macro averages but kept as a per-query row
+    (r7 verdict #6 + ADVICE #3)."""
     import math as m
 
     from knn_using_hadoop_spark.operators.retrieval import (
@@ -728,12 +732,19 @@ def test_rank_eval_hand_computed(spark):
     )
 
     qrels = spark.createDataFrame(
-        [(1, 10, 2), (1, 11, 1), (1, 12, 1), (2, 20, 1), (3, 30, 1)],
+        [(1, 10, 2), (1, 11, 1), (1, 12, 1), (2, 20, 1), (3, 30, 1),
+         # duplicate judgment for (1, 10) at a lower grade — the
+         # max-collapse must keep rel=2 and count the hit once
+         (1, 10, 1),
+         # query 4 is judged but has NO relevant docs (rel=0): its
+         # row appears, the summary averages skip it
+         (4, 40, 0)],
         "query_id long, doc_id long, rel int",
     )
     ranking = spark.createDataFrame(
         [(1, 1, 10), (1, 2, 99), (1, 3, 11),
-         (2, 1, 21), (2, 2, 22), (2, 3, 20)],
+         (2, 1, 21), (2, 2, 22), (2, 3, 20),
+         (4, 1, 40)],
         "query_id long, rank int, doc_id long",
     )
     got = {
@@ -749,19 +760,40 @@ def test_rank_eval_hand_computed(spark):
         got[1]["n_rel"], got[1]["hits"], got[1]["recall"],
         got[1]["precision"], got[1]["rr"], got[1]["ndcg"],
     ) == (3, 2, 0.666667, 0.666667, 1.0, ndcg1)
+    # AP (map_cut.3): relevant at ranks 1 and 3 -> (P@1 + P@3)/n_rel
+    ap1 = round((1.0 + 2.0 / 3.0) / 3.0, 6)
+    assert got[1]["ap"] == ap1
+    # judged@3: ranks 1 and 3 carry judgments, rank 2 (doc 99) none
+    assert got[1]["judged"] == 0.666667
     assert (
         got[2]["recall"], got[2]["precision"], got[2]["rr"],
         got[2]["ndcg"],
     ) == (1.0, 0.333333, 0.333333, 0.5)
+    assert got[2]["ap"] == 0.333333  # P@3 = 1/3, n_rel = 1
+    assert got[2]["judged"] == 0.333333
     # judged, nothing retrieved -> zeros (counted in the macro avg)
     assert (
-        got[3]["hits"], got[3]["recall"], got[3]["ndcg"]
-    ) == (0, 0.0, 0.0)
+        got[3]["hits"], got[3]["recall"], got[3]["ndcg"],
+        got[3]["ap"], got[3]["judged"],
+    ) == (0, 0.0, 0.0, 0.0, 0.0)
+    # judged with NO relevant docs: per-query row present, zeros,
+    # judged@k still reports the pool coverage of what it retrieved
+    assert (
+        got[4]["n_rel"], got[4]["hits"], got[4]["recall"],
+        got[4]["ap"], got[4]["judged"],
+    ) == (0, 0, 0.0, 0.0, 1.0)
     s = got[None]
     assert s["n_rel"] == 5 and s["hits"] == 3
+    # macro averages over the 3 scorable queries — query 4 (no
+    # relevant judgments) is excluded, trec_eval-style: including
+    # it would e.g. lift judged to (2/3+1/3+0+1)/4 = 0.5
     assert s["recall"] == round((0.666667 + 1.0 + 0.0) / 3, 6)
     assert s["rr"] == round((1.0 + 0.333333 + 0.0) / 3, 6)
+    assert s["ap"] == round((ap1 + 0.333333 + 0.0) / 3, 6)
     assert s["ndcg"] == round((ndcg1 + 0.5 + 0.0) / 3, 6)
+    assert s["judged"] == round(
+        (0.666667 + 0.333333 + 0.0) / 3, 6
+    )
 
     # a perfect ranking scores 1.0 on recall/rr/ndcg
     perfect = spark.createDataFrame(
@@ -774,8 +806,9 @@ def test_rank_eval_hand_computed(spark):
         for r in rank_eval(perfect, qrels, 3).collect()
     }
     assert (
-        ps[None]["recall"], ps[None]["rr"], ps[None]["ndcg"]
-    ) == (1.0, 1.0, 1.0)
+        ps[None]["recall"], ps[None]["rr"], ps[None]["ap"],
+        ps[None]["ndcg"],
+    ) == (1.0, 1.0, 1.0, 1.0)
 
 
 def test_rank_eval_composes_with_text_index(spark, tmp_path):
@@ -1058,3 +1091,155 @@ def test_bm25_materialize_modes(spark, tmp_path):
 
     with pytest.raises(ValueError):
         bm25_topk(_spark_docs(spark), qdf, 3, materialize="disk")
+
+
+def _zipfy_corpus(seed=7, n_docs=150):
+    """Deterministic mixed-df corpus: 10 common terms in most docs,
+    10 rare terms each in a handful — the Zipf shape max-score
+    pruning exploits (rare terms decide rankings, common terms pay
+    the pair volume)."""
+    import random
+
+    rng = random.Random(seed)
+    common = [f"c{i}" for i in range(10)]
+    rare = [f"r{i}" for i in range(10)]
+    docs = []
+    for d in range(n_docs):
+        words = [rng.choice(common) for _ in range(rng.randint(8, 24))]
+        if rng.random() < 0.25:
+            words.append(rng.choice(rare))
+        rng.shuffle(words)
+        docs.append((d, " ".join(words)))
+    queries = []
+    for q in range(8):
+        qt = [rng.choice(rare)] + [rng.choice(common) for _ in range(3)]
+        if q % 3 == 0:
+            qt.append(rng.choice(rare))
+        queries.append((100 + q, " ".join(qt)))
+    # one query with NO rare terms: theta's df cap selects nothing,
+    # pruning must degenerate to the exact unpruned answer
+    queries.append((199, " ".join(common[:4])))
+    return docs, queries
+
+
+def test_text_index_prune_parity(spark, tmp_path):
+    """Max-score pruning is EXACT: prune=True == prune=False ==
+    inline bm25_topk on a mixed-df corpus, across k, under a
+    doc_filter, and with max_df forced on top (r7 verdict #3)."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs, queries = _zipfy_corpus()
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    for k in (1, 5, 20):
+        un = sorted(map(tuple, query_text_index(
+            spark, path, qdf, k, prune=False).collect()))
+        pr = sorted(map(tuple, query_text_index(
+            spark, path, qdf, k, prune=True).collect()))
+        auto = sorted(map(tuple, query_text_index(
+            spark, path, qdf, k).collect()))
+        assert pr == un and auto == un and un
+    want = sorted(map(tuple, bm25_topk(ddf, qdf, 5).collect()))
+    assert sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5).collect())) == want
+    # forced pruning under the stop-term guard
+    a = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, max_df=60, prune=True).collect()))
+    b = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, max_df=60, prune=False).collect()))
+    assert a == b and a
+    # and under a metadata-free doc_filter over doc_id
+    a = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, doc_filter="doc_id % 2 = 0",
+        prune=True).collect()))
+    b = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, doc_filter="doc_id % 2 = 0",
+        prune=False).collect()))
+    assert a == b and a
+    with pytest.raises(ValueError):
+        query_text_index(
+            spark, path, qdf, 5, min_match=2, prune=True
+        )
+    # auto mode silently declines to prune under min_match
+    mm = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, min_match=2).collect()))
+    assert mm == sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, min_match=2, prune=False).collect()))
+
+
+def test_text_index_prune_parity_with_lifecycle(spark, tmp_path):
+    """Pruning stays exact across the segment/tombstone lifecycle:
+    stored base bounds fold with query-time segment bounds, and
+    tombstoned docs can't resurface through the candidate pass."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    docs, queries = _zipfy_corpus(seed=11)
+    base = docs[:100]
+    extra = docs[100:]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        path,
+        n_buckets=8,
+    )
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    delete_from_text_index(spark, path, [d for d, _ in docs[:15]])
+    un = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 6, prune=False).collect()))
+    pr = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 6, prune=True).collect()))
+    assert pr == un and un
+    assert not {t[2] for t in pr} & {d for d, _ in docs[:15]}
+
+
+def test_text_index_prune_legacy_store(spark, tmp_path):
+    """A store built before the bound columns existed still prunes
+    exactly: bounds derive from the matched postings at query time."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs, queries = _zipfy_corpus(seed=23)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    # rewrite the terms store in the r7 (pre-bounds) layout
+    legacy = (
+        spark.read.parquet(f"{path}/terms")
+        .select("bucket", "term", "df")
+        .localCheckpoint(eager=True)
+    )
+    legacy.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/terms"
+    )
+    assert "max_tf" not in spark.read.parquet(
+        f"{path}/terms"
+    ).columns
+    un = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, prune=False).collect()))
+    pr = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, prune=True).collect()))
+    assert pr == un and un

@@ -336,3 +336,141 @@ def test_hybrid_retrieval_ceiling_at_100x(spark, corpora):
     dt = time.perf_counter() - t0
     assert n > 0
     assert dt < 60, f"hybrid retrieval at 100x: {dt:.0f}s"
+
+
+def test_text_index_exact_prune_at_100x(spark, corpora):
+    """r7 verdict #3: EXACT (no max_df) indexed BM25, bounded by
+    max-score pruning instead of the stop-term guard.
+
+    Two corpora at 500k docs, because the technique's envelope is
+    the point:
+
+    * A Zipf(1) corpus (50k-term vocabulary, the realistic shape):
+      rankings are decided by rare terms, so theta forms high and
+      nearly every common posting list drops out of the candidate
+      pass — exact answers at guarded-path speed (measured numbers
+      in NOTES r8).
+    * The hostile ~82-word corpus (every term in ~half the corpus):
+      scores are sums of ~40 near-equal contributions, so no exact
+      algorithm can prune (the published WAND collapse on
+      uniform-df queries); the assert here is parity + a bounded
+      overhead of the three metadata passes, NOT a speedup.
+
+    Exactness on both is asserted against the unpruned path on a
+    query subset (the unpruned 500k full batch is the 60-230s cost
+    this feature exists to avoid)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    # --- deterministic Zipf(1) corpus, generated distributed:
+    # rank = floor(V^u) has P(rank) ~ 1/rank (inverse-CDF of Zipf-1)
+    zdir = "/tmp/spark_graft_zipf500k"
+    if not os.path.isdir(zdir):
+        V = 50_000
+        docs = (
+            spark.range(500_000)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.array_join(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            (
+                                40
+                                + F.pmod(F.xxhash64("id"), F.lit(80))
+                            ).cast("int"),
+                        ),
+                        lambda pos: F.concat(
+                            F.lit("t"),
+                            F.floor(
+                                F.pow(
+                                    F.lit(float(V)),
+                                    F.pmod(
+                                        F.xxhash64(F.col("id"), pos),
+                                        F.lit(1_000_000),
+                                    )
+                                    / 1_000_000.0,
+                                )
+                            ).cast("string"),
+                        ),
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+        docs.write.mode("overwrite").parquet(f"{zdir}/documents.parquet")
+
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    zq = zdocs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 12), " "
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+
+    zpath = "/tmp/spark_graft_text_index_zipf"
+    shutil.rmtree(zpath, ignore_errors=True)
+    build_text_index(zdocs, zpath, n_buckets=64)
+
+    # warm + parity on a subset (unpruned full batch would be the
+    # quadratic cost itself)
+    sub = zq.filter(F.col("query_id") % 5 == 0).localCheckpoint(
+        eager=True
+    )
+    want = sorted(map(tuple, query_text_index(
+        spark, zpath, sub, 10, prune=False).collect()))
+    got = sorted(map(tuple, query_text_index(
+        spark, zpath, sub, 10, prune=True).collect()))
+    assert got == want and got
+
+    t0 = time.perf_counter()
+    n = query_text_index(spark, zpath, zq, 10).count()
+    t_zipf_pruned = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    query_text_index(spark, zpath, sub, 10, prune=False).count()
+    t_zipf_unpruned_sub = time.perf_counter() - t0
+    assert n > 0
+    print(
+        f"\nzipf500k exact: pruned full batch {t_zipf_pruned:.1f}s, "
+        f"unpruned 11-query subset {t_zipf_unpruned_sub:.1f}s"
+    )
+    assert t_zipf_pruned < 60, (
+        f"pruned exact at zipf 500k: {t_zipf_pruned:.0f}s"
+    )
+
+    # --- hostile corpus: parity + bounded overhead, no speedup claim
+    _, scale = corpora
+    docs = spark.read.parquet(
+        f"{scale}/documents.parquet"
+    ).localCheckpoint(eager=True)
+    q = docs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    hpath = "/tmp/spark_graft_text_index_100x"
+    if not os.path.isdir(f"{hpath}/postings"):
+        build_text_index(docs, hpath, n_buckets=64)
+    hsub = q.filter(F.col("query_id") % 3 == 0).localCheckpoint(
+        eager=True
+    )
+    t0 = time.perf_counter()
+    hw = sorted(map(tuple, query_text_index(
+        spark, hpath, hsub, 10, prune=False).collect()))
+    t_host_unpruned_sub = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    hg = sorted(map(tuple, query_text_index(
+        spark, hpath, hsub, 10, prune=True).collect()))
+    t_host_pruned_sub = time.perf_counter() - t0
+    assert hg == hw and hg
+    print(
+        f"hostile500k exact (subset): unpruned "
+        f"{t_host_unpruned_sub:.1f}s, pruned {t_host_pruned_sub:.1f}s"
+    )
+    # the metadata passes must stay a bounded constant factor even
+    # where pruning can't bite (generous for load swings)
+    assert t_host_pruned_sub < 4 * t_host_unpruned_sub + 60
