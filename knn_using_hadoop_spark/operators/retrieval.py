@@ -58,6 +58,8 @@ def bm25_topk(
     max_df: int | None = None,
     min_match: int = 1,
     materialize: str = "checkpoint",
+    prune: bool | None = None,
+    theta_terms: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
     query_id_col: str = "query_id",
@@ -143,6 +145,21 @@ def bm25_topk(
     the true quadratic cost of its corpus) while ``max_df=50k``
     answers the same top-10 in ~13s. None = exact BM25; production
     search engines (Lucene WAND) prune the same way.
+
+    ``prune`` — max-score dynamic pruning, the SAME exact-top-k
+    machinery as ``query_text_index`` (see its docstring for the
+    algorithm and exactness argument), applied to the in-memory
+    (doc, term) aggregate: impact bounds derive from the matched
+    postings in one column-pruned aggregate, theta from fully
+    scored rare-term seeds, and only candidate documents reach the
+    (query, doc) aggregation. Auto-on (``prune=None``) exactly when
+    the query is the unguarded exact disjunction over a
+    materialized aggregate (``max_df is None and min_match == 1
+    and materialize == "checkpoint"``) — under ``persist``/
+    ``none`` the bound passes would force early materialization or
+    repeated corpus scans, so auto stays off there (``prune=True``
+    forces it and accepts that cost). Results are identical either
+    way (pinned).
     """
     qterms = (
         queries.select(
@@ -215,9 +232,33 @@ def bm25_topk(
         1.0 - b + b * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    if (prune is True) and min_match > 1:
+        raise ValueError(
+            "prune=True cannot compose with min_match > 1 (see "
+            "query_text_index)"
+        )
+    prune_active = (prune is True) or (
+        prune is None
+        and max_df is None
+        and min_match == 1
+        and materialize == "checkpoint"
+    )
+    pair_src = qterms.join(dfreq, "term")
+    if prune_active:
+        tb = dterms.groupBy("term").agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        cand = _maxscore_candidates(
+            dterms, pair_src, stats, tb, k, k1, b, theta_terms
+        )
+        scored_src = cand.join(dterms, "doc_id").join(
+            pair_src, ["query_id", "term"]
+        )
+    else:
+        scored_src = pair_src.join(dterms, "term")
     scored = (
-        qterms.join(dfreq, "term")
-        .join(dterms, "term")
+        scored_src
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(
@@ -623,6 +664,151 @@ def describe_text_index(spark, path: str) -> DataFrame:
     )
 
 
+def _maxscore_candidates(
+    posts: DataFrame,
+    pair_src: DataFrame,
+    stats: DataFrame,
+    tb: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    theta_terms: int,
+) -> DataFrame:
+    """Max-score candidate generation (Turtle & Flood, IP&M'95),
+    shared by ``bm25_topk`` and ``query_text_index`` — see
+    ``query_text_index``'s docstring for the algorithm and the
+    exactness argument.
+
+    Inputs: the matched postings (doc_id, term, tf, dl), the
+    per-(query, term) match relation (query_id, term, df), the
+    one-row corpus stats (n_docs, avgdl), and per-term impact
+    bounds (term, max_tf, min_dl — safe to be LOOSE: over-bounds
+    only weaken pruning, never correctness). Returns the
+    (query_id, doc_id) candidate pairs — a provable superset of
+    every pair the rounded top-k ranking can contain."""
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    ub = (
+        idf
+        * (k1 + 1.0)
+        * F.col("max_tf")
+        / (
+            F.col("max_tf")
+            + k1 * (1.0 - b + b * F.col("min_dl") / F.col("avgdl"))
+        )
+    )
+    # (query, term) bound relation — query-sample-sized; one eager
+    # checkpoint so the theta and partition passes don't re-run the
+    # bound aggregation
+    ub_rel = (
+        pair_src.join(tb, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            "df",
+            "n_docs",
+            idf.alias("_idf"),
+            ub.alias("_ub"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # theta seeds: partial scores over the rare high-ub terms
+    wub = Window.partitionBy("query_id").orderBy(
+        F.col("_ub").desc(), F.col("term").asc()
+    )
+    tsel = (
+        ub_rel.filter(F.col("df") <= 0.1 * F.col("n_docs"))
+        .withColumn("_tr", F.row_number().over(wub))
+        .filter(F.col("_tr") <= int(theta_terms))
+        .select("query_id", "term", "_idf")
+    )
+    pcontrib = (
+        F.col("_idf")
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    partial = (
+        tsel.join(posts, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(pcontrib).alias("_ps"))
+    )
+    # seed docs: the best partial scorers, FULLY scored — the k-th
+    # best of real document scores is a far tighter theta than the
+    # k-th partial (partials ignore the common terms, which on
+    # high-df corpora carry most of the mass); still a valid lower
+    # bound because every seed score is a real score the final
+    # ranking must beat
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("_ps").desc(), F.col("doc_id").asc()
+    )
+    seed = (
+        partial.withColumn("_pr", F.row_number().over(wp))
+        .filter(F.col("_pr") <= int(max(64, 4 * k)))
+        .select("query_id", "doc_id")
+    )
+    seed_scored = (
+        seed.join(posts, "doc_id")
+        .join(pair_src, ["query_id", "term"])
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(contrib).alias("_fs"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("_fs").desc(), F.col("doc_id").asc()
+    )
+    theta = (
+        seed_scored.withColumn("_fr", F.row_number().over(wf))
+        .filter(F.col("_fr") <= int(k))
+        .groupBy("query_id")
+        .agg(
+            F.min("_fs").alias("_theta"),
+            F.count(F.lit(1)).alias("_pn"),
+        )
+        # fewer than k seed matches -> no valid lower bound
+        .filter(F.col("_pn") >= int(k))
+        .select("query_id", "_theta")
+    )
+    # essential terms: ub ascending prefix sums above theta (2e-6
+    # margin clears the 6dp rounding quantum, so a pruned doc can
+    # never tie into the rounded ranking)
+    wasc = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("_ub").asc(), F.col("term").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ess = (
+        ub_rel.withColumn("_cum", F.sum("_ub").over(wasc))
+        .join(theta, "query_id", "left")
+        .filter(
+            F.col("_theta").isNull()
+            | (F.col("_cum") > F.col("_theta") - F.lit(2.0e-6))
+        )
+        .select("query_id", "term")
+    )
+    return (
+        ess.join(posts, "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+
+
 def query_text_index(
     spark,
     path: str,
@@ -900,116 +1086,8 @@ def query_text_index(
                 F.max("tf").alias("max_tf"),
                 F.min("dl").alias("min_dl"),
             )
-        ub = (
-            idf
-            * (k1 + 1.0)
-            * F.col("max_tf")
-            / (
-                F.col("max_tf")
-                + k1
-                * (1.0 - b + b * F.col("min_dl") / F.col("avgdl"))
-            )
-        )
-        # (query, term) bound relation — query-sample-sized; one
-        # eager checkpoint so the theta and partition passes don't
-        # re-run the bound aggregation (bounded like qset above)
-        ub_rel = (
-            pair_src.join(tb, "term")
-            .crossJoin(F.broadcast(stats))
-            .select(
-                "query_id",
-                "term",
-                "df",
-                "n_docs",
-                idf.alias("_idf"),
-                ub.alias("_ub"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # theta: k-th best PARTIAL score over the rare high-ub terms
-        wub = Window.partitionBy("query_id").orderBy(
-            F.col("_ub").desc(), F.col("term").asc()
-        )
-        tsel = (
-            ub_rel.filter(
-                F.col("df") <= 0.1 * F.col("n_docs")
-            )
-            .withColumn("_tr", F.row_number().over(wub))
-            .filter(F.col("_tr") <= int(theta_terms))
-            .select("query_id", "term", "_idf")
-        )
-        pcontrib = (
-            F.col("_idf")
-            * F.col("tf")
-            * (k1 + 1.0)
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        partial = (
-            tsel.join(posts, "term")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum(pcontrib).alias("_ps"))
-        )
-        # seed docs: the best partial scorers, FULLY scored — the
-        # k-th best of real document scores is a far tighter theta
-        # than the k-th partial (partials ignore the common terms,
-        # which on high-df corpora carry most of the mass); still a
-        # valid lower bound because every seed score is a real
-        # score the final ranking must beat
-        wp = Window.partitionBy("query_id").orderBy(
-            F.col("_ps").desc(), F.col("doc_id").asc()
-        )
-        seed = (
-            partial.withColumn("_pr", F.row_number().over(wp))
-            .filter(F.col("_pr") <= int(max(64, 4 * k)))
-            .select("query_id", "doc_id")
-        )
-        seed_scored = (
-            seed.join(posts, "doc_id")
-            .join(pair_src, ["query_id", "term"])
-            .crossJoin(F.broadcast(stats))
-            .groupBy("query_id", "doc_id")
-            .agg(F.sum(contrib).alias("_fs"))
-        )
-        wf = Window.partitionBy("query_id").orderBy(
-            F.col("_fs").desc(), F.col("doc_id").asc()
-        )
-        theta = (
-            seed_scored.withColumn("_fr", F.row_number().over(wf))
-            .filter(F.col("_fr") <= int(k))
-            .groupBy("query_id")
-            .agg(
-                F.min("_fs").alias("_theta"),
-                F.count(F.lit(1)).alias("_pn"),
-            )
-            # fewer than k seed matches -> no valid lower bound
-            .filter(F.col("_pn") >= int(k))
-            .select("query_id", "_theta")
-        )
-        # essential terms: ub ascending prefix sums above theta
-        # (2e-6 margin clears the 6dp rounding quantum, so a pruned
-        # doc can never tie into the rounded ranking)
-        wasc = (
-            Window.partitionBy("query_id")
-            .orderBy(F.col("_ub").asc(), F.col("term").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        ess = (
-            ub_rel.withColumn("_cum", F.sum("_ub").over(wasc))
-            .join(theta, "query_id", "left")
-            .filter(
-                F.col("_theta").isNull()
-                | (F.col("_cum") > F.col("_theta") - F.lit(2.0e-6))
-            )
-            .select("query_id", "term")
-        )
-        cand = (
-            ess.join(posts, "term")
-            .select("query_id", "doc_id")
-            .distinct()
+        cand = _maxscore_candidates(
+            posts, pair_src, stats, tb, k, k1, b, theta_terms
         )
         # candidates are scored with ALL their matched terms — the
         # surviving sums are the unpruned path's, bit for bit

@@ -1243,3 +1243,29 @@ def test_text_index_prune_legacy_store(spark, tmp_path):
     pr = sorted(map(tuple, query_text_index(
         spark, path, qdf, 5, prune=True).collect()))
     assert pr == un and un
+
+
+def test_bm25_inline_prune_parity(spark):
+    """Inline bm25_topk shares the max-score machinery: on a
+    mixed-df corpus (rare terms under the 10% df cap, so pruning
+    genuinely engages) the auto-pruned default, the forced modes,
+    and the pure-Python reference all agree exactly."""
+    docs, queries = _zipfy_corpus(seed=31)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    want = _bm25_ref(docs, queries, 5)
+    auto = sorted(map(tuple, bm25_topk(ddf, qdf, 5).collect()))
+    off = sorted(map(tuple, bm25_topk(
+        ddf, qdf, 5, prune=False).collect()))
+    forced = sorted(map(tuple, bm25_topk(
+        ddf, qdf, 5, prune=True).collect()))
+    assert auto == want and off == want and forced == want
+    # persist/none stay auto-off (lazy contract) but prune=True
+    # still matches
+    lazy = sorted(map(tuple, bm25_topk(
+        ddf, qdf, 5, materialize="none", prune=True).collect()))
+    assert lazy == want
+    with pytest.raises(ValueError):
+        bm25_topk(ddf, qdf, 5, min_match=2, prune=True)
