@@ -185,6 +185,39 @@ def _build_live_text_index(spark, sf_dir: str, path: str) -> None:
     delete_from_text_index(spark, path, where="doc_id % 37 = 0")
 
 
+def _build_live_ivf_index(spark, sf_dir: str, path: str) -> None:
+    """IVF twin of `_build_live_text_index` (r7 verdict #4): 80% of
+    the vectors in the base cell store, two appended batches
+    assigned against the STORED centroids, ~2.7% tombstoned — the
+    query pays the segment union + tombstone anti-join."""
+    import shutil
+
+    from knn_using_hadoop_spark.operators.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        delete_from_ivf_index,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    build_ivf_index(emb.filter(F.col("vec_id") % 10 < 8), path)
+    for m in (8, 9):
+        append_ivf_index(
+            spark, path, emb.filter(F.col("vec_id") % 10 == m)
+        )
+    delete_from_ivf_index(spark, path, where="vec_id % 37 = 0")
+
+
+def _ivf_index_query_live(spark, sf_dir: str, path: str):
+    from knn_using_hadoop_spark.operators.similarity import (
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    return query_ivf_index(spark, path, q, 10, nprobe=4)
+
+
 def _materialize(df) -> None:
     """Execute a result fully via the noop sink.
 
@@ -294,6 +327,16 @@ def main() -> None:
             lambda: _text_index_query(
                 spark, SF_DIR, tidx_live, max_df=500
             ),
+        )
+    )
+    ivf_live = (
+        f"/tmp/spark_graft_ivf_index_live_{_sf_from_dir(SF_DIR)}"
+    )
+    _build_live_ivf_index(spark, SF_DIR, ivf_live)
+    legs.append(
+        (
+            "ivf_index_query_live",
+            lambda: _ivf_index_query_live(spark, SF_DIR, ivf_live),
         )
     )
     legs.append(("knn_predict_large", _knn_large))

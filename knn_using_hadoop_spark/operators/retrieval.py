@@ -708,9 +708,10 @@ def _maxscore_candidates(
             + k1 * (1.0 - b + b * F.col("min_dl") / F.col("avgdl"))
         )
     )
-    # (query, term) bound relation — query-sample-sized; one eager
-    # checkpoint so the theta and partition passes don't re-run the
-    # bound aggregation
+    # (query, term) bound relation — query-sample-sized; a lazy
+    # cache so the theta and partition passes share one bound
+    # aggregation without paying an eager job at plan-build time
+    # (tiny: one row per (query, distinct term); LRU-evicted)
     ub_rel = (
         pair_src.join(tb, "term")
         .crossJoin(F.broadcast(stats))
@@ -722,7 +723,7 @@ def _maxscore_candidates(
             idf.alias("_idf"),
             ub.alias("_ub"),
         )
-        .localCheckpoint(eager=True)
+        .persist()
     )
     # theta seeds: partial scores over the rare high-ub terms
     wub = Window.partitionBy("query_id").orderBy(
