@@ -288,15 +288,19 @@ def _text_postings(
     text_col: str,
     n_buckets: int,
     attribute_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> DataFrame:
     """One corpus pass -> the bucketed postings relation: (doc_id,
-    term, tf, dl, head, bucket[, attributes]). ``head`` marks
-    exactly one group per document (the position-0 token's group,
-    or the null-term row of a termless document), so n_docs/avgdl
-    rebuild from the store alone. ``attribute_cols`` ride
-    denormalized on every posting row (parquet dictionary encoding
-    keeps the repeats cheap) so a metadata predicate can reach the
-    postings SCAN. Shared by build and segment append."""
+    term, tf, dl, head, bucket[, positions][, attributes]).
+    ``head`` marks exactly one group per document (the position-0
+    token's group, or the null-term row of a termless document), so
+    n_docs/avgdl rebuild from the store alone. ``attribute_cols``
+    ride denormalized on every posting row (parquet dictionary
+    encoding keeps the repeats cheap) so a metadata predicate can
+    reach the postings SCAN. ``positions=True`` stores each term's
+    sorted token-offset array (the Lucene positional index — what
+    phrase queries verify adjacency against; list ints delta-encode
+    well in parquet). Shared by build and segment append."""
     attrs = list(attribute_cols or [])
     ex = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -312,6 +316,17 @@ def _text_postings(
         *attrs,
     )
     head = (F.col("pos") == 0) | F.col("pos").isNull()
+    pos_aggs = (
+        [
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("term").isNotNull(), F.col("pos"))
+                )
+            ).alias("positions")
+        ]
+        if positions
+        else []
+    )
     return ex.groupBy("doc_id", "term").agg(
         F.count(F.when(F.col("term").isNotNull(), 1))
         .cast("double")
@@ -320,6 +335,7 @@ def _text_postings(
         F.max(F.when(head, 1).otherwise(0))
         .cast("int")
         .alias("head"),
+        *pos_aggs,
         *[F.first(c).alias(c) for c in attrs],
     ).withColumn(
         "bucket",
@@ -335,8 +351,18 @@ def build_text_index(
     text_col: str = "text",
     n_buckets: int = 64,
     attribute_cols: list[str] | None = None,
+    positions: bool = False,
 ) -> None:
     """Persist a BM25 inverted index: tokenize once, query many.
+
+    ``positions=True`` stores each posting's sorted token-offset
+    array (the Lucene positional index), enabling
+    ``query_text_index(phrase=True)`` exact-phrase search. Costs
+    one extra list column in the postings store (delta-friendly
+    ints); df/stats/bucketing are unchanged, so every non-phrase
+    query runs identically (parquet column pruning skips the
+    positions column unless a phrase asks for it). Recorded in the
+    meta manifest so segment appends carry positions too.
 
     ``bm25_topk`` re-tokenizes its corpus per query batch — right
     for ad-hoc use, wrong for a serving index: at 100 TB the
@@ -375,7 +401,12 @@ def build_text_index(
     """
     (
         _text_postings(
-            docs, id_col, text_col, n_buckets, attribute_cols
+            docs,
+            id_col,
+            text_col,
+            n_buckets,
+            attribute_cols,
+            positions,
         )
         .write.mode("overwrite")
         .partitionBy("bucket")
@@ -415,8 +446,9 @@ def build_text_index(
         .parquet(f"{path}/stats")
     )
     spark.createDataFrame(
-        [(int(n_buckets), list(attribute_cols or []))],
-        "n_buckets int, attribute_cols array<string>",
+        [(int(n_buckets), list(attribute_cols or []), bool(positions))],
+        "n_buckets int, attribute_cols array<string>, "
+        "positions boolean",
     ).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -455,13 +487,18 @@ def append_text_index(
     FileSystem API), so the lifecycle behaves identically on local
     paths, ``file://`` URIs, and ``hdfs://``/``s3a://`` stores."""
     meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    n_buckets = meta["n_buckets"]
-    attrs = list(meta["attribute_cols"] or [])
+    md = meta.asDict()
+    n_buckets = md["n_buckets"]
+    attrs = list(md["attribute_cols"] or [])
+    # pre-r8 manifests have no positions flag
+    with_pos = bool(md.get("positions", False))
     sdir = f"{path}/postings_seg"
     if batch_id is None:
         batch_id = store.next_batch_id(spark, sdir)
     (
-        _text_postings(docs, id_col, text_col, n_buckets, attrs)
+        _text_postings(
+            docs, id_col, text_col, n_buckets, attrs, with_pos
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(f"{sdir}/ingest_batch={int(batch_id)}")
@@ -823,6 +860,7 @@ def query_text_index(
     doc_filter: Column | str | None = None,
     prune: bool | None = None,
     theta_terms: int = 8,
+    phrase: bool = False,
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     query_text_col: str = "text",
@@ -880,6 +918,24 @@ def query_text_index(
     plan degenerates to the unpruned shape plus three bounded
     metadata passes — pruning is an optimization, never a
     semantics change.
+
+    ``phrase=True`` (r8; requires an index built with
+    ``positions=True``): each query's text is an EXACT phrase — a
+    document matches only where the phrase's tokens occur at
+    consecutive positions. Adjacency is verified JVM-side with
+    higher-order array functions over the stored position lists
+    (anchor on the offset-0 term's positions, ``forall`` the rest
+    at ``p + offset`` — duplicate phrase terms just appear at two
+    offsets), entirely inside the bucket-pruned term join: cost
+    scales with the phrase terms' posting lists, like any query.
+    Scoring is Lucene's PhraseQuery contract: tf = the number of
+    phrase OCCURRENCES, idf = the sum over phrase positions of the
+    member terms' idfs (duplicates counted), same BM25 saturation
+    and rounding/tie protocol. ``max_df`` (a capped phrase term
+    would silently change the phrase), ``min_match`` (a phrase is
+    all-or-nothing) and ``prune`` (bounds are per-term, phrase tf
+    is not) all raise with phrase=True. Composes with segments,
+    tombstones, and ``doc_filter`` like any query.
 
     Plan: the distinct query terms map to their hash buckets; the
     bucket ids are a bounded driver fetch (<= |distinct query
@@ -965,10 +1021,18 @@ def query_text_index(
             if isinstance(doc_filter, str)
             else doc_filter
         )
+    if phrase and "positions" not in members.columns:
+        raise ValueError(
+            "phrase=True needs a positional index: rebuild with "
+            "build_text_index(..., positions=True)"
+        )
+    post_cols = ["doc_id", "term", "tf", "dl"] + (
+        ["positions"] if phrase else []
+    )
     posts = (
         members.filter(F.col("bucket").isin(probed))
         .join(F.broadcast(qset.select("term")), "term")
-        .select("doc_id", "term", "tf", "dl")
+        .select(*post_cols)
     )
     if seg is not None:
         # fold crash-window duplicates (same posting in base AND a
@@ -986,8 +1050,16 @@ def query_text_index(
             "removes docs from the ranking by match count, so the "
             "k-th-score bound would over-prune"
         )
-    prune_active = (prune is True) or (
-        prune is None and max_df is None and min_match == 1
+    if phrase and (
+        max_df is not None or min_match > 1 or prune is True
+    ):
+        raise ValueError(
+            "phrase=True is all-or-nothing exact matching: max_df, "
+            "min_match and prune do not compose with it"
+        )
+    prune_active = (not phrase) and (
+        (prune is True)
+        or (prune is None and max_df is None and min_match == 1)
     )
     terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
@@ -1049,6 +1121,119 @@ def query_text_index(
         1.0 - b + b * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    if phrase:
+        # ---- exact-phrase scoring (see docstring) ----
+        qpos = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.posexplode(tokens(F.col(query_text_col))).alias(
+                "i", "term"
+            ),
+        )
+        plen = qpos.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("_plen")
+        )
+        # Lucene PhraseQuery weight: sum of the member terms' idfs
+        # over phrase positions (duplicates counted); _qn guards
+        # that every position's term exists in the corpus
+        qidf = (
+            qpos.join(dfreq, "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("query_id")
+            .agg(
+                F.sum(idf).alias("_qidf"),
+                F.count(F.lit(1)).alias("_qn"),
+            )
+        )
+        # leading-term candidate generation (the Lucene leading-
+        # cursor discipline): only documents containing the query's
+        # LOWEST-df phrase member can match the phrase, so the
+        # position-list aggregation below runs over at most min-df
+        # docs per query — never over every doc matching some common
+        # phrase word (measured 96.7s -> bounded at the 500k Zipf
+        # shape without it vs with it)
+        wl = Window.partitionBy("query_id").orderBy(
+            F.col("df").asc(), F.col("i").asc()
+        )
+        lead = (
+            qpos.join(dfreq, "term")
+            .withColumn("_lr", F.row_number().over(wl))
+            .filter(F.col("_lr") == 1)
+            .select("query_id", "term")
+        )
+        cand = lead.join(posts, "term").select(
+            "query_id", "doc_id"
+        )
+        grouped = (
+            cand.join(posts, "doc_id")
+            .join(qpos, ["query_id", "term"])
+            .groupBy("query_id", "doc_id")
+            .agg(
+                F.collect_list(F.struct("i", "positions")).alias(
+                    "_sl"
+                ),
+                F.countDistinct("i").alias("_ni"),
+                F.first("dl").alias("dl"),
+            )
+        )
+        # adjacency: anchor on the offset-0 positions, require every
+        # phrase offset present at p + i — all JVM higher-order
+        # array functions, no Python in the row path
+        # try_: a doc matching other offsets but not offset 0 has no
+        # anchor — null propagates to _ptf = -1 and the filter drops
+        # it regardless of predicate evaluation order
+        anchor = F.try_element_at(
+            F.filter("_sl", lambda s: s["i"] == F.lit(0)),
+            F.lit(1),
+        )["positions"]
+        ptf = F.size(
+            F.filter(
+                anchor,
+                lambda p: F.forall(
+                    F.col("_sl"),
+                    lambda s: F.array_contains(
+                        s["positions"], p + s["i"]
+                    ),
+                ),
+            )
+        )
+        pdenom = F.col("_ptf") + k1 * (
+            1.0 - b + b * F.col("dl") / F.col("avgdl")
+        )
+        scored = (
+            grouped.join(F.broadcast(plen), "query_id")
+            .join(F.broadcast(qidf), "query_id")
+            .filter(
+                (F.col("_ni") == F.col("_plen"))
+                & (F.col("_qn") == F.col("_plen"))
+            )
+            .withColumn("_ptf", ptf.cast("double"))
+            .filter(F.col("_ptf") > 0)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "query_id",
+                "doc_id",
+                F.round(
+                    F.col("_qidf")
+                    * F.col("_ptf")
+                    * (k1 + 1.0)
+                    / pdenom,
+                    6,
+                ).alias("bm25"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("bm25").desc(), F.col("doc_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "rank",
+                F.col("doc_id").alias(id_col),
+                "bm25",
+            )
+        )
     pair_src = qterms.join(dfreq, "term")
     if prune_active:
         # ---- max-score pruning (see docstring) ----

@@ -1269,3 +1269,154 @@ def test_bm25_inline_prune_parity(spark):
     assert lazy == want
     with pytest.raises(ValueError):
         bm25_topk(ddf, qdf, 5, min_match=2, prune=True)
+
+
+def _phrase_ref(docs, queries, k, k1=1.2, b=0.75):
+    """Pure-Python Lucene PhraseQuery reference: tf = exact
+    (overlap-counting) phrase occurrences, idf = sum over phrase
+    positions of member-term idfs, BM25 saturation, 6dp/lowest-id
+    protocol."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    out = []
+    for qid, qt in queries:
+        pt = qt.split(" ")
+        if any(t not in df for t in pt):
+            continue
+        qidf = sum(idf(t) for t in pt)
+        scores = {}
+        for d, tks in toks.items():
+            ptf = float(sum(
+                1
+                for j in range(len(tks) - len(pt) + 1)
+                if tks[j : j + len(pt)] == pt
+            ))
+            if ptf:
+                scores[d] = round(
+                    qidf * ptf * (k1 + 1.0)
+                    / (ptf + k1 * (1 - b + b * len(tks) / avgdl)),
+                    6,
+                )
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out += [
+            (qid, i + 1, d, s)
+            for i, (d, s) in enumerate(ranked[:k])
+        ]
+    return sorted(out)
+
+
+PHRASE_DOCS = list(DOCS) + [
+    (6, "buffalo buffalo buffalo fish"),
+    (7, "the quick brown fox met a quick brown dog"),
+]
+
+
+def test_text_index_phrase_matches_reference(spark, tmp_path):
+    """Exact-phrase search over the positional index == the
+    pure-Python Lucene PhraseQuery reference: adjacency (not bag
+    overlap), overlap-counted phrase tf (the buffalo doc), repeated
+    phrase occurrences in one doc, single-token phrases, and
+    zero-result phrases whose words all exist but never adjacently."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        _spark_docs(spark, PHRASE_DOCS), path, n_buckets=8,
+        positions=True,
+    )
+    queries = [
+        (100, "quick brown"),
+        (101, "the quick brown fox"),
+        (102, "buffalo buffalo"),
+        (103, "zebra"),
+        (104, "fox the"),        # words exist, never adjacent
+        (105, "warm xylophone"),  # unseen word -> no rows
+    ]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    got = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, phrase=True).collect()))
+    want = _phrase_ref(PHRASE_DOCS, queries, 5)
+    assert got == want and got
+    # the buffalo phrase counted overlapping occurrences (ptf=2)
+    assert any(q == 102 for q, *_ in got)
+    assert not any(q in (104, 105) for q, *_ in got)
+    # guards
+    for kw in (
+        {"max_df": 2},
+        {"min_match": 2},
+        {"prune": True},
+    ):
+        with pytest.raises(ValueError):
+            query_text_index(
+                spark, path, qdf, 5, phrase=True, **kw
+            )
+    # a non-positional store refuses phrase queries
+    path2 = str(tmp_path / "tidx2")
+    build_text_index(
+        _spark_docs(spark, PHRASE_DOCS), path2, n_buckets=8
+    )
+    with pytest.raises(ValueError):
+        query_text_index(spark, path2, qdf, 5, phrase=True)
+
+
+def test_text_index_phrase_lifecycle_and_filter(spark, tmp_path):
+    """Phrase search composes with the store lifecycle: appended
+    segments carry positions (meta manifest), tombstoned docs never
+    match, survivors keep pre-delete scores (Lucene deleted-docs
+    statistics), and doc_filter post-filters the exact ranking."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    base, extra = PHRASE_DOCS[:6], PHRASE_DOCS[6:]
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        path, n_buckets=8, positions=True,
+    )
+    append_text_index(
+        spark, path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    queries = [(100, "quick brown"), (102, "buffalo buffalo")]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    got = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, phrase=True).collect()))
+    assert got == _phrase_ref(PHRASE_DOCS, queries, 5)
+    # doc_filter: exact ranking post-filtered and re-ranked
+    feven = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, phrase=True,
+        doc_filter="doc_id % 2 = 0").collect()))
+    full = query_text_index(
+        spark, path, qdf, 100, phrase=True
+    ).collect()
+    want_even = _drop_doomed_and_rerank(
+        full, {d for d, _ in PHRASE_DOCS if d % 2 == 1}, 5
+    )
+    assert feven == want_even
+    # tombstones: deleted docs never match, survivors keep scores
+    delete_from_text_index(spark, path, [1, 7])
+    after = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, phrase=True).collect()))
+    assert after == _drop_doomed_and_rerank(full, {1, 7}, 5)

@@ -474,3 +474,55 @@ def test_text_index_exact_prune_at_100x(spark, corpora):
     # the metadata passes must stay a bounded constant factor even
     # where pruning can't bite (generous for load swings)
     assert t_host_pruned_sub < 4 * t_host_unpruned_sub + 60
+
+
+def test_text_index_phrase_at_100x(spark, corpora):
+    """r8: exact-phrase serving at the 500k shape — the positional
+    store builds once (positions ride as delta-friendly int lists;
+    df/stats unchanged) and a 51-phrase batch answers from the
+    bucket-pruned postings + JVM higher-order adjacency check.
+    Depends on the Zipf corpus the exact-prune test generates (the
+    realistic-vocabulary shape; phrase matching on the hostile
+    82-word corpus would just re-measure the match join)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    zdir = "/tmp/spark_graft_zipf500k"
+    if not os.path.isdir(zdir):
+        pytest.skip("zipf corpus not generated yet (run the "
+                    "exact-prune test first)")
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    # 6-token phrases lifted verbatim from documents: guaranteed
+    # matches, mixed-df member terms
+    zq = zdocs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 3, 6), " "
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    path = "/tmp/spark_graft_text_index_zipf_pos"
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_text_index(zdocs, path, n_buckets=64, positions=True)
+    t_build = time.perf_counter() - t0
+    query_text_index(spark, path, zq, 10, phrase=True).count()
+    t0 = time.perf_counter()
+    n = query_text_index(
+        spark, path, zq, 10, phrase=True
+    ).count()
+    t_query = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    # every query is a verbatim document slice -> its doc matches
+    assert n >= 51
+    print(
+        f"\nzipf500k phrase: positional build {t_build:.1f}s, "
+        f"51-phrase batch {t_query:.1f}s"
+    )
+    assert t_build < 180, f"positional build: {t_build:.0f}s"
+    assert t_query < 60, f"phrase batch: {t_query:.0f}s"
