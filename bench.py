@@ -299,6 +299,7 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet"),
         tidx_path,
         n_buckets=64,
+        positions=True,  # r8: non-phrase legs column-prune this
     )
     legs.append(
         (
@@ -316,6 +317,23 @@ def main() -> None:
             lambda: _text_index_query(spark, SF_DIR, tidx_path),
         )
     )
+    # r8: exact-phrase serving over the positional store — 6-token
+    # verbatim document slices, Lucene leading-term candidates
+    def _phrase_leg():
+        from knn_using_hadoop_spark.operators.retrieval import (
+            query_text_index,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        q = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 3, 6), " "
+            ).alias("text"),
+        )
+        return query_text_index(spark, tidx_path, q, 10, phrase=True)
+
+    legs.append(("text_index_query_phrase", _phrase_leg))
     # r8: serving with live segments + tombstones (r7 verdict #4)
     tidx_live = (
         f"/tmp/spark_graft_text_index_live_{_sf_from_dir(SF_DIR)}"

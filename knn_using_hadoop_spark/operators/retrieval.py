@@ -906,11 +906,15 @@ def query_text_index(
        the rounded ranking; parity pinned in pytest, hostile-corpus
        wall-clock in NOTES).
 
-    Default ``prune=None`` auto-enables exactly on the unguarded
-    exact path (``max_df is None and min_match == 1``) — the regime
-    whose pair volume is unbounded; ``max_df`` queries keep their
-    (already bounded) single-pass plan. ``prune=True`` forces it
-    (also under ``max_df``); ``prune=False`` disables.
+    Default ``prune=None`` auto-enables on the unguarded exact path
+    (``max_df is None and min_match == 1``) — the regime whose pair
+    volume is unbounded — AND only when the base store holds >=
+    100k documents (one-row stats read): below that the pruner's
+    fixed ~2-3s of metadata passes cost more than the single-pass
+    plan they'd save, so small stores keep the plain plan.
+    ``max_df`` queries keep their (already bounded) single-pass
+    plan. ``prune=True`` forces pruning at any size (also under
+    ``max_df``); ``prune=False`` disables.
     ``min_match > 1`` cannot prune (dropping low-score docs changes
     which docs survive the match-count filter, so theta would
     over-prune) and raises if forced. On a corpus with NO rare
@@ -1061,6 +1065,17 @@ def query_text_index(
         (prune is True)
         or (prune is None and max_df is None and min_match == 1)
     )
+    if prune_active and prune is None:
+        # size-aware auto: the pruner's three metadata passes are a
+        # ~2-3s fixed cost (measured, NOTES r8) that only pays for
+        # itself when posting lists are long; below ~100k docs the
+        # plain single-pass plan wins. One-row driver read of the
+        # stats store (same cost class as the meta read above).
+        # prune=True forces pruning at any size.
+        n_base = spark.read.parquet(f"{path}/stats").collect()[0][
+            "n_docs"
+        ]
+        prune_active = float(n_base or 0) >= 100_000
     terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
         terms_store
