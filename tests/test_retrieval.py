@@ -252,25 +252,32 @@ def test_bm25_plan_is_jvm_only(spark):
 
 def test_text_index_plan_is_jvm_only(spark, tmp_path):
     """Same anti-pattern pin for the persisted-index query path: no
-    row-Python, top-k window planned as a group limit."""
+    row-Python, top-k window planned as a group limit — pinned on
+    all three plan shapes: the plain path (auto pruning stays off
+    below the 100k-doc threshold), the forced max-score-pruned
+    path, and the phrase path (higher-order adjacency functions are
+    JVM expressions, not Python)."""
     from knn_using_hadoop_spark.operators.retrieval import (
         build_text_index,
         query_text_index,
     )
 
     path = str(tmp_path / "tidx")
-    build_text_index(_spark_docs(spark), path, n_buckets=8)
+    build_text_index(
+        _spark_docs(spark), path, n_buckets=8, positions=True
+    )
     qdf = spark.createDataFrame(
         [(1, "quick fox")], "query_id long, text string"
     )
-    plan = (
-        query_text_index(spark, path, qdf, 3)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BatchEvalPython" not in plan
-    assert "WindowGroupLimit" in plan
+    for kw in ({}, {"prune": True}, {"phrase": True}):
+        plan = (
+            query_text_index(spark, path, qdf, 3, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, kw
+        assert "WindowGroupLimit" in plan, kw
 
 
 def test_bm25_one_corpus_scan(spark, tmp_path):
