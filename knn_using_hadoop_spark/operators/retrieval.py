@@ -595,65 +595,155 @@ def delete_from_text_index(
     return n
 
 
+def _dynamic_overwrite(df: DataFrame, part_col: str, dest: str):
+    """Dynamic-partition overwrite: only the partitions PRESENT in
+    ``df`` are replaced; untouched directories keep their files —
+    the selective-compaction write both index lifecycles use."""
+    spark = df.sparkSession
+    prev = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
+    spark.conf.set(
+        "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    )
+    try:
+        df.write.mode("overwrite").partitionBy(part_col).parquet(
+            dest
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", prev
+        )
+
+
 def compact_text_index(spark, path: str) -> None:
     """Fold segments and tombstones into the base text index — the
-    Lucene merge: live postings (base + segments, tombstoned docs
-    dropped) rewrite the base store, then the df and corpus-stats
-    stores recompute from the rewritten postings (statistics snap
-    back to exactly-live, the post-merge semantics). Bounded by the
-    INDEX size, never the corpus — no re-tokenization.
+    Lucene merge, PARTITION-SELECTIVE (r8, the `compact_ivf_index`
+    discipline): only the AFFECTED buckets — those receiving
+    segment rows or owning a tombstoned document's postings — are
+    rewritten via dynamic partition overwrite; untouched buckets
+    keep their files, so compacting a small append costs the
+    delta's buckets, not the index (pinned in pytest: unaffected
+    bucket files are byte-identical after a compact). A term's
+    postings live in exactly one bucket, so the df/max_tf/min_dl
+    terms store also recomputes ONLY for affected buckets (exact).
+    Corpus stats recompute globally from the rewritten store's
+    head rows — a two-column, head-only scan — because an
+    incremental stats fold would double-count after a crash
+    between a rewrite and its segment removal; the full recompute
+    is idempotent by construction. Statistics snap back to
+    exactly-live (the post-merge semantics). Never re-tokenizes.
 
     Crash ordering mirrors ``compact_ivf_index``: survivors are
     id-deduped on (doc_id, term) and checkpointed BEFORE the
     overwrite (the plan reads the files it replaces; a crash
     between the rewrite and segment removal leaves duplicate
-    identical rows that the re-run folds back), segments are
-    dropped only after the postings+terms+stats rewrite, tombstones
-    last."""
+    identical rows that the re-run folds back), buckets emptied by
+    the rewrite lose their directory explicitly (dynamic overwrite
+    only replaces partitions it writes), segments are dropped only
+    after the postings+terms+stats rewrite, tombstones last.
+    Single-writer assumed, as with any non-catalog parquet
+    maintenance."""
     sdir = f"{path}/postings_seg"
     tdir = f"{path}/tombstones"
     seg = store.read_segments(spark, sdir)
-    has_tomb = store.has_children(spark, tdir)
-    if seg is None and not has_tomb:
+    tomb = store.read_tombstones(
+        spark, tdir, "doc_id", distinct=True
+    )
+    if seg is None and tomb is None:
         return
-    members = spark.read.parquet(f"{path}/postings")
+    base = spark.read.parquet(f"{path}/postings")
+    affected: set[int] = set()
+    if tomb is not None:
+        affected |= {
+            r["bucket"]
+            for r in base.join(tomb, "doc_id")
+            .select("bucket")
+            .distinct()
+            .collect()
+        }  # bounded by n_buckets
     if seg is not None:
-        members = members.unionByName(seg)
-    members = store.mask_tombstones(spark, tdir, members, "doc_id")
-    live = members.dropDuplicates(
-        ["doc_id", "term"]
-    ).localCheckpoint(eager=True)
-    (
-        live.write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/postings")
-    )
-    post = spark.read.parquet(f"{path}/postings")
-    (
-        post.filter(F.col("tf") > 0)
-        .groupBy("bucket", "term")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("df"),
-            F.max("tf").alias("max_tf"),
-            F.min("dl").alias("min_dl"),
+        affected |= {
+            r["bucket"]
+            for r in seg.select("bucket").distinct().collect()
+        }  # bounded by n_buckets; covers segment-only doomed docs
+    if affected:
+        aff = [int(b) for b in affected]
+        members = base.filter(F.col("bucket").isin(aff))
+        if seg is not None:
+            members = members.unionByName(seg)
+        if tomb is not None:
+            members = members.join(tomb, "doc_id", "left_anti")
+        live = members.dropDuplicates(
+            ["doc_id", "term"]
+        ).localCheckpoint(eager=True)
+        kept = {
+            r["bucket"]
+            for r in live.select("bucket").distinct().collect()
+        }
+        _dynamic_overwrite(live, "bucket", f"{path}/postings")
+        for b in affected - kept:
+            store.remove_dir(spark, f"{path}/postings/bucket={b}")
+        if not kept:
+            # the rewrite emptied every affected bucket; if the
+            # whole store is now empty there is nothing to re-read
+            # (reading a partitionless parquet root fails) — drop
+            # the affected term buckets and zero the stats
+            for b in affected:
+                store.remove_dir(
+                    spark, f"{path}/terms/bucket={b}"
+                )
+            if not any(
+                e.startswith("bucket=")
+                for e in store.child_names(
+                    spark, f"{path}/postings"
+                )
+            ):
+                spark.createDataFrame(
+                    [(0.0, 0.0, 0.0)],
+                    "n_docs double, avgdl double, sum_dl double",
+                ).write.mode("overwrite").parquet(f"{path}/stats")
+                if seg is not None:
+                    store.remove_dir(spark, sdir)
+                if tomb is not None:
+                    store.remove_dir(spark, tdir)
+                return
+        post_aff = spark.read.parquet(f"{path}/postings").filter(
+            F.col("bucket").isin(aff)
         )
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(f"{path}/terms")
-    )
-    (
-        post.filter(F.col("head") == 1)
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("sum_dl"),
+        terms_aff = (
+            post_aff.filter(F.col("tf") > 0)
+            .groupBy("bucket", "term")
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("df"),
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .write.mode("overwrite")
-        .parquet(f"{path}/stats")
-    )
+        tkept = {
+            r["bucket"]
+            for r in terms_aff.select("bucket")
+            .distinct()
+            .collect()
+        }
+        _dynamic_overwrite(terms_aff, "bucket", f"{path}/terms")
+        for b in affected - tkept:
+            store.remove_dir(spark, f"{path}/terms/bucket={b}")
+        (
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("head") == 1)
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+                F.sum("dl").alias("sum_dl"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/stats")
+        )
     if seg is not None:
         store.remove_dir(spark, sdir)
-    if has_tomb:
+    if tomb is not None:
         store.remove_dir(spark, tdir)
 
 

@@ -1427,3 +1427,123 @@ def test_text_index_phrase_lifecycle_and_filter(spark, tmp_path):
     after = sorted(map(tuple, query_text_index(
         spark, path, qdf, 5, phrase=True).collect()))
     assert after == _drop_doomed_and_rerank(full, {1, 7}, 5)
+
+
+def _bucket_files(root):
+    """{bucket_dir: {file: (size, mtime)}} for a bucketed store."""
+    import os
+
+    out = {}
+    for d in os.listdir(root):
+        if not d.startswith("bucket="):
+            continue
+        p = os.path.join(root, d)
+        out[d] = {
+            f: (
+                os.path.getsize(os.path.join(p, f)),
+                os.path.getmtime(os.path.join(p, f)),
+            )
+            for f in os.listdir(p)
+        }
+    return out
+
+
+def test_text_index_selective_compact(spark, tmp_path):
+    """r8: compaction is PARTITION-SELECTIVE — folding a one-term
+    segment (and later a one-doc tombstone) rewrites only the
+    affected bucket; every other bucket's parquet files stay
+    byte-identical (same names, sizes, mtimes). Query parity with
+    inline bm25_topk is asserted after each compact, so
+    selectiveness never trades correctness."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(_spark_docs(spark), path, n_buckets=16)
+    zb = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("zebra")), F.lit(16)).cast("int")
+    ).collect()[0][0]
+    before = _bucket_files(f"{path}/postings")
+    tbefore = _bucket_files(f"{path}/terms")
+
+    # segment append touching exactly the zebra bucket
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(100, "zebra")], "doc_id long, text string"
+        ),
+    )
+    compact_ = __import__(
+        "knn_using_hadoop_spark.operators.retrieval",
+        fromlist=["compact_text_index"],
+    ).compact_text_index
+    compact_(spark, path)
+    after = _bucket_files(f"{path}/postings")
+    tafter = _bucket_files(f"{path}/terms")
+    for d, files in before.items():
+        if d != f"bucket={zb}":
+            assert after[d] == files, f"{d} was rewritten"
+            assert tafter[d] == tbefore[d], f"terms {d} rewritten"
+    assert after[f"bucket={zb}"] != before[f"bucket={zb}"]
+    docs_plus = list(DOCS) + [(100, "zebra")]
+    qdf = spark.createDataFrame(
+        [(1, "zebra stripes"), (2, "quick fox")],
+        "query_id long, text string",
+    )
+    assert sorted(
+        map(tuple, query_text_index(spark, path, qdf, 6).collect())
+    ) == sorted(map(tuple, bm25_topk(
+        _spark_docs(spark, docs_plus), qdf, 6).collect()))
+
+    # tombstone the appended doc: only its (single-term) bucket is
+    # rewritten again
+    mid = _bucket_files(f"{path}/postings")
+    delete_from_text_index(spark, path, [100])
+    compact_(spark, path)
+    final = _bucket_files(f"{path}/postings")
+    for d, files in mid.items():
+        if d != f"bucket={zb}":
+            assert final[d] == files, f"{d} rewritten by delete"
+    assert sorted(
+        map(tuple, query_text_index(spark, path, qdf, 6).collect())
+    ) == sorted(map(tuple, bm25_topk(
+        _spark_docs(spark), qdf, 6).collect()))
+
+
+def test_text_index_compact_emptied_store(spark, tmp_path):
+    """Deleting every document and compacting empties the store
+    cleanly: emptied bucket directories are removed (dynamic
+    overwrite cannot delete what it does not write) and the stats
+    row zeroes instead of the recompute failing on a partitionless
+    parquet root."""
+    import os
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        spark.createDataFrame(
+            [(0, "only doc here")], "doc_id long, text string"
+        ),
+        path,
+        n_buckets=8,
+    )
+    delete_from_text_index(spark, path, [0])
+    compact_text_index(spark, path)
+    assert not [
+        e
+        for e in os.listdir(f"{path}/postings")
+        if e.startswith("bucket=")
+    ]
+    s = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert s["n_docs"] == 0.0
+    assert not os.path.isdir(f"{path}/tombstones")
