@@ -526,3 +526,61 @@ def test_text_index_phrase_at_100x(spark, corpora):
     )
     assert t_build < 180, f"positional build: {t_build:.0f}s"
     assert t_query < 60, f"phrase batch: {t_query:.0f}s"
+
+
+def test_text_index_selective_compact_at_100x(spark, corpora):
+    """r8: selective compaction at the 500k shape — folding a
+    ONE-document segment must cost the document's buckets (<= its
+    distinct terms), not a 500k-doc store rewrite: untouched bucket
+    files stay byte-identical and the wall clock stays in the
+    seconds band (a full rewrite is the ~45s build-sized cost)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        compact_text_index,
+    )
+
+    zdir = "/tmp/spark_graft_zipf500k"
+    if not os.path.isdir(zdir):
+        pytest.skip("zipf corpus not generated yet")
+    path = "/tmp/spark_graft_text_index_zipf_compact"
+    shutil.rmtree(path, ignore_errors=True)
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    build_text_index(zdocs, path, n_buckets=64)
+
+    def files(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                p = os.path.join(root, d)
+                out[d] = sorted(
+                    (f, os.path.getsize(os.path.join(p, f)))
+                    for f in os.listdir(p)
+                )
+        return out
+
+    before = files(f"{path}/postings")
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(9_999_999, "t3 t17 t99 t4021")],
+            "doc_id long, text string",
+        ),
+    )
+    t0 = time.perf_counter()
+    compact_text_index(spark, path)
+    dt = time.perf_counter() - t0
+    after = files(f"{path}/postings")
+    touched = [d for d in before if after[d] != before[d]]
+    print(
+        f"\nzipf500k selective compact: {dt:.1f}s, "
+        f"{len(touched)}/64 buckets rewritten"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    assert len(touched) <= 4  # <= the delta's distinct term buckets
+    assert dt < 30, f"one-doc compact took {dt:.0f}s"
