@@ -4878,20 +4878,12 @@ def compact_ivf_index(spark, path: str) -> None:
                 r["cell"]
                 for r in survivors.select("cell").distinct().collect()
             }
-            prev = spark.conf.get(
-                "spark.sql.sources.partitionOverwriteMode", "static"
+            # per-write dynamic overwrite (r8 ADVICE #3): the mode
+            # rides on the DataFrameWriter, so no concurrent write
+            # on the session sees a flipped global conf
+            store.dynamic_overwrite(
+                survivors, "cell", f"{path}/{store_name}"
             )
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", "dynamic"
-            )
-            try:
-                survivors.write.mode("overwrite").partitionBy(
-                    "cell"
-                ).parquet(f"{path}/{store_name}")
-            finally:
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", prev
-                )
             for c in affected - kept:
                 store.remove_dir(
                     spark, f"{path}/{store_name}/cell={c}"

@@ -47,6 +47,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "child_names",
+    "dynamic_overwrite",
     "exists_dir",
     "has_children",
     "has_segments",
@@ -57,6 +58,24 @@ __all__ = [
     "remove_dir",
     "segment_batch_ids",
 ]
+
+
+def dynamic_overwrite(df: DataFrame, part_col: str, dest: str) -> None:
+    """Dynamic-partition overwrite: only the partitions PRESENT in
+    ``df`` are replaced; untouched directories keep their files —
+    the selective-compaction write both index lifecycles use.
+
+    The mode is set as a PER-WRITE DataFrameWriter option (it takes
+    precedence over ``spark.sql.sources.partitionOverwriteMode``),
+    not by flipping the session conf: a session-conf flip would make
+    every CONCURRENT overwrite on the same SparkSession silently
+    dynamic for the write's duration (r8 ADVICE #3)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(dest)
+    )
 
 
 def _fs_and_path(spark, path: str):

@@ -177,15 +177,15 @@ def merge_into_parquet(
     )
     merged = merged.localCheckpoint(eager=True)
 
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    try:
-        spark.conf.set(conf_key, "dynamic")
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
-            path
-        )
-    finally:
-        spark.conf.set(conf_key, prev)
+    # per-write dynamic overwrite (r8 ADVICE #3): the option rides on
+    # the DataFrameWriter (taking precedence over the session conf),
+    # so concurrent overwrites on the same session never silently
+    # turn dynamic during this write
+    from knn_using_hadoop_spark.sources.index_store import (
+        dynamic_overwrite,
+    )
+
+    dynamic_overwrite(merged, partition_col, path)
 
     written = {
         r[0] for r in merged.select(partition_col).distinct().collect()

@@ -1036,9 +1036,14 @@ def test_null_text_doc_counts_as_empty_in_stats(spark, tmp_path):
         [(0, "a b c d"), (1, "e f"), (2, None)],
         "doc_id long, text string",
     )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        _read_stats,
+    )
+
     path = str(tmp_path / "tidx")
     build_text_index(docs, path, n_buckets=4)
-    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    # r9: the stats store is per-bucket partials; _read_stats sums
+    st = _read_stats(spark, path).collect()[0]
     assert st["n_docs"] == 3.0
     assert st["sum_dl"] == 6.0  # 4 + 2 + 0, not 4 + 2 - 1
     assert abs(st["avgdl"] - 2.0) < 1e-12
@@ -1452,8 +1457,9 @@ def test_text_index_selective_compact(spark, tmp_path):
     """r8: compaction is PARTITION-SELECTIVE — folding a one-term
     segment (and later a one-doc tombstone) rewrites only the
     affected bucket; every other bucket's parquet files stay
-    byte-identical (same names, sizes, mtimes). Query parity with
-    inline bm25_topk is asserted after each compact, so
+    byte-identical (same names, sizes, mtimes) across the postings,
+    terms AND (r9) the per-bucket stats-partials stores. Query
+    parity with inline bm25_topk is asserted after each compact, so
     selectiveness never trades correctness."""
     from knn_using_hadoop_spark.operators.retrieval import (
         append_text_index,
@@ -1469,6 +1475,7 @@ def test_text_index_selective_compact(spark, tmp_path):
     ).collect()[0][0]
     before = _bucket_files(f"{path}/postings")
     tbefore = _bucket_files(f"{path}/terms")
+    sbefore = _bucket_files(f"{path}/stats")
 
     # segment append touching exactly the zebra bucket
     append_text_index(
@@ -1485,11 +1492,18 @@ def test_text_index_selective_compact(spark, tmp_path):
     compact_(spark, path)
     after = _bucket_files(f"{path}/postings")
     tafter = _bucket_files(f"{path}/terms")
+    safter = _bucket_files(f"{path}/stats")
     for d, files in before.items():
         if d != f"bucket={zb}":
             assert after[d] == files, f"{d} was rewritten"
             assert tafter[d] == tbefore[d], f"terms {d} rewritten"
+    for d, files in sbefore.items():
+        if d != f"bucket={zb}":
+            assert safter[d] == files, f"stats {d} rewritten"
     assert after[f"bucket={zb}"] != before[f"bucket={zb}"]
+    # the appended doc's head row lands in the zebra bucket, so its
+    # stats partial must have been rewritten (and only it)
+    assert safter[f"bucket={zb}"] != sbefore.get(f"bucket={zb}")
     docs_plus = list(DOCS) + [(100, "zebra")]
     qdf = spark.createDataFrame(
         [(1, "zebra stripes"), (2, "quick fox")],
@@ -1503,12 +1517,17 @@ def test_text_index_selective_compact(spark, tmp_path):
     # tombstone the appended doc: only its (single-term) bucket is
     # rewritten again
     mid = _bucket_files(f"{path}/postings")
+    smid = _bucket_files(f"{path}/stats")
     delete_from_text_index(spark, path, [100])
     compact_(spark, path)
     final = _bucket_files(f"{path}/postings")
+    sfinal = _bucket_files(f"{path}/stats")
     for d, files in mid.items():
         if d != f"bucket={zb}":
             assert final[d] == files, f"{d} rewritten by delete"
+    for d, files in smid.items():
+        if d != f"bucket={zb}":
+            assert sfinal[d] == files, f"stats {d} rewritten"
     assert sorted(
         map(tuple, query_text_index(spark, path, qdf, 6).collect())
     ) == sorted(map(tuple, bm25_topk(
@@ -1537,6 +1556,10 @@ def test_text_index_compact_emptied_store(spark, tmp_path):
         path,
         n_buckets=8,
     )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        _read_stats,
+    )
+
     delete_from_text_index(spark, path, [0])
     compact_text_index(spark, path)
     assert not [
@@ -1544,6 +1567,6 @@ def test_text_index_compact_emptied_store(spark, tmp_path):
         for e in os.listdir(f"{path}/postings")
         if e.startswith("bucket=")
     ]
-    s = spark.read.parquet(f"{path}/stats").collect()[0]
+    s = _read_stats(spark, path).collect()[0]
     assert s["n_docs"] == 0.0
     assert not os.path.isdir(f"{path}/tombstones")
