@@ -1570,3 +1570,141 @@ def test_text_index_compact_emptied_store(spark, tmp_path):
     s = _read_stats(spark, path).collect()[0]
     assert s["n_docs"] == 0.0
     assert not os.path.isdir(f"{path}/tombstones")
+
+
+def test_text_index_compact_migrates_legacy_layouts(spark, tmp_path):
+    """r9 (r8 ADVICE #1): the first compact over a store with legacy
+    layouts migrates them WHOLESALE — a pre-r8 terms store (no
+    max_tf/min_dl) is rebuilt for all buckets (a delta rewrite would
+    leave a mixed-schema store whose schema-merged NULL bounds read
+    as prunable-to-zero in the max-score essential sum, silently
+    dropping docs from the exact top-k), and a pre-r9 one-row stats
+    store is rebuilt into the bucketed-partials layout. Query parity
+    (pruned AND unpruned) is asserted against inline bm25_topk over
+    the post-compact corpus."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        _read_stats,
+        append_text_index,
+        build_text_index,
+        compact_text_index,
+        query_text_index,
+    )
+
+    docs, queries = _zipfy_corpus(seed=41)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    # rewrite terms in the r7 (pre-bounds) layout and stats in the
+    # r8 (one-row) layout
+    legacy_terms = (
+        spark.read.parquet(f"{path}/terms")
+        .select("bucket", "term", "df")
+        .localCheckpoint(eager=True)
+    )
+    legacy_terms.write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/terms")
+    st = _read_stats(spark, path).localCheckpoint(eager=True)
+    import shutil
+
+    shutil.rmtree(f"{path}/stats")
+    st.write.parquet(f"{path}/stats")
+    assert "bucket" not in spark.read.parquet(
+        f"{path}/stats"
+    ).columns
+
+    # a small append, then compact: the migration round
+    extra = [(900, "c0 c1 r3"), (901, "r5 c2")]
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    compact_text_index(spark, path)
+
+    terms = spark.read.parquet(f"{path}/terms")
+    assert "max_tf" in terms.columns
+    # the whole store migrated: no NULL bounds anywhere
+    assert (
+        terms.filter(
+            F.col("max_tf").isNull() | F.col("min_dl").isNull()
+        ).count()
+        == 0
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    assert "bucket" in stats.columns
+    s = _read_stats(spark, path).collect()[0]
+    assert s["n_docs"] == float(len(docs) + len(extra))
+
+    docs_plus = docs + extra
+    want = sorted(map(tuple, bm25_topk(
+        spark.createDataFrame(
+            docs_plus, "doc_id long, text string"
+        ), qdf, 5).collect()))
+    got_pruned = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, prune=True).collect()))
+    got_plain = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 5, prune=False).collect()))
+    assert got_pruned == want and got_plain == want
+
+
+def test_text_index_compact_heals_unmatched_tombstones(
+    spark, tmp_path
+):
+    """r9: tombstones that match nothing in base or segments (a
+    delete of never-present ids — indistinguishable from the remnant
+    of a compact that crashed between its postings rewrite and its
+    stats rewrite) trigger the conservative all-bucket stats
+    rebuild; the store stays exactly consistent and queryable."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        _read_stats,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    path = str(tmp_path / "tidx")
+    build_text_index(_spark_docs(spark), path, n_buckets=8)
+    before = _read_stats(spark, path).collect()[0]
+    delete_from_text_index(spark, path, [777, 778])  # never present
+    compact_text_index(spark, path)
+    after = _read_stats(spark, path).collect()[0]
+    assert after == before
+    qdf = spark.createDataFrame(
+        [(1, "quick fox")], "query_id long, text string"
+    )
+    assert sorted(map(tuple, query_text_index(
+        spark, path, qdf, 3).collect())) == sorted(map(
+            tuple, bm25_topk(_spark_docs(spark), qdf, 3).collect()))
+
+
+def test_pruned_queries_leave_no_cached_relations(spark, tmp_path):
+    """r9 (r8 verdict #4 / ADVICE #2): the max-score pruner's bound
+    relation must not accumulate in the session cacheManager across
+    queries — a long-lived serving session issuing thousands of
+    pruned queries used to stack one persisted relation per query
+    (LRU kept it correct but churned the block manager). The bound
+    relation is now an eager localCheckpoint (GC-cleaned), so the
+    cacheManager stays EMPTY after any number of pruned queries."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs, queries = _zipfy_corpus(seed=53)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    for _ in range(3):
+        query_text_index(spark, path, qdf, 5, prune=True).count()
+        bm25_topk(ddf, qdf, 5, prune=True).count()
+    assert cm.isEmpty(), "pruned queries left persisted relations"
