@@ -1708,3 +1708,182 @@ def test_pruned_queries_leave_no_cached_relations(spark, tmp_path):
         query_text_index(spark, path, qdf, 5, prune=True).count()
         bm25_topk(ddf, qdf, 5, prune=True).count()
     assert cm.isEmpty(), "pruned queries left persisted relations"
+
+
+def _sloppy_ref(docs, queries, k, slop, k1=1.2, b=0.75):
+    """Pure-Python reference for the r9 sloppy-phrase contract:
+    anchors = occurrences of the offset-0 term; displacement(p) =
+    sum over offsets i>0 of min over the member's positions q of
+    |q - (p+i)|; tf = sum over anchors with displacement <= slop of
+    1/(1+displacement); idf/saturation/rounding/ties = the exact
+    phrase protocol. slop=0 reduces to the exact-phrase reference."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    out = []
+    for qid, qt in queries:
+        pt = qt.split(" ")
+        if any(t not in df for t in pt):
+            continue
+        qidf = sum(idf(t) for t in pt)
+        scores = {}
+        for d, tks in toks.items():
+            pos = {}
+            for j, t in enumerate(tks):
+                pos.setdefault(t, []).append(j)
+            if any(t not in pos for t in pt):
+                continue
+            ptf = 0.0
+            for p in pos[pt[0]]:
+                disp = sum(
+                    min(abs(q - (p + i)) for q in pos[pt[i]])
+                    for i in range(1, len(pt))
+                )
+                if disp <= slop:
+                    ptf += 1.0 / (1.0 + disp)
+            if ptf > 0:
+                scores[d] = round(
+                    qidf * ptf * (k1 + 1.0)
+                    / (ptf + k1 * (1 - b + b * len(tks) / avgdl)),
+                    6,
+                )
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out += [
+            (qid, i + 1, d, s)
+            for i, (d, s) in enumerate(ranked[:k])
+        ]
+    return sorted(out)
+
+
+def test_text_index_sloppy_phrase(spark, tmp_path):
+    """r9 sloppy phrase: engine == the pure-Python reference across
+    slops; slop=0 == the exact phrase path bit-for-bit; a slop wide
+    enough to absorb an inserted word matches where exact does not;
+    validation raises on slop without phrase and negative slop."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    docs = PHRASE_DOCS + [
+        # one word inserted inside the phrase: exact misses,
+        # slop>=1 catches ("quick [red] brown fox")
+        (8, "a quick red brown fox in the field"),
+        # transposed members: "brown quick fox"
+        (9, "brown quick fox runs away"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8, positions=True)
+    queries = [
+        (1, "quick brown fox"),
+        (2, "buffalo buffalo"),
+        (3, "lazy dog"),
+        (4, "zebra"),
+    ]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    for slop in (0, 1, 2, 4):
+        got = sorted(map(tuple, query_text_index(
+            spark, path, qdf, 10, phrase=True, slop=slop
+        ).collect()))
+        assert got == _sloppy_ref(docs, queries, 10, slop), (
+            f"slop={slop}"
+        )
+    # slop=0 == the exact phrase scorer, bit for bit
+    exact = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 10, phrase=True).collect()))
+    assert sorted(map(tuple, query_text_index(
+        spark, path, qdf, 10, phrase=True, slop=0
+    ).collect())) == exact
+    # the inserted-word doc appears only once slop allows it
+    q1 = spark.createDataFrame(
+        [(1, "quick brown fox")], "query_id long, text string"
+    )
+    exact_docs = {r[2] for r in query_text_index(
+        spark, path, q1, 10, phrase=True).collect()}
+    sloppy_docs = {r[2] for r in query_text_index(
+        spark, path, q1, 10, phrase=True, slop=2).collect()}
+    assert 8 not in exact_docs and 8 in sloppy_docs
+    with pytest.raises(ValueError):
+        query_text_index(spark, path, qdf, 5, slop=1)
+    with pytest.raises(ValueError):
+        query_text_index(
+            spark, path, qdf, 5, phrase=True, slop=-1
+        )
+
+
+def test_text_index_sloppy_phrase_lifecycle(spark, tmp_path):
+    """Sloppy phrase composes with segments, tombstones, and
+    doc_filter exactly as the exact phrase path does: results always
+    equal the reference over the VISIBLE corpus."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        delete_from_text_index,
+        query_text_index,
+    )
+
+    base = PHRASE_DOCS
+    extra = [(20, "the quick tan brown fox"), (21, "quick brown")]
+    ddf = spark.createDataFrame(base, "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8, positions=True)
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    delete_from_text_index(spark, path, [7])
+    queries = [(1, "quick brown fox"), (2, "quick brown")]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    visible = [d for d in base + extra if d[0] != 7]
+    got = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 10, phrase=True, slop=1
+    ).collect()))
+    # statistics lag physical state pre-compact (Lucene semantics):
+    # df/N/avgdl count the tombstoned doc until compaction, so
+    # compare MATCHED DOC SETS here and exact scores post-compact
+    assert {t[2] for t in got} == {
+        t[2] for t in _sloppy_ref(visible, queries, 10, 1)
+    }
+    assert 7 not in {t[2] for t in got}
+    from knn_using_hadoop_spark.operators.retrieval import (
+        compact_text_index,
+    )
+
+    compact_text_index(spark, path)
+    got = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 10, phrase=True, slop=1
+    ).collect()))
+    assert got == _sloppy_ref(visible, queries, 10, 1)
+    # doc_filter composes: CORPUS-WIDE statistics, ranking
+    # post-filtered and re-ranked (the Lucene filtered-query
+    # contract pinned for the non-phrase path too)
+    flt = sorted(map(tuple, query_text_index(
+        spark, path, qdf, 10, phrase=True, slop=1,
+        doc_filter="doc_id % 2 = 0",
+    ).collect()))
+    full = _sloppy_ref(visible, queries, 100, 1)
+    want = []
+    for qid in {q for q, _ in queries}:
+        kept = [t for t in full if t[0] == qid and t[2] % 2 == 0]
+        kept.sort(key=lambda t: (-t[3], t[2]))
+        want += [
+            (qid, i + 1, t[2], t[3])
+            for i, t in enumerate(kept[:10])
+        ]
+    assert flt == sorted(want)
