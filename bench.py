@@ -138,6 +138,73 @@ def _hybrid_retrieval(spark, sf_dir: str):
     return rrf_fuse([lex, vec], 10)
 
 
+def _hybrid_retrieval_indexed(spark, sf_dir: str, idx_path: str):
+    """Index-backed hybrid serving (r8 verdict #5): the same
+    composition as ``_hybrid_retrieval``, but the chunk-level BM25
+    leg queries the PERSISTED chunk index (built once in setup,
+    before the warm barrier) instead of re-tokenizing the chunked
+    corpus every batch — the serving architecture the text store
+    exists for, A/B-benched against the inline leg (NOTES r9). The
+    chunk->doc map derives from the chunk_key itself
+    (``doc_id:chunk_id``), so only retrieved chunks are mapped."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        maxp_doc_topk,
+        query_text_index,
+        rrf_fuse,
+    )
+    from knn_using_hadoop_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    chunk_rank = query_text_index(
+        spark, idx_path, queries, 10, max_df=500,
+        id_col="chunk_key",
+    )
+    cmap = chunk_rank.select("chunk_key").distinct().select(
+        "chunk_key",
+        F.split("chunk_key", ":")[0].cast("long").alias("doc_id"),
+    )
+    lex = maxp_doc_topk(
+        chunk_rank, cmap, 10, chunk_col="chunk_key"
+    )
+    qv = emb.filter(F.col("vec_id") % 100 == 0)
+    vec = cosine_topk(emb, qv, 10, 64).select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id")
+    )
+    return rrf_fuse([lex, vec], 10)
+
+
+def _build_chunk_text_index(spark, sf_dir: str, path: str) -> None:
+    """One-time setup for the indexed hybrid leg: chunk the corpus
+    and persist the BM25 index AT CHUNK GRANULARITY (chunk_key as
+    the doc id) — what a RAG serving stack builds offline."""
+    import shutil
+
+    from knn_using_hadoop_spark.operators.pipeline import (
+        chunk_windows,
+    )
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_windows(docs, size=64, overlap=16, with_key=True)
+    build_text_index(
+        chunks.select(
+            "chunk_key", F.col("chunk_text").alias("text")
+        ),
+        path,
+        n_buckets=64,
+        id_col="chunk_key",
+    )
+
+
 def _text_index_query(spark, sf_dir: str, path: str, **kw):
     """Query serving over the persisted text index (r7): the index
     is (re)built once per bench process BEFORE the warm barrier
@@ -287,6 +354,20 @@ def main() -> None:
     ]
     legs.append(
         ("hybrid_retrieval", lambda: _hybrid_retrieval(spark, SF_DIR))
+    )
+    # r9: the same hybrid composition served from the persisted
+    # chunk-granularity index (build untimed, like the doc index)
+    chunk_idx = (
+        f"/tmp/spark_graft_chunk_index_bench_{_sf_from_dir(SF_DIR)}"
+    )
+    _build_chunk_text_index(spark, SF_DIR, chunk_idx)
+    legs.append(
+        (
+            "hybrid_retrieval_indexed",
+            lambda: _hybrid_retrieval_indexed(
+                spark, SF_DIR, chunk_idx
+            ),
+        )
     )
     from knn_using_hadoop_spark.operators.retrieval import (
         build_text_index,
