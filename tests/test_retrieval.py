@@ -269,7 +269,12 @@ def test_text_index_plan_is_jvm_only(spark, tmp_path):
     qdf = spark.createDataFrame(
         [(1, "quick fox")], "query_id long, text string"
     )
-    for kw in ({}, {"prune": True}, {"phrase": True}):
+    for kw in (
+        {},
+        {"prune": True},
+        {"phrase": True},
+        {"phrase": True, "slop": 2},
+    ):
         plan = (
             query_text_index(spark, path, qdf, 3, **kw)
             ._jdf.queryExecution()

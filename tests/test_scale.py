@@ -517,15 +517,24 @@ def test_text_index_phrase_at_100x(spark, corpora):
         spark, path, zq, 10, phrase=True
     ).count()
     t_query = time.perf_counter() - t0
+    # r9: the sloppy variant pays one displacement fold per anchor
+    # on the same candidate plan — must stay in the same cost band
+    t0 = time.perf_counter()
+    ns = query_text_index(
+        spark, path, zq, 10, phrase=True, slop=1
+    ).count()
+    t_sloppy = time.perf_counter() - t0
     shutil.rmtree(path, ignore_errors=True)
     # every query is a verbatim document slice -> its doc matches
     assert n >= 51
+    assert ns >= n  # slop only widens matches
     print(
         f"\nzipf500k phrase: positional build {t_build:.1f}s, "
-        f"51-phrase batch {t_query:.1f}s"
+        f"51-phrase batch {t_query:.1f}s, slop=1 {t_sloppy:.1f}s"
     )
     assert t_build < 180, f"positional build: {t_build:.0f}s"
     assert t_query < 60, f"phrase batch: {t_query:.0f}s"
+    assert t_sloppy < 90, f"sloppy batch: {t_sloppy:.0f}s"
 
 
 def test_text_index_selective_compact_at_100x(spark, corpora):
