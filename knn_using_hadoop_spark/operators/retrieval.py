@@ -36,6 +36,7 @@ from knn_using_hadoop_spark.sources import index_store as store
 __all__ = [
     "append_text_index",
     "append_text_index_stream",
+    "bm25_rm3_topk",
     "bm25_topk",
     "build_text_index",
     "compact_text_index",
@@ -291,6 +292,265 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "rank", F.col("doc_id").alias(id_col), "bm25"
+        )
+    )
+
+
+def bm25_rm3_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df: int | None = None,
+    first_pass: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """BM25 + RM3 pseudo-relevance feedback (r9): (query_id, rank,
+    <id_col>, rm3) — the canonical recall-boosting second pass every
+    production search stack offers (Lavrenko & Croft's relevance
+    model, SIGIR'01, in the BM25-weighted form Anserini/Pyserini
+    ship as ``-rm3``).
+
+    Recipe, all DataFrame compositions:
+
+    1. FIRST PASS: plain ``bm25_topk(docs, queries, fb_docs)`` (or
+       any caller-supplied ranking via ``first_pass`` — e.g.
+       ``query_text_index`` over a persisted store, so serving
+       stacks pay no corpus scan here). Its 6dp scores are the
+       feedback weights.
+    2. RELEVANCE MODEL (RM1): feedback docs' maximum-likelihood
+       language models P(t|d) = tf/dl (tokenizing ONLY the feedback
+       docs — a broadcast-semi-join-pruned scan bounded by
+       |queries| x fb_docs ids); each query's first-pass scores are
+       normalized to sum 1 (Lucene BM25 idf is always positive) and
+       rm1(q, t) = sum over its feedback docs of score_norm(d) *
+       P(t|d). The top ``fb_terms`` terms per query (weight desc,
+       term asc — the repo tie protocol) are kept and re-normalized
+       to sum 1.
+    3. QUERY INTERPOLATION (the "3" in RM3): expanded weights
+       w(q, t) = alpha * P_mle(t|q) + (1-alpha) * rm1(q, t), where
+       P_mle is the original query's token distribution (duplicate
+       query tokens count — the query LM, not the distinct-term
+       set).
+    4. FINAL PASS: weighted BM25 over the expanded terms — score =
+       sum over matched expanded terms of w(q, t) * idf * tf *
+       (k1+1) / (tf + k1*(1-b+b*dl/avgdl)), the same single-scan
+       inverted-index shape as ``bm25_topk`` (broadcast expanded
+       term set, head-row statistics riding the one aggregation,
+       TRUE corpus df -> exact idf), 6dp-rounded, lowest-id ties.
+
+    With ``alpha=1.0`` (no expansion) the ranking equals plain BM25
+    for duplicate-free queries (uniform weights scale every score by
+    1/|q|; pinned). A query with NO first-pass matches gets no
+    feedback terms and falls back to its own alpha-weighted model —
+    again plain BM25's ranking. ``max_df`` applies to BOTH passes'
+    match joins (idf untouched), exactly as in ``bm25_topk``.
+
+    Scale shape: two full corpus scans (first pass + final pass) and
+    one feedback-pruned scan — the ad-hoc cost; at 100 TB run the
+    first pass against a ``build_text_index`` store via
+    ``first_pass=query_text_index(...)`` and this function adds only
+    the pruned feedback scan and the expanded-term final pass. The
+    feedback relations (scores, doc LMs, expanded weights) are all
+    bounded by |queries| x (fb_docs + fb_terms) and ride as
+    broadcasts/checkpoints, never data-sized shuffles.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    if first_pass is None:
+        first_pass = bm25_topk(
+            docs,
+            queries,
+            fb_docs,
+            k1=k1,
+            b=b,
+            max_df=max_df,
+            id_col=id_col,
+            text_col=text_col,
+            query_id_col=query_id_col,
+            query_text_col=query_text_col,
+        )
+    score_col = first_pass.columns[-1]  # bm25 (or rm3/rrf)
+    fb = first_pass.select(
+        "query_id",
+        F.col(id_col).alias("doc_id"),
+        F.col(score_col).alias("_s"),
+    )
+    fb = (
+        fb.join(
+            fb.groupBy("query_id").agg(F.sum("_s").alias("_t")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_s") / F.col("_t")).alias("_sw"),
+        )
+        .localCheckpoint(eager=True)  # |queries| x fb_docs rows
+    )
+    # feedback-doc language models: tokenize ONLY the feedback docs
+    # (broadcast id semi-join prunes the scan)
+    fb_ids = fb.select("doc_id").distinct()
+    dlm = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            tokens(F.col(text_col)).alias("_toks"),
+        )
+        .join(F.broadcast(fb_ids), "doc_id")
+        .select(
+            "doc_id",
+            F.size("_toks").cast("double").alias("dl"),
+            F.explode("_toks").alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(
+            (F.count(F.lit(1)) / F.first("dl")).alias("_ptd")
+        )
+    )
+    rm1 = (
+        fb.join(dlm, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("_sw") * F.col("_ptd")).alias("_w"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_w").desc(), F.col("term").asc()
+    )
+    sel = (
+        rm1.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= int(fb_terms))
+        .select("query_id", "term", "_w")
+    )
+    seln = (
+        sel.join(
+            sel.groupBy("query_id").agg(F.sum("_w").alias("_t")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "term",
+            (F.col("_w") / F.col("_t")).alias("w"),
+        )
+    )
+    # original query MLE model (duplicate tokens count)
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    )
+    qmle = (
+        qm.groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .join(
+            qm.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("double").alias("_n")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "term",
+            (F.col("_c") / F.col("_n")).alias("w"),
+        )
+    )
+    expanded = (
+        qmle.select(
+            "query_id",
+            "term",
+            (F.lit(float(alpha)) * F.col("w")).alias("w"),
+        )
+        .unionByName(
+            seln.select(
+                "query_id",
+                "term",
+                (F.lit(1.0 - float(alpha)) * F.col("w")).alias(
+                    "w"
+                ),
+            )
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("w").alias("w"))
+        # zero-weight terms (alpha at 0 or 1) would match docs and
+        # mint score-0 rows the ranking must not contain
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)  # |q| x (|terms| + fb_terms)
+    )
+    # final pass: the bm25_topk single-scan shape over the expanded
+    # term set (see its docstring for the head-row trick)
+    eset = (
+        expanded.select("term").distinct().withColumn("_m", F.lit(1))
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.greatest(F.size("_toks"), F.lit(0))
+        .cast("double")
+        .alias("dl"),
+        F.posexplode_outer("_toks").alias("pos", "term"),
+    )
+    head = (F.col("pos") == 0) | F.col("pos").isNull()
+    per = (
+        ex.join(F.broadcast(eset), "term", "left")
+        .filter((F.col("_m") == 1) | head)
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum(F.when(F.col("_m") == 1, 1).otherwise(0))
+            .cast("double")
+            .alias("tf"),
+            F.first("dl").alias("dl"),
+            F.max(F.when(head, 1).otherwise(0)).alias("_head"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    stats = per.filter(F.col("_head") == 1).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dterms = per.filter(F.col("tf") > 0).select(
+        "doc_id", "term", "tf", "dl"
+    )
+    dfreq = dterms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= float(max_df))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        F.col("w")
+        * idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        expanded.join(dfreq, "term")
+        .join(dterms, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("rm3"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rm3").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("doc_id").alias(id_col), "rm3"
         )
     )
 

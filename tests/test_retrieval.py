@@ -1892,3 +1892,167 @@ def test_text_index_sloppy_phrase_lifecycle(spark, tmp_path):
             for i, t in enumerate(kept[:10])
         ]
     assert flt == sorted(want)
+
+
+def _rm3_ref(docs, queries, k, fb_docs, fb_terms, alpha,
+             k1=1.2, b=0.75):
+    """Pure-Python mirror of bm25_rm3_topk: first pass = the rounded
+    BM25 reference; score-normalized feedback; RM1 = sum of
+    score_norm * P(t|d); top fb_terms (weight desc, term asc)
+    renormalized; w = alpha*MLE(q) + (1-alpha)*rm1; final = weighted
+    BM25 with true corpus idf; 6dp, lowest-id ties."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict = {}
+    for t in toks.values():
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    first = _bm25_ref(docs, queries, fb_docs)
+    out = []
+    for qid, qt in queries:
+        fb = [(d, s) for (q, _, d, s) in first if q == qid]
+        # RM1 over feedback docs
+        rm1: dict = {}
+        if fb:
+            tot = sum(s for _, s in fb)
+            for d, s in fb:
+                tk = toks[d]
+                for term in set(tk):
+                    rm1[term] = rm1.get(term, 0.0) + (
+                        s / tot
+                    ) * tk.count(term) / len(tk)
+        sel = sorted(rm1.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :fb_terms
+        ]
+        w: dict = {}
+        if sel:
+            st = sum(v for _, v in sel)
+            for term, v in sel:
+                w[term] = (1.0 - alpha) * v / st
+        qtk = qt.split(" ")
+        for term in set(qtk):
+            w[term] = w.get(term, 0.0) + alpha * qtk.count(
+                term
+            ) / len(qtk)
+        scores: dict = {}
+        for d, tk in toks.items():
+            s = 0.0
+            for term, wt in w.items():
+                tf = float(tk.count(term))
+                if tf:
+                    s += (
+                        wt
+                        * idf(term)
+                        * tf
+                        * (k1 + 1.0)
+                        / (
+                            tf
+                            + k1
+                            * (1 - b + b * len(tk) / avgdl)
+                        )
+                    )
+            if s > 0:
+                scores[d] = round(s, 6)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out += [
+            (qid, i + 1, d, s)
+            for i, (d, s) in enumerate(ranked[:k])
+        ]
+    return sorted(out)
+
+
+def test_bm25_rm3_matches_python_reference(spark):
+    """r9 RM3 pseudo-relevance feedback == the pure-Python mirror
+    across alphas and feedback depths; alpha=1 (no expansion)
+    preserves the plain BM25 ranking for duplicate-free queries;
+    the expansion genuinely recalls docs sharing no query term."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_rm3_topk,
+    )
+
+    docs, _ = _zipfy_corpus(seed=61)
+    queries = [(100, "r0 c1"), (101, "c2 c3 r4"), (102, "r7")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    for fb_d, fb_t, a in (
+        (5, 5, 0.5),
+        (3, 8, 0.3),
+        (10, 10, 0.9),
+    ):
+        got = sorted(map(tuple, bm25_rm3_topk(
+            ddf, qdf, 8, fb_docs=fb_d, fb_terms=fb_t, alpha=a
+        ).collect()))
+        want = _rm3_ref(docs, queries, 8, fb_d, fb_t, a)
+        assert got == want, (fb_d, fb_t, a)
+    # alpha=1: same RANKING as plain bm25 (scores scale by 1/|q|)
+    plain = sorted(
+        (r[0], r[1], r[2])
+        for r in bm25_topk(ddf, qdf, 8).collect()
+    )
+    noexp = sorted(
+        (r[0], r[1], r[2])
+        for r in bm25_rm3_topk(
+            ddf, qdf, 8, alpha=1.0
+        ).collect()
+    )
+    assert noexp == plain
+    with pytest.raises(ValueError):
+        bm25_rm3_topk(ddf, qdf, 5, alpha=1.5)
+
+
+def test_bm25_rm3_expands_recall(spark):
+    """The point of RM3: a doc sharing ZERO terms with the query
+    surfaces because feedback docs bridge the vocabulary. Hand-built
+    corpus: query 'jaguar' -> feedback docs pair it with 'feline';
+    doc 30 is feline-only and unreachable by plain BM25."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_rm3_topk,
+    )
+
+    docs = [
+        (0, "jaguar feline cat jungle"),
+        (1, "jaguar feline predator"),
+        (2, "jaguar car engine"),
+        (30, "feline predator hunts at night"),
+        (31, "car engine parts"),
+        (32, "weather today is warm"),
+        (33, "cooking pasta with sauce"),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "jaguar feline")], "query_id long, text string"
+    )
+    plain_ids = {r[2] for r in bm25_topk(ddf, qdf, 7).collect()}
+    assert 30 in plain_ids  # matches 'feline' directly
+    # query with only the bridge-free term
+    qdf2 = spark.createDataFrame(
+        [(1, "jaguar")], "query_id long, text string"
+    )
+    plain_ids = {r[2] for r in bm25_topk(ddf, qdf2, 7).collect()}
+    assert 30 not in plain_ids
+    rm3_ids = {r[2] for r in bm25_rm3_topk(
+        ddf, qdf2, 7, fb_docs=3, fb_terms=5, alpha=0.4
+    ).collect()}
+    assert 30 in rm3_ids  # recalled through the feedback expansion
+    assert rm3_ids == {
+        t[2] for t in _rm3_ref(docs, [(1, "jaguar")], 7, 3, 5, 0.4)
+    }
+    # first_pass composition hook: feeding the internal pass's own
+    # output must reproduce the default exactly
+    fp = bm25_topk(ddf, qdf2, 3)
+    a = sorted(map(tuple, bm25_rm3_topk(
+        ddf, qdf2, 7, fb_docs=3, fb_terms=5, alpha=0.4,
+        first_pass=fp).collect()))
+    bdef = sorted(map(tuple, bm25_rm3_topk(
+        ddf, qdf2, 7, fb_docs=3, fb_terms=5, alpha=0.4
+    ).collect()))
+    assert a == bdef
