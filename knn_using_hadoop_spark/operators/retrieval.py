@@ -44,6 +44,7 @@ __all__ = [
     "describe_text_index",
     "maxp_doc_topk",
     "query_text_index",
+    "query_text_index_rm3",
     "rank_eval",
     "rrf_fuse",
 ]
@@ -296,6 +297,91 @@ def bm25_topk(
     )
 
 
+def _rm3_weights(
+    fb: DataFrame,
+    dlm: DataFrame,
+    queries: DataFrame,
+    fb_terms: int,
+    alpha: float,
+    query_id_col: str,
+    query_text_col: str,
+) -> DataFrame:
+    """Stages 2-3 of the RM3 recipe (see ``bm25_rm3_topk``), shared
+    by the inline and index-backed paths: RM1 term weights from the
+    feedback docs' language models (``fb``: query_id, doc_id, _sw
+    score-normalized; ``dlm``: doc_id, term, _ptd = P(t|d)), top
+    ``fb_terms`` per query renormalized, interpolated with the
+    original query MLE model. Returns the eager-checkpointed
+    (query_id, term, w > 0) expanded-weights relation — bounded by
+    |queries| x (|query terms| + fb_terms), never data-sized."""
+    rm1 = (
+        fb.join(dlm, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum(F.col("_sw") * F.col("_ptd")).alias("_w"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("_w").desc(), F.col("term").asc()
+    )
+    sel = (
+        rm1.withColumn("_r", F.row_number().over(wr))
+        .filter(F.col("_r") <= int(fb_terms))
+        .select("query_id", "term", "_w")
+    )
+    seln = (
+        sel.join(
+            sel.groupBy("query_id").agg(F.sum("_w").alias("_t")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "term",
+            (F.col("_w") / F.col("_t")).alias("w"),
+        )
+    )
+    # original query MLE model (duplicate tokens count)
+    qm = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    )
+    qmle = (
+        qm.groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .join(
+            qm.groupBy("query_id").agg(
+                F.count(F.lit(1)).cast("double").alias("_n")
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "term",
+            (F.col("_c") / F.col("_n")).alias("w"),
+        )
+    )
+    return (
+        qmle.select(
+            "query_id",
+            "term",
+            (F.lit(float(alpha)) * F.col("w")).alias("w"),
+        )
+        .unionByName(
+            seln.select(
+                "query_id",
+                "term",
+                (F.lit(1.0 - float(alpha)) * F.col("w")).alias(
+                    "w"
+                ),
+            )
+        )
+        .groupBy("query_id", "term")
+        .agg(F.sum("w").alias("w"))
+        # zero-weight terms (alpha at 0 or 1) would match docs and
+        # mint score-0 rows the ranking must not contain
+        .filter(F.col("w") > 0)
+        .localCheckpoint(eager=True)  # |q| x (|terms| + fb_terms)
+    )
+
+
 def bm25_rm3_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -415,71 +501,9 @@ def bm25_rm3_topk(
             (F.count(F.lit(1)) / F.first("dl")).alias("_ptd")
         )
     )
-    rm1 = (
-        fb.join(dlm, "doc_id")
-        .groupBy("query_id", "term")
-        .agg(F.sum(F.col("_sw") * F.col("_ptd")).alias("_w"))
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("_w").desc(), F.col("term").asc()
-    )
-    sel = (
-        rm1.withColumn("_r", F.row_number().over(wr))
-        .filter(F.col("_r") <= int(fb_terms))
-        .select("query_id", "term", "_w")
-    )
-    seln = (
-        sel.join(
-            sel.groupBy("query_id").agg(F.sum("_w").alias("_t")),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "term",
-            (F.col("_w") / F.col("_t")).alias("w"),
-        )
-    )
-    # original query MLE model (duplicate tokens count)
-    qm = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.explode(tokens(F.col(query_text_col))).alias("term"),
-    )
-    qmle = (
-        qm.groupBy("query_id", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
-        .join(
-            qm.groupBy("query_id").agg(
-                F.count(F.lit(1)).cast("double").alias("_n")
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "term",
-            (F.col("_c") / F.col("_n")).alias("w"),
-        )
-    )
-    expanded = (
-        qmle.select(
-            "query_id",
-            "term",
-            (F.lit(float(alpha)) * F.col("w")).alias("w"),
-        )
-        .unionByName(
-            seln.select(
-                "query_id",
-                "term",
-                (F.lit(1.0 - float(alpha)) * F.col("w")).alias(
-                    "w"
-                ),
-            )
-        )
-        .groupBy("query_id", "term")
-        .agg(F.sum("w").alias("w"))
-        # zero-weight terms (alpha at 0 or 1) would match docs and
-        # mint score-0 rows the ranking must not contain
-        .filter(F.col("w") > 0)
-        .localCheckpoint(eager=True)  # |q| x (|terms| + fb_terms)
+    expanded = _rm3_weights(
+        fb, dlm, queries, fb_terms, alpha,
+        query_id_col, query_text_col,
     )
     # final pass: the bm25_topk single-scan shape over the expanded
     # term set (see its docstring for the head-row trick)
@@ -1878,6 +1902,241 @@ def query_text_index(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "rank", F.col("doc_id").alias(id_col), "bm25"
+        )
+    )
+
+
+def _index_match(
+    spark,
+    path: str,
+    tset: DataFrame,
+    doc_filter: Column | str | None = None,
+):
+    """(posts, dfreq, stats) of a persisted text index for an
+    arbitrary distinct-term relation ``tset`` (one ``term`` column)
+    — the same bucket-pruned, lifecycle-aware match machinery as
+    ``query_text_index``'s plain path (base + segments union,
+    crash-window (doc, term) dedup, tombstone mask, segment-derived
+    df and (n_docs, avgdl) contributions), reusable by callers whose
+    "query" is a term relation rather than text — RM3's weighted
+    final pass. Kept behavior-identical to the plain path so
+    weighted scoring over the same store reproduces the same
+    (tf, dl, df, N, avgdl) values."""
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
+        "n_buckets"
+    ]
+    qset = (
+        tset.select("term")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probed = [
+        r["bucket"]
+        for r in qset.select("bucket").distinct().collect()
+    ]  # bounded by the distinct terms
+    seg = store.read_segments(spark, f"{path}/postings_seg")
+    members = spark.read.parquet(f"{path}/postings")
+    if seg is not None:
+        members = members.unionByName(seg)
+    if doc_filter is not None:
+        members = members.filter(
+            F.expr(doc_filter)
+            if isinstance(doc_filter, str)
+            else doc_filter
+        )
+    posts = (
+        members.filter(F.col("bucket").isin(probed))
+        .join(F.broadcast(qset.select("term")), "term")
+        .select("doc_id", "term", "tf", "dl")
+    )
+    if seg is not None:
+        posts = posts.dropDuplicates(["doc_id", "term"])
+    posts = store.mask_tombstones(
+        spark, f"{path}/tombstones", posts, "doc_id"
+    )
+    terms_store = spark.read.parquet(f"{path}/terms")
+    dfreq = (
+        terms_store.filter(F.col("bucket").isin(probed))
+        .join(F.broadcast(qset.select("term")), "term")
+        .select("term", "df")
+    )
+    stats = _read_stats(spark, path).select("n_docs", "avgdl")
+    if seg is not None:
+        seg_df = (
+            seg.filter(F.col("bucket").isin(probed))
+            .filter(F.col("tf") > 0)
+            .join(F.broadcast(qset.select("term")), "term")
+            .dropDuplicates(["doc_id", "term"])
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        )
+        dfreq = (
+            dfreq.unionByName(seg_df)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+        )
+        base_stats = _read_stats(spark, path).select(
+            "n_docs", "sum_dl"
+        )
+        seg_stats = (
+            seg.filter(F.col("head") == 1)
+            .dropDuplicates(["doc_id"])
+            .agg(
+                F.count(F.lit(1)).cast("double").alias("n_docs"),
+                F.sum("dl").alias("sum_dl"),
+            )
+        )
+        stats = (
+            base_stats.unionByName(seg_stats)
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("sum_dl").alias("sum_dl"),
+            )
+            .select(
+                "n_docs",
+                (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
+            )
+        )
+    return posts, dfreq, stats
+
+
+def query_text_index_rm3(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int,
+    *,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_filter: Column | str | None = None,
+    prune: bool | None = None,
+    theta_terms: int = 8,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback served ENTIRELY from a
+    persisted ``build_text_index`` store — zero corpus access
+    (r9; the serving twin of ``bm25_rm3_topk``, same recipe and
+    citations):
+
+    1. First pass: ``query_text_index`` (bucket-pruned, max-score
+       prunable via ``prune``, lifecycle-aware).
+    2. Feedback language models FROM THE INDEX: a posting row
+       already carries (tf, dl), so P(t|d) = tf/dl needs only the
+       feedback docs' posting rows — a read of the postings store
+       filtered by the |queries| x fb_docs feedback ids (parquet
+       predicate pushdown; every bucket is touched because a doc's
+       terms are scattered across term-hash buckets — the classic
+       inverted-vs-forward-index tradeoff; Anserini pays the same
+       with stored doc vectors). Crash-window duplicates are
+       (doc, term)-deduped; feedback ids are live by construction
+       (pass 1 masks tombstones).
+    3. Expanded weights: shared ``_rm3_weights`` — bit-identical
+       arithmetic to the inline path.
+    4. Final pass: weighted BM25 over the expanded terms through
+       the same bucket-pruned match machinery as the plain path
+       (``_index_match``: segments fold their df/stats
+       contributions, tombstones mask, doc_filter pushes to the
+       scan), so on a fresh store the output is EXACTLY
+       ``bm25_rm3_topk`` over the indexed corpus (pinned); with
+       lifecycle debt the statistics semantics are exactly
+       ``query_text_index``'s (segment stats derive exactly;
+       deleted docs keep counting in df/N/avgdl until compact).
+
+    Output: (query_id, rank, <id_col>, rm3), 6dp, lowest-id ties.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError("alpha must be in [0, 1]")
+    first = query_text_index(
+        spark,
+        path,
+        queries,
+        fb_docs,
+        k1=k1,
+        b=b,
+        doc_filter=doc_filter,
+        prune=prune,
+        theta_terms=theta_terms,
+        id_col="doc_id",
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+    )
+    fb = first.select(
+        "query_id", "doc_id", F.col("bm25").alias("_s")
+    )
+    fb = (
+        fb.join(
+            fb.groupBy("query_id").agg(F.sum("_s").alias("_t")),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("_s") / F.col("_t")).alias("_sw"),
+        )
+        .localCheckpoint(eager=True)  # |queries| x fb_docs rows
+    )
+    fb_ids = fb.select("doc_id").distinct()
+    seg = store.read_segments(spark, f"{path}/postings_seg")
+    members = spark.read.parquet(f"{path}/postings")
+    if seg is not None:
+        members = members.unionByName(seg)
+    dlm = (
+        members.join(F.broadcast(fb_ids), "doc_id")
+        .filter(F.col("tf") > 0)
+        .select("doc_id", "term", "tf", "dl")
+    )
+    if seg is not None:
+        dlm = dlm.dropDuplicates(["doc_id", "term"])
+    dlm = dlm.select(
+        "doc_id",
+        "term",
+        (F.col("tf") / F.col("dl")).alias("_ptd"),
+    )
+    expanded = _rm3_weights(
+        fb, dlm, queries, fb_terms, alpha,
+        query_id_col, query_text_col,
+    )
+    posts, dfreq, stats = _index_match(
+        spark, path, expanded.select("term"), doc_filter
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = (
+        F.col("w")
+        * idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        expanded.join(dfreq, "term")
+        .join(posts, "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("rm3"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rm3").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", F.col("doc_id").alias(id_col), "rm3"
         )
     )
 

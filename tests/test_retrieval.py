@@ -2056,3 +2056,101 @@ def test_bm25_rm3_expands_recall(spark):
         ddf, qdf2, 7, fb_docs=3, fb_terms=5, alpha=0.4
     ).collect()))
     assert a == bdef
+
+
+def test_query_text_index_rm3_matches_inline(spark, tmp_path):
+    """r9 index-backed RM3 == bm25_rm3_topk over the same corpus,
+    bit for bit (fresh store): feedback LMs derive from the stored
+    (tf, dl) instead of re-tokenizing, the weighted final pass runs
+    through the bucket-pruned match machinery, and both equal the
+    pure-Python reference."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        bm25_rm3_topk,
+        build_text_index,
+        query_text_index_rm3,
+    )
+
+    docs, _ = _zipfy_corpus(seed=67)
+    queries = [(100, "r1 c0"), (101, "c4 c5 r2"), (102, "r9")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    for fb_d, fb_t, a in ((5, 5, 0.5), (3, 8, 0.3)):
+        idx = sorted(map(tuple, query_text_index_rm3(
+            spark, path, qdf, 8,
+            fb_docs=fb_d, fb_terms=fb_t, alpha=a,
+        ).collect()))
+        inline = sorted(map(tuple, bm25_rm3_topk(
+            ddf, qdf, 8, fb_docs=fb_d, fb_terms=fb_t, alpha=a
+        ).collect()))
+        assert idx == inline and idx
+        assert idx == _rm3_ref(docs, queries, 8, fb_d, fb_t, a)
+    with pytest.raises(ValueError):
+        query_text_index_rm3(spark, path, qdf, 5, alpha=-0.1)
+
+
+def test_query_text_index_rm3_lifecycle(spark, tmp_path):
+    """Index-backed RM3 composes with the store lifecycle: segment
+    appends keep EXACT parity with the inline path over the grown
+    corpus (segment df/stats derive exactly); a delete + compact
+    snaps back to exact parity over the visible corpus; doc_filter
+    follows the corpus-wide-statistics contract of pass 1 + final
+    pass."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        bm25_rm3_topk,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        query_text_index_rm3,
+    )
+
+    docs, _ = _zipfy_corpus(seed=71)
+    base, extra = docs[:120], docs[120:]
+    queries = [(100, "r3 c2"), (101, "c1 c6")]
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        path,
+        n_buckets=8,
+    )
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    got = sorted(map(tuple, query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5
+    ).collect()))
+    want = sorted(map(tuple, bm25_rm3_topk(
+        spark.createDataFrame(docs, "doc_id long, text string"),
+        qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5,
+    ).collect()))
+    assert got == want and got
+
+    doomed = [d for d, _ in docs[:10]]
+    delete_from_text_index(spark, path, doomed)
+    # pre-compact: tombstoned docs may not appear (statistics lag is
+    # the documented Lucene semantics, so compare doc sets)
+    pre = query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5
+    ).collect()
+    assert not {r[2] for r in pre} & set(doomed)
+    compact_text_index(spark, path)
+    visible = [d for d in docs if d[0] not in set(doomed)]
+    got = sorted(map(tuple, query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5
+    ).collect()))
+    want = sorted(map(tuple, bm25_rm3_topk(
+        spark.createDataFrame(
+            visible, "doc_id long, text string"
+        ),
+        qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5,
+    ).collect()))
+    assert got == want and got
