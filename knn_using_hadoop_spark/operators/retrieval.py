@@ -393,6 +393,8 @@ def bm25_rm3_topk(
     k1: float = 1.2,
     b: float = 0.75,
     max_df: int | None = None,
+    prune: bool | None = None,
+    theta_terms: int = 8,
     first_pass: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -439,6 +441,18 @@ def bm25_rm3_topk(
     feedback terms and falls back to its own alpha-weighted model —
     again plain BM25's ranking. ``max_df`` applies to BOTH passes'
     match joins (idf untouched), exactly as in ``bm25_topk``.
+
+    ``prune`` — WEIGHTED max-score pruning of the final pass (the
+    same exact machinery as ``bm25_topk``, every bound scaled by
+    the term's expansion weight — see ``_maxscore_candidates``):
+    the expanded disjunction is wider than the original query and
+    its feedback terms skew common, so the final pass is where the
+    exact pair volume lives. Auto (None) engages at >= 100k docs
+    (head count over the final pass's checkpointed aggregate);
+    True forces, False disables. Results identical either way
+    (pinned). The first pass inherits ``max_df`` instead (its
+    ranking feeds feedback selection, where bm25_topk's own auto
+    rules apply).
 
     Scale shape: two full corpus scans (first pass + final pass) and
     one feedback-pruned scan — the ad-hoc cost; at 100 TB run the
@@ -560,9 +574,29 @@ def bm25_rm3_topk(
             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
     )
+    prune_active = prune is True
+    if prune is None:
+        # same size gate as bm25_topk's auto: head count over the
+        # already-materialized final-pass aggregate
+        prune_active = (
+            per.filter(F.col("_head") == 1).count() >= 100_000
+        )
+    pair_w = expanded.join(dfreq, "term")
+    if prune_active:
+        tb = dterms.groupBy("term").agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+        cand = _maxscore_candidates(
+            dterms, pair_w, stats, tb, k, k1, b, theta_terms
+        )
+        scored_src = cand.join(dterms, "doc_id").join(
+            pair_w, ["query_id", "term"]
+        )
+    else:
+        scored_src = pair_w.join(dterms, "term")
     scored = (
-        expanded.join(dfreq, "term")
-        .join(dterms, "term")
+        scored_src
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("rm3"))
@@ -1205,18 +1239,29 @@ def _maxscore_candidates(
     exactness argument.
 
     Inputs: the matched postings (doc_id, term, tf, dl), the
-    per-(query, term) match relation (query_id, term, df), the
+    per-(query, term) match relation (query_id, term, df[, w]), the
     one-row corpus stats (n_docs, avgdl), and per-term impact
     bounds (term, max_tf, min_dl — safe to be LOOSE: over-bounds
     only weaken pruning, never correctness). Returns the
     (query_id, doc_id) candidate pairs — a provable superset of
-    every pair the rounded top-k ranking can contain."""
+    every pair the rounded top-k ranking can contain.
+
+    WEIGHTED queries (r9, the RM3 final pass): when ``pair_src``
+    carries a positive per-(query, term) weight column ``w``, every
+    score is sum of w * contrib — a positive weight scales a term's
+    contribution monotonically, so its upper bound is w * ub and
+    the whole max-score argument (real-score theta, ub-ascending
+    essential prefix) carries through verbatim; the unweighted
+    callers are the w = 1 special case."""
+    if "w" not in pair_src.columns:
+        pair_src = pair_src.withColumn("w", F.lit(1.0))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
     contrib = (
-        idf
+        F.col("w")
+        * idf
         * F.col("tf")
         * (k1 + 1.0)
         / (
@@ -1225,7 +1270,8 @@ def _maxscore_candidates(
         )
     )
     ub = (
-        idf
+        F.col("w")
+        * idf
         * (k1 + 1.0)
         * F.col("max_tf")
         / (
@@ -1254,7 +1300,9 @@ def _maxscore_candidates(
             "term",
             "df",
             "n_docs",
-            idf.alias("_idf"),
+            # weighted idf: the seed partial scores below must use
+            # the same w * idf scaling as the real scores
+            (F.col("w") * idf).alias("_wi"),
             ub.alias("_ub"),
         )
         .localCheckpoint(eager=True)
@@ -1267,10 +1315,10 @@ def _maxscore_candidates(
         ub_rel.filter(F.col("df") <= 0.1 * F.col("n_docs"))
         .withColumn("_tr", F.row_number().over(wub))
         .filter(F.col("_tr") <= int(theta_terms))
-        .select("query_id", "term", "_idf")
+        .select("query_id", "term", "_wi")
     )
     pcontrib = (
-        F.col("_idf")
+        F.col("_wi")
         * F.col("tf")
         * (k1 + 1.0)
         / (
@@ -1911,8 +1959,9 @@ def _index_match(
     path: str,
     tset: DataFrame,
     doc_filter: Column | str | None = None,
+    with_bounds: bool = False,
 ):
-    """(posts, dfreq, stats) of a persisted text index for an
+    """(posts, dfreq, stats[, tb]) of a persisted text index for an
     arbitrary distinct-term relation ``tset`` (one ``term`` column)
     — the same bucket-pruned, lifecycle-aware match machinery as
     ``query_text_index``'s plain path (base + segments union,
@@ -1921,7 +1970,12 @@ def _index_match(
     "query" is a term relation rather than text — RM3's weighted
     final pass. Kept behavior-identical to the plain path so
     weighted scoring over the same store reproduces the same
-    (tf, dl, df, N, avgdl) values."""
+    (tf, dl, df, N, avgdl) values. ``with_bounds=True`` additionally
+    returns the per-term (max_tf, min_dl) impact bounds the
+    max-score pruner needs — build-time columns when present
+    (NULL-coalesced to the loosest valid bounds, segment bounds
+    folded at query time), full posts derivation for legacy
+    stores."""
     n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
         "n_buckets"
     ]
@@ -2001,7 +2055,44 @@ def _index_match(
                 (F.col("sum_dl") / F.col("n_docs")).alias("avgdl"),
             )
         )
-    return posts, dfreq, stats
+    if not with_bounds:
+        return posts, dfreq, stats
+    if "max_tf" in terms_store.columns:
+        tb = (
+            terms_store.filter(F.col("bucket").isin(probed))
+            .join(F.broadcast(qset.select("term")), "term")
+            .select(
+                "term",
+                F.coalesce(F.col("max_tf"), F.lit(1.0e30))
+                .alias("max_tf"),
+                F.coalesce(F.col("min_dl"), F.lit(0.0))
+                .alias("min_dl"),
+            )
+        )
+        if seg is not None:
+            seg_tb = (
+                seg.filter(F.col("bucket").isin(probed))
+                .join(F.broadcast(qset.select("term")), "term")
+                .groupBy("term")
+                .agg(
+                    F.max("tf").alias("max_tf"),
+                    F.min("dl").alias("min_dl"),
+                )
+            )
+            tb = (
+                tb.unionByName(seg_tb)
+                .groupBy("term")
+                .agg(
+                    F.max("max_tf").alias("max_tf"),
+                    F.min("min_dl").alias("min_dl"),
+                )
+            )
+    else:
+        tb = posts.groupBy("term").agg(
+            F.max("tf").alias("max_tf"),
+            F.min("dl").alias("min_dl"),
+        )
+    return posts, dfreq, stats, tb
 
 
 def query_text_index_rm3(
@@ -2050,6 +2141,12 @@ def query_text_index_rm3(
        lifecycle debt the statistics semantics are exactly
        ``query_text_index``'s (segment stats derive exactly;
        deleted docs keep counting in df/N/avgdl until compact).
+       ``prune`` drives WEIGHTED max-score pruning here too (every
+       bound scaled by the term's expansion weight — exactness
+       carries through, see ``_maxscore_candidates``) with the same
+       >= 100k auto gate; the expanded disjunction is wider and
+       more common-term-heavy than the original query, so this is
+       where pruning pays most (500k measured: NOTES r9).
 
     Output: (query_id, rank, <id_col>, rm3), 6dp, lowest-id ties.
     """
@@ -2105,8 +2202,12 @@ def query_text_index_rm3(
         fb, dlm, queries, fb_terms, alpha,
         query_id_col, query_text_col,
     )
-    posts, dfreq, stats = _index_match(
-        spark, path, expanded.select("term"), doc_filter
+    posts, dfreq, stats, tb = _index_match(
+        spark,
+        path,
+        expanded.select("term"),
+        doc_filter,
+        with_bounds=True,
     )
     idf = F.log(
         F.lit(1.0)
@@ -2122,9 +2223,31 @@ def query_text_index_rm3(
             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
     )
+    # WEIGHTED max-score pruning of the final pass (same machinery,
+    # w folded into every bound — see _maxscore_candidates): the
+    # expanded disjunction is wider than the original query (|q| +
+    # fb_terms, feedback terms often common), so this is where the
+    # exact path's pair volume lives. Same auto gate as the plain
+    # path; prune=True forces, prune=False disables (both passes).
+    prune_final = (prune is True) or (
+        prune is None
+        and float(
+            _read_stats(spark, path).collect()[0]["n_docs"] or 0
+        )
+        >= 100_000
+    )
+    pair_w = expanded.join(dfreq, "term")
+    if prune_final:
+        cand = _maxscore_candidates(
+            posts, pair_w, stats, tb, k, k1, b, theta_terms
+        )
+        scored_src = cand.join(posts, "doc_id").join(
+            pair_w, ["query_id", "term"]
+        )
+    else:
+        scored_src = pair_w.join(posts, "term")
     scored = (
-        expanded.join(dfreq, "term")
-        .join(posts, "term")
+        scored_src
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("rm3"))

@@ -2088,6 +2088,19 @@ def test_query_text_index_rm3_matches_inline(spark, tmp_path):
         ).collect()))
         assert idx == inline and idx
         assert idx == _rm3_ref(docs, queries, 8, fb_d, fb_t, a)
+        # r9 weighted max-score pruning: forced pruning of the
+        # expanded final pass is EXACT on both variants
+        for fn, src in (
+            (query_text_index_rm3, path),
+            (bm25_rm3_topk, ddf),
+        ):
+            if fn is query_text_index_rm3:
+                pr = fn(spark, src, qdf, 8, fb_docs=fb_d,
+                        fb_terms=fb_t, alpha=a, prune=True)
+            else:
+                pr = fn(src, qdf, 8, fb_docs=fb_d,
+                        fb_terms=fb_t, alpha=a, prune=True)
+            assert sorted(map(tuple, pr.collect())) == idx
     with pytest.raises(ValueError):
         query_text_index_rm3(spark, path, qdf, 5, alpha=-0.1)
 

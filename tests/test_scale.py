@@ -593,3 +593,49 @@ def test_text_index_selective_compact_at_100x(spark, corpora):
     shutil.rmtree(path, ignore_errors=True)
     assert len(touched) <= 4  # <= the delta's distinct term buckets
     assert dt < 30, f"one-doc compact took {dt:.0f}s"
+
+
+def test_text_index_rm3_at_100x(spark, corpora):
+    """r9: index-backed RM3 at the 500k shape — the expanded final
+    pass is WIDER and more common-term-heavy than the original
+    query, so the weighted max-score pruner (auto-on at this size)
+    is what keeps it serving-grade: measured 92.9s unpruned ->
+    47.8s pruned for the 51-query batch, with pruned == unpruned
+    pinned on a subset here."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        query_text_index_rm3,
+    )
+
+    zdir = "/tmp/spark_graft_zipf500k"
+    zpath = "/tmp/spark_graft_text_index_zipf"
+    if not (
+        os.path.isdir(zdir) and os.path.isdir(f"{zpath}/postings")
+    ):
+        pytest.skip("zipf corpus/index not generated yet (run the "
+                    "exact-prune test first)")
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    zq = zdocs.filter(F.col("doc_id") % 9973 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(F.split("text", " "), 1, 12), " "
+        ).alias("text"),
+    ).localCheckpoint(eager=True)
+    sub = zq.filter(F.col("query_id") % 3 == 0).localCheckpoint(
+        eager=True
+    )
+    a = sorted(map(tuple, query_text_index_rm3(
+        spark, zpath, sub, 10, prune=True).collect()))
+    b = sorted(map(tuple, query_text_index_rm3(
+        spark, zpath, sub, 10, prune=False).collect()))
+    assert a == b and a
+    query_text_index_rm3(spark, zpath, zq, 10).count()  # warm
+    t0 = _t.perf_counter()
+    n = query_text_index_rm3(spark, zpath, zq, 10).count()
+    dt = _t.perf_counter() - t0
+    print(f"\nzipf500k RM3: 51-query batch {dt:.1f}s (auto-pruned)")
+    assert n > 0
+    assert dt < 120, f"RM3 batch: {dt:.0f}s"
