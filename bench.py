@@ -415,6 +415,28 @@ def main() -> None:
         return query_text_index(spark, tidx_path, q, 10, phrase=True)
 
     legs.append(("text_index_query_phrase", _phrase_leg))
+
+    # r9: RM3 pseudo-relevance feedback served from the same store
+    # (two retrieval passes + index-derived feedback LMs)
+    def _rm3_leg():
+        from knn_using_hadoop_spark.operators.retrieval import (
+            query_text_index_rm3,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        q = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        # same stop-term guard convention as the other serving legs
+        # (the sf0.1 fixture's 31-word vocabulary makes every term a
+        # stop term; unguarded RM3 here measures the fixture, not
+        # the operator — ~10s vs ~4s, NOTES r9)
+        return query_text_index_rm3(
+            spark, tidx_path, q, 10, fb_docs=5, fb_terms=10,
+            max_df=500,
+        )
+
+    legs.append(("text_index_query_rm3", _rm3_leg))
     # r8: serving with live segments + tombstones (r7 verdict #4)
     tidx_live = (
         f"/tmp/spark_graft_text_index_live_{_sf_from_dir(SF_DIR)}"

@@ -575,9 +575,10 @@ def bm25_rm3_topk(
         )
     )
     prune_active = prune is True
-    if prune is None:
-        # same size gate as bm25_topk's auto: head count over the
-        # already-materialized final-pass aggregate
+    if prune is None and max_df is None:
+        # same auto rule as bm25_topk: unguarded queries only, size
+        # gate via a head count over the already-materialized
+        # final-pass aggregate
         prune_active = (
             per.filter(F.col("_head") == 1).count() >= 100_000
         )
@@ -2106,6 +2107,7 @@ def query_text_index_rm3(
     alpha: float = 0.5,
     k1: float = 1.2,
     b: float = 0.75,
+    max_df: int | None = None,
     doc_filter: Column | str | None = None,
     prune: bool | None = None,
     theta_terms: int = 8,
@@ -2148,7 +2150,10 @@ def query_text_index_rm3(
        more common-term-heavy than the original query, so this is
        where pruning pays most (500k measured: NOTES r9).
 
-    Output: (query_id, rank, <id_col>, rm3), 6dp, lowest-id ties.
+    ``max_df`` applies to BOTH passes' match joins exactly as in
+    ``bm25_rm3_topk`` (idf untouched; a stop-term expansion weight
+    simply matches nothing). Output: (query_id, rank, <id_col>,
+    rm3), 6dp, lowest-id ties.
     """
     if not 0.0 <= alpha <= 1.0:
         raise ValueError("alpha must be in [0, 1]")
@@ -2159,6 +2164,7 @@ def query_text_index_rm3(
         fb_docs,
         k1=k1,
         b=b,
+        max_df=max_df,
         doc_filter=doc_filter,
         prune=prune,
         theta_terms=theta_terms,
@@ -2209,6 +2215,8 @@ def query_text_index_rm3(
         doc_filter,
         with_bounds=True,
     )
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= float(max_df))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -2231,6 +2239,7 @@ def query_text_index_rm3(
     # path; prune=True forces, prune=False disables (both passes).
     prune_final = (prune is True) or (
         prune is None
+        and max_df is None  # guarded queries keep the plain plan
         and float(
             _read_stats(spark, path).collect()[0]["n_docs"] or 0
         )

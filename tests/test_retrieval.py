@@ -2101,6 +2101,15 @@ def test_query_text_index_rm3_matches_inline(spark, tmp_path):
                 pr = fn(src, qdf, 8, fb_docs=fb_d,
                         fb_terms=fb_t, alpha=a, prune=True)
             assert sorted(map(tuple, pr.collect())) == idx
+    # max_df composes identically on both variants (both passes)
+    a = sorted(map(tuple, query_text_index_rm3(
+        spark, path, qdf, 8, fb_docs=5, fb_terms=5, alpha=0.5,
+        max_df=60,
+    ).collect()))
+    bq = sorted(map(tuple, bm25_rm3_topk(
+        ddf, qdf, 8, fb_docs=5, fb_terms=5, alpha=0.5, max_df=60
+    ).collect()))
+    assert a == bq and a
     with pytest.raises(ValueError):
         query_text_index_rm3(spark, path, qdf, 5, alpha=-0.1)
 
