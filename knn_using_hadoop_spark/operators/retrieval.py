@@ -42,6 +42,7 @@ __all__ = [
     "compact_text_index",
     "delete_from_text_index",
     "describe_text_index",
+    "highlight_text_index",
     "maxp_doc_topk",
     "query_text_index",
     "query_text_index_rm3",
@@ -2270,6 +2271,124 @@ def query_text_index_rm3(
         .select(
             "query_id", "rank", F.col("doc_id").alias(id_col), "rm3"
         )
+    )
+
+
+def highlight_text_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    ranking: DataFrame,
+    *,
+    window: int = 16,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+) -> DataFrame:
+    """Best-passage selection over the positional index (r9): for
+    every (query, doc) pair of ``ranking``, the ``window``-token
+    span containing the MOST query-term occurrences — (query_id,
+    doc_id, window_start, window_hits). The deterministic core of a
+    Lucene-style highlighter: the index stores token offsets, not
+    raw text, so snippet rendering (slicing the stored document by
+    [window_start, window_start+window)) stays with the caller who
+    owns the corpus — this operator answers WHERE to snip without
+    touching the corpus at all.
+
+    Contract: candidate windows are anchored at hit positions (an
+    optimal window always starts at a hit); window_hits counts
+    query-term occurrences (any matched term, duplicates at
+    distinct positions each count) in [start, start+window); ties
+    break to the EARLIEST start. Requires an index built with
+    ``positions=True``.
+
+    Plan: the ranking's (query, doc) pairs are a bounded broadcast
+    (<= |queries| x k); matched postings come from the same
+    bucket-pruned term join as any query; the per-pair position
+    arrays merge with JVM higher-order functions (flatten +
+    array_sort, per-anchor counting via ``filter``, argmax via
+    struct ``array_max`` — no Python in the row path). Tombstones
+    need no re-masking: a ranking produced by ``query_text_index``
+    already excludes deleted docs, and a pair absent from the store
+    simply yields no row."""
+    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
+        "n_buckets"
+    ]
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .distinct()
+    )
+    qset = (
+        qterms.select("term")
+        .distinct()
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    probed = [
+        r["bucket"]
+        for r in qset.select("bucket").distinct().collect()
+    ]
+    seg = store.read_segments(spark, f"{path}/postings_seg")
+    members = spark.read.parquet(f"{path}/postings")
+    if seg is not None:
+        members = members.unionByName(seg)
+    if "positions" not in members.columns:
+        raise ValueError(
+            "highlight_text_index needs a positional index: "
+            "rebuild with build_text_index(..., positions=True)"
+        )
+    pairs = (
+        ranking.select(
+            "query_id", F.col(id_col).alias("doc_id")
+        ).distinct()
+    )
+    posts = (
+        members.filter(F.col("bucket").isin(probed))
+        .join(F.broadcast(qset.select("term")), "term")
+        .select("doc_id", "term", "positions")
+    )
+    if seg is not None:
+        posts = posts.dropDuplicates(["doc_id", "term"])
+    hitpos = (
+        F.broadcast(pairs)
+        .join(posts, "doc_id")
+        .join(qterms, ["query_id", "term"])
+        .groupBy("query_id", "doc_id")
+        # one position holds one term, so flattening the matched
+        # terms' offset arrays is duplicate-free
+        .agg(
+            F.array_sort(
+                F.flatten(F.collect_list("positions"))
+            ).alias("_pos")
+        )
+    )
+    # per anchor p: occurrences in [p, p+window); argmax by
+    # (hits desc, start asc) via lexicographic struct max
+    wins = F.transform(
+        F.col("_pos"),
+        lambda p: F.struct(
+            F.size(
+                F.filter(
+                    F.col("_pos"),
+                    lambda q: (q >= p)
+                    & (q < p + F.lit(int(window))),
+                )
+            ).alias("c"),
+            (-p).alias("np"),
+        ),
+    )
+    best = F.array_max(wins)
+    return hitpos.select(
+        "query_id",
+        F.col("doc_id").alias(id_col),
+        (-best["np"]).cast("int").alias("window_start"),
+        best["c"].cast("int").alias("window_hits"),
     )
 
 

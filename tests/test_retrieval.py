@@ -2176,3 +2176,87 @@ def test_query_text_index_rm3_lifecycle(spark, tmp_path):
         qdf, 6, fb_docs=4, fb_terms=6, alpha=0.5,
     ).collect()))
     assert got == want and got
+
+
+def _highlight_ref(docs, queries, pairs, window):
+    """Brute-force best-window reference: anchor at every hit
+    position, count query-term occurrences in [p, p+window), max
+    hits then earliest start."""
+    out = []
+    qterms = {qid: set(qt.split(" ")) for qid, qt in queries}
+    toks = {d: t.split(" ") for d, t in docs}
+    for qid, d in pairs:
+        hits = [
+            i
+            for i, t in enumerate(toks[d])
+            if t in qterms[qid]
+        ]
+        if not hits:
+            continue
+        best = max(
+            hits,
+            key=lambda p: (
+                sum(1 for q in hits if p <= q < p + window),
+                -p,
+            ),
+        )
+        cnt = sum(1 for q in hits if best <= q < best + window)
+        out.append((qid, d, best, cnt))
+    return sorted(out)
+
+
+def test_highlight_text_index(spark, tmp_path):
+    """r9 best-passage selection == the brute-force reference
+    (anchored windows, earliest-start ties), incl. a hand-computed
+    case where the dense late cluster beats the early scattered
+    hits; composes with query_text_index output and segments;
+    raises without a positional store."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        append_text_index,
+        build_text_index,
+        highlight_text_index,
+        query_text_index,
+    )
+
+    docs = [
+        # hits at 0 and 9 (scattered) vs 20,21,23 (dense cluster):
+        # window=4 must pick start=20 with 3 hits
+        (0, " ".join(
+            ["fox"] + ["x"] * 8 + ["dog"] + ["y"] * 10
+            + ["fox", "dog", "z", "fox"] + ["w"] * 3
+        )),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "nothing relevant here at all"),
+    ]
+    queries = [(1, "fox dog"), (2, "quick")]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8, positions=True)
+    rank = query_text_index(spark, path, qdf, 5)
+    got = sorted(map(tuple, highlight_text_index(
+        spark, path, qdf, rank, window=4
+    ).collect()))
+    pairs = [(r[0], r[2]) for r in rank.collect()]
+    assert got == _highlight_ref(docs, queries, pairs, 4)
+    assert (1, 0, 20, 3) in got  # the dense cluster wins
+    # segment-appended docs highlight too
+    append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(10, "fox dog fox")], "doc_id long, text string"
+        ),
+    )
+    rank = query_text_index(spark, path, qdf, 5)
+    got = sorted(map(tuple, highlight_text_index(
+        spark, path, qdf, rank, window=4
+    ).collect()))
+    assert (1, 10, 0, 3) in got
+    # non-positional store raises
+    path2 = str(tmp_path / "tidx2")
+    build_text_index(ddf, path2, n_buckets=8)
+    with pytest.raises(ValueError):
+        highlight_text_index(spark, path2, qdf, rank)
