@@ -2260,3 +2260,67 @@ def test_highlight_text_index(spark, tmp_path):
     build_text_index(ddf, path2, n_buckets=8)
     with pytest.raises(ValueError):
         highlight_text_index(spark, path2, qdf, rank)
+
+
+def test_text_index_compact_crash_before_stats_heals(
+    spark, tmp_path, monkeypatch
+):
+    """r9 crash-ordering pin for the delta-scoped stats: a compact
+    that dies AFTER the postings rewrite but BEFORE the stats
+    rewrite leaves segments+tombstones in place (removal is ordered
+    last), and the re-run — whose tombstones now match nothing in
+    the rewritten base — takes the conservative all-bucket stats
+    heal: statistics snap to exactly-live and queries match inline
+    bm25 over the visible corpus."""
+    import os
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    docs, _ = _zipfy_corpus(seed=83)
+    base, extra = docs[:100], docs[100:]
+    path = str(tmp_path / "tidx")
+    R.build_text_index(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        path,
+        n_buckets=8,
+    )
+    R.append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    doomed = [d for d, _ in base[:7]]
+    R.delete_from_text_index(spark, path, doomed)
+
+    real = R._rewrite_stats
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before stats rewrite")
+
+    monkeypatch.setattr(R, "_rewrite_stats", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        R.compact_text_index(spark, path)
+    monkeypatch.setattr(R, "_rewrite_stats", real)
+
+    # the crash window: postings already rewritten (doomed gone),
+    # maintenance state still present, stats stale
+    assert os.path.isdir(f"{path}/postings_seg")
+    assert os.path.isdir(f"{path}/tombstones")
+    stale = R._read_stats(spark, path).collect()[0]
+    assert stale["n_docs"] == float(len(base))  # pre-crash partials
+
+    R.compact_text_index(spark, path)  # re-run: heal path
+    assert not os.path.isdir(f"{path}/postings_seg")
+    assert not os.path.isdir(f"{path}/tombstones")
+    visible = [d for d in docs if d[0] not in set(doomed)]
+    healed = R._read_stats(spark, path).collect()[0]
+    assert healed["n_docs"] == float(len(visible))
+    qdf = spark.createDataFrame(
+        [(1, "r1 c0 c3")], "query_id long, text string"
+    )
+    assert sorted(map(tuple, R.query_text_index(
+        spark, path, qdf, 6).collect())) == sorted(map(
+            tuple, bm25_topk(
+                spark.createDataFrame(
+                    visible, "doc_id long, text string"
+                ), qdf, 6).collect()))
