@@ -537,6 +537,53 @@ def test_text_index_phrase_at_100x(spark, corpora):
     assert t_sloppy < 90, f"sloppy batch: {t_sloppy:.0f}s"
 
 
+def test_text_index_phrase_degenerate_vocab(spark, corpora):
+    """r10 (r9 verdict #4): the adversarial phrase shape the bench
+    leg used to measure — a degenerate all-common vocabulary where
+    every phrase member sits in ~half the corpus, so even the
+    two-rarest-member intersection is corpus-sized before the
+    adjacency check. Kept as a --run-scale pin (a small batch with
+    a generous ceiling) now that the bench's headline phrase leg
+    measures a realistic Zipf vocabulary; regressions of the
+    candidate-intersection plan blow this up by 10x+, load swings
+    don't."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        query_text_index,
+    )
+
+    _, scale = corpora
+    docs = spark.read.parquet(f"{scale}/documents.parquet")
+    path = "/tmp/spark_graft_text_index_hostile_pos"
+    shutil.rmtree(path, ignore_errors=True)
+    build_text_index(docs, path, n_buckets=64, positions=True)
+    q = (
+        docs.filter(F.col("doc_id") % 99991 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 3, 6), " "
+            ).alias("text"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    query_text_index(spark, path, q, 10, phrase=True).count()
+    t0 = time.perf_counter()
+    n = query_text_index(spark, path, q, 10, phrase=True).count()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(path, ignore_errors=True)
+    print(
+        f"\nhostile500k phrase (degenerate vocab): "
+        f"{q.count()}-phrase batch {dt:.1f}s"
+    )
+    assert n > 0
+    assert dt < 240, f"degenerate phrase batch: {dt:.0f}s"
+
+
 def test_text_index_selective_compact_at_100x(spark, corpora):
     """r8: selective compaction at the 500k shape — folding a
     ONE-document segment must cost the document's buckets (<= its
