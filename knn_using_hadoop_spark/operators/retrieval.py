@@ -1632,7 +1632,22 @@ def _maxscore_candidates(
     without the query's rare terms often prune ENTIRELY — their
     common-term bound sums sit far below the theta the rare terms
     set. Bounds stay loose-safe: tombstoned / crash-window rows can
-    only over-bound, which weakens pruning but never correctness."""
+    only over-bound, which weakens pruning but never correctness.
+
+    WHO passes ``tbb`` is a measured, structural choice (500k
+    interleaved A/B, NOTES r10): the WEIGHTED expanded pass
+    (``query_text_index_rm3``'s final pass — |q| + fb_terms
+    disjunctions whose feedback terms skew common, so common terms
+    stay essential and mint corpus-sized candidate sets) gains
+    ~10% end-to-end from the per-block partition; plain
+    unweighted queries on a Zipf corpus have rare-only essential
+    sets where the global partition is already tight and the
+    per-block window + (term, blk) join is pure overhead (+3.6s
+    on the 500k batch), so ``query_text_index`` deliberately does
+    NOT pass tbb. A data-dependent per-query router was tried and
+    rejected: mixed batches forced a two-branch union that scanned
+    the matched postings twice, costing more than either pure
+    mode."""
     if "w" not in pair_src.columns:
         pair_src = pair_src.withColumn("w", F.lit(1.0))
     idf = F.log(
@@ -1978,7 +1993,6 @@ def query_text_index(
     """
     md = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
     n_buckets = md["n_buckets"]
-    n_blocks = md.get("n_blocks")
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -2064,6 +2078,17 @@ def query_text_index(
         # prune=True forces pruning at any size.
         n_base = _read_stats(spark, path).collect()[0]["n_docs"]
         prune_active = float(n_base or 0) >= 100_000
+    if prune_active:
+        # the pruner consumes the matched postings FIVE times
+        # (theta partials, seed scoring, essential-candidate join,
+        # then candidate scoring twice) — materialize them once
+        # (r10; profiled at 500k: the re-scans, not candidate
+        # volume, were the exact path's cost — 4.9s per pass over
+        # 11M matched rows, 26.7s -> the checkpointed shape below).
+        # Executor-local blocks, GC-cleaned, cacheManager stays
+        # empty (the repo checkpoint discipline); size is the
+        # query terms' posting lists, never the store.
+        posts = posts.localCheckpoint(eager=True)
     terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
         terms_store
@@ -2335,20 +2360,13 @@ def query_text_index(
                 F.max("tf").alias("max_tf"),
                 F.min("dl").alias("min_dl"),
             )
-        tbb = _block_bounds(
-            spark, path, qset, probed, seg, n_blocks
-        )
+        # NO block bounds here (a measured choice — see
+        # _maxscore_candidates' docstring): unweighted queries'
+        # essential sets are rare-term-dominated, where the global
+        # partition is already tight; the per-block machinery only
+        # pays on the weighted expanded pass (query_text_index_rm3)
         cand = _maxscore_candidates(
-            posts,
-            pair_src,
-            stats,
-            tb,
-            k,
-            k1,
-            b,
-            theta_terms,
-            tbb=tbb,
-            n_blocks=n_blocks,
+            posts, pair_src, stats, tb, k, k1, b, theta_terms
         )
         # candidates are scored with ALL their matched terms — the
         # surviving sums are the unpruned path's, bit for bit
@@ -2765,6 +2783,10 @@ def query_text_index_rm3(
     )
     pair_w = expanded.join(dfreq, "term")
     if prune_final:
+        # same multi-consumer materialization as the plain pruned
+        # path (see query_text_index) — the weighted pruner reads
+        # the expanded terms' matched postings five times too
+        posts = posts.localCheckpoint(eager=True)
         cand = _maxscore_candidates(
             posts,
             pair_w,
