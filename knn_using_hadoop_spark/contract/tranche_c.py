@@ -1388,3 +1388,79 @@ def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ret.build_text_index(docs, path, n_buckets=16)
     ids = docs.filter(F.col("doc_id") % 50 == 3).select("doc_id")
     return _ret.doc_vectors(spark, path, ids)
+
+
+@_register(
+    "doc_more_like_this",
+    """WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+tv AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tv GROUP BY term),
+cand AS (
+  SELECT s.doc_id AS query_id, s.term,
+         round(s.tf * ln(1 + (st.n_docs - d.df + 0.5)
+                             / (d.df + 0.5)), 6) AS w
+  FROM tv s JOIN dfreq d USING (term) CROSS JOIN st
+  WHERE s.doc_id % 50 = 3 AND d.df >= 2
+    AND round(s.tf * ln(1 + (st.n_docs - d.df + 0.5)
+                            / (d.df + 0.5)), 6) > 0),
+sel AS (
+  SELECT query_id, term, w FROM (
+    SELECT c.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY w DESC, term ASC) AS rn
+    FROM cand c) x
+  WHERE rn <= 25),
+m AS (
+  SELECT sel.query_id, t.doc_id, sel.w, t.tf, dls.dl, d.df
+  FROM sel
+  JOIN tv t USING (term)
+  JOIN dls ON dls.doc_id = t.doc_id
+  JOIN dfreq d ON d.term = sel.term
+  WHERE t.doc_id <> sel.query_id),
+scored AS (
+  SELECT query_id, doc_id,
+         round(sum(w * ln(1 + (st.n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / st.avgdl))),
+               6) AS mlt
+  FROM m CROSS JOIN st GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id, mlt FROM (
+  SELECT s.*, (row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY mlt DESC, doc_id ASC))::INT AS rank
+  FROM scored s) r
+WHERE rank <= 5""",
+)
+def q_doc_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene MoreLikeThis over the persisted text index (r10): the
+    source docs' STORED term vectors (doc-keyed forward store)
+    become a tf*idf-weighted query — top-25 interesting terms
+    (6dp-rounded weights, weight desc / term asc, min_df=2,
+    zero-rounded dropped) scored as weighted BM25 over the index,
+    the source itself excluded, top-5, 6dp, lowest-id ties. The
+    oracle recomputes the whole recipe from raw text; the Spark
+    side answers it from the persisted artifact — round-tripping
+    build -> forward fetch -> weighted serving must reproduce the
+    exact ranking. (ref: Hadoop.java has no serving index;
+    LLM-pipeline extension surface — the dedup/linkage 'find me
+    documents like this one' primitive.)"""
+    import re as _re
+
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_docvec_gate_{tag}"
+    _ret.build_text_index(docs, path, n_buckets=16)
+    ids = docs.filter(F.col("doc_id") % 50 == 3).select("doc_id")
+    return _ret.more_like_this(
+        spark, path, ids, 5, max_query_terms=25, min_tf=1, min_df=2
+    )

@@ -45,6 +45,7 @@ __all__ = [
     "doc_vectors",
     "highlight_text_index",
     "maxp_doc_topk",
+    "more_like_this",
     "query_text_index",
     "query_text_index_rm3",
     "rank_eval",
@@ -2818,6 +2819,171 @@ def query_text_index_rm3(
         .filter(F.col("rank") <= k)
         .select(
             "query_id", "rank", F.col("doc_id").alias(id_col), "rm3"
+        )
+    )
+
+
+def more_like_this(
+    spark,
+    path: str,
+    ids: DataFrame | list,
+    k: int,
+    *,
+    max_query_terms: int = 25,
+    min_tf: int = 1,
+    min_df: int = 2,
+    max_df: int | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    doc_filter: Column | str | None = None,
+    prune: bool | None = None,
+    theta_terms: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lucene's MoreLikeThis served from the persisted text index
+    (r10): for each source document id, find the k most similar
+    documents — (query_id, rank, <id_col>, mlt), where ``query_id``
+    is the source doc_id. Zero corpus access, zero text input: the
+    "query" is the source's STORED term vector.
+
+    Recipe (the MLT contract, Lucene ``MoreLikeThis`` defaults
+    parameterized):
+
+    1. Source term vectors from the doc-keyed forward store
+       (``doc_vectors`` — dbucket-pruned, O(|ids|), tombstones
+       masked: a deleted doc has no vector and yields no rows).
+    2. Interesting-term selection: weight = round(tf_source *
+       idf, 6) per source term (the MLT tf*idf heuristic; 6dp
+       rounding makes the selection ordering engine-reproducible),
+       gated by ``min_tf`` (source tf), ``min_df``/``max_df``
+       (corpus df — rare typos and stop terms both make bad query
+       terms); the top ``max_query_terms`` per source (weight
+       desc, term asc) survive, zero-rounded weights dropped (a
+       w=0 term would mint score-0 rows the ranking must not
+       contain — the RM3 rule).
+    3. Weighted BM25 over the selected terms through the same
+       bucket-pruned, lifecycle-aware match machinery as the RM3
+       final pass (``_index_match``: segment df/stats folds,
+       tombstone mask, ``doc_filter`` pushdown), contribution =
+       w * idf * tf * (k1+1) / (tf + k1*(1-b+b*dl/avgdl)), scores
+       6dp-rounded, lowest-id ties.
+    4. Self-exclusion WITHOUT breaking pruning exactness: the
+       source document matches its own query terms maximally, so
+       dropping it before scoring would leave the pruner's theta
+       (k-th best real score, self included) ABOVE the true
+       non-self k-th and over-prune. Instead the internal retrieval
+       runs at k+1 (self included — every max-score bound valid
+       verbatim), then self pairs drop and survivors re-rank to k:
+       the overall top-(k+1) minus one element always contains the
+       non-self top-k, so the result is exact.
+
+    ``prune`` follows the weighted-pass rules (auto >= 100k docs,
+    True forces, False disables; block bounds engage — this IS the
+    common-term-heavy expanded-disjunction shape they exist for).
+    Sources absent from the store produce no output rows.
+    """
+    tv = doc_vectors(spark, path, ids, id_col="doc_id").select(
+        F.col("doc_id").alias("query_id"),
+        "term",
+        F.col("tf").alias("_stf"),
+    )
+    if min_tf > 1:
+        tv = tv.filter(F.col("_stf") >= float(min_tf))
+    # df/stats for the SOURCE vocabulary (posts of this probe are
+    # never executed — lazy plans, only dfreq/stats are consumed)
+    _, dfreq0, stats0, _, _, _ = _index_match(
+        spark,
+        path,
+        tv.select("term"),
+        None,
+        with_bounds=True,
+    )
+    if min_df > 1:
+        dfreq0 = dfreq0.filter(F.col("df") >= float(min_df))
+    if max_df is not None:
+        dfreq0 = dfreq0.filter(F.col("df") <= float(max_df))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    wsel = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term").asc()
+    )
+    expanded = (
+        tv.join(dfreq0, "term")
+        .crossJoin(F.broadcast(stats0.select("n_docs")))
+        .select(
+            "query_id",
+            "term",
+            F.round(F.col("_stf") * idf, 6).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .withColumn("_r", F.row_number().over(wsel))
+        .filter(F.col("_r") <= int(max_query_terms))
+        .select("query_id", "term", "w")
+        .localCheckpoint(eager=True)  # |ids| x max_query_terms
+    )
+    posts, dfreq, stats, tb, tbb, n_blocks = _index_match(
+        spark,
+        path,
+        expanded.select("term"),
+        doc_filter,
+        with_bounds=True,
+    )
+    contrib = (
+        F.col("w")
+        * idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    prune_active = (prune is True) or (
+        prune is None
+        and float(
+            _read_stats(spark, path).collect()[0]["n_docs"] or 0
+        )
+        >= 100_000
+    )
+    pair_w = expanded.join(dfreq, "term")
+    if prune_active:
+        posts = posts.localCheckpoint(eager=True)
+        cand = _maxscore_candidates(
+            posts,
+            pair_w,
+            stats,
+            tb,
+            k + 1,
+            k1,
+            b,
+            theta_terms,
+            tbb=tbb,
+            n_blocks=n_blocks,
+        )
+        scored_src = cand.join(posts, "doc_id").join(
+            pair_w, ["query_id", "term"]
+        )
+    else:
+        scored_src = pair_w.join(posts, "term")
+    scored = (
+        scored_src
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("mlt"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("mlt").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k) + 1)  # self may hold a slot
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            "query_id", "rank", F.col("doc_id").alias(id_col), "mlt"
         )
     )
 

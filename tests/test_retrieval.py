@@ -2886,3 +2886,136 @@ def test_rm3_score_col_validation(spark):
     fp_str = fp.withColumn("bm25", F.col("bm25").cast("string"))
     with pytest.raises(ValueError, match="not numeric"):
         bm25_rm3_topk(ddf, qdf, 5, first_pass=fp_str)
+
+
+def _mlt_ref(docs, src_ids, k, mqt=25, min_tf=1, min_df=2,
+             max_df=None, k1=1.2, b=0.75):
+    """Pure-Python MoreLikeThis reference: tf*idf term selection
+    (6dp-rounded weights, weight desc / term asc, zero-weight
+    dropped), weighted BM25 over the survivors, self excluded,
+    6dp scores, lowest-id ties."""
+    toks = {d: t.split(" ") for d, t in docs}
+    n = float(len(docs))
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df: dict = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+
+    def idf(t):
+        return math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+
+    out = []
+    for q in src_ids:
+        if q not in toks:
+            continue
+        cand = []
+        for term in set(toks[q]):
+            tf = toks[q].count(term)
+            if tf < min_tf or df.get(term, 0) < min_df:
+                continue
+            if max_df is not None and df[term] > max_df:
+                continue
+            w0 = round(tf * idf(term), 6)
+            if w0 > 0:
+                cand.append((term, w0))
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        sel = cand[:mqt]
+        scores = {}
+        for d, t in toks.items():
+            if d == q:
+                continue
+            s, matched = 0.0, False
+            for term, w0 in sel:
+                tf = float(t.count(term))
+                if tf == 0.0:
+                    continue
+                matched = True
+                s += (
+                    w0
+                    * idf(term)
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1 - b + b * len(t) / avgdl))
+                )
+            if matched:
+                scores[d] = round(s, 6)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:k]
+        out += [(q, i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    return sorted(out)
+
+
+def test_more_like_this_matches_reference(spark, tmp_path):
+    """r10 MoreLikeThis == the pure-Python reference: stored-term-
+    vector query terms, tf*idf selection with min_tf/min_df/max_df
+    gates and the max_query_terms cut, weighted BM25, self
+    excluded; forced weighted pruning (the k+1 trick keeps theta
+    valid with self in the ranking) is bit-identical; absent
+    source ids yield no rows."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        more_like_this,
+    )
+
+    docs, _ = _zipfy_corpus(seed=101)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    build_text_index(ddf, path, n_buckets=8)
+    src = [0, 7, 33, 999_999]  # last one absent from the store
+    for kw in (
+        {},
+        {"max_query_terms": 4},
+        {"min_df": 3, "max_df": 140},
+        {"min_tf": 2},
+    ):
+        got = sorted(map(tuple, more_like_this(
+            spark, path, src, 6, **kw).collect()))
+        want = _mlt_ref(docs, src, 6, mqt=kw.get(
+            "max_query_terms", 25), min_tf=kw.get("min_tf", 1),
+            min_df=kw.get("min_df", 2), max_df=kw.get("max_df"))
+        assert got == want
+        assert got or kw.get("max_df"), kw  # gated case may empty
+        assert not any(r[0] == 999_999 for r in got)
+        assert not any(r[0] == r[2] for r in got)  # self excluded
+        pruned = sorted(map(tuple, more_like_this(
+            spark, path, src, 6, prune=True, **kw).collect()))
+        assert pruned == want
+
+
+def test_more_like_this_lifecycle(spark, tmp_path):
+    """MLT composes with the store lifecycle: segment-appended docs
+    both serve as sources (their vectors come from the segment
+    postings) and appear as results; deleting a doc removes it from
+    sources AND results; post-compact equals the reference over the
+    visible corpus."""
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    docs, _ = _zipfy_corpus(seed=103)
+    base, extra = docs[:120], docs[120:]
+    path = str(tmp_path / "tidx")
+    R.build_text_index(
+        spark.createDataFrame(base, "doc_id long, text string"),
+        path,
+        n_buckets=8,
+    )
+    R.append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    src = [0, extra[0][0]]
+    got = sorted(map(tuple, R.more_like_this(
+        spark, path, src, 5).collect()))
+    assert got == _mlt_ref(docs, src, 5) and got
+
+    doomed = [docs[3][0], extra[1][0]]
+    R.delete_from_text_index(spark, path, doomed)
+    R.compact_text_index(spark, path)
+    visible = [d for d in docs if d[0] not in set(doomed)]
+    got = sorted(map(tuple, R.more_like_this(
+        spark, path, src + [doomed[0]], 5).collect()))
+    want = _mlt_ref(visible, src, 5)
+    assert got == want and got
+    assert not any(r[0] == doomed[0] for r in got)
