@@ -496,6 +496,21 @@ def main() -> None:
         )
 
     legs.append(("text_index_query_rm3", _rm3_leg))
+
+    # r10: MoreLikeThis — stored term vectors (forward store) as a
+    # weighted query; the zero-text "documents like these" serving op
+    def _mlt_leg():
+        from knn_using_hadoop_spark.operators.retrieval import (
+            more_like_this,
+        )
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ids = docs.filter(F.col("doc_id") % 500 == 3).select(
+            "doc_id"
+        )
+        return more_like_this(spark, tidx_path, ids, 10)
+
+    legs.append(("text_index_mlt", _mlt_leg))
     # r8: serving with live segments + tombstones (r7 verdict #4)
     tidx_live = (
         f"/tmp/spark_graft_text_index_live_{_sf_from_dir(SF_DIR)}"

@@ -40,7 +40,9 @@ from knn_using_hadoop_spark.operators.pipeline import (
 )
 from knn_using_hadoop_spark.operators.retrieval import (
     bm25_topk,
+    doc_vectors,
     maxp_doc_topk,
+    more_like_this,
     rrf_fuse,
 )
 from knn_using_hadoop_spark.operators.sketches import kmv_distinct
@@ -102,7 +104,9 @@ __all__ = [
     "bfs_depths_converged",
     "triangle_count",
     "bm25_topk",
+    "doc_vectors",
     "maxp_doc_topk",
+    "more_like_this",
     "rrf_fuse",
     "attach_media",
     "binary_stats",
