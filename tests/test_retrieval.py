@@ -3019,3 +3019,60 @@ def test_more_like_this_lifecycle(spark, tmp_path):
     want = _mlt_ref(visible, src, 5)
     assert got == want and got
     assert not any(r[0] == doomed[0] for r in got)
+
+
+def test_docvecs_legacy_fallback_and_migration(spark, tmp_path):
+    """r10: a pre-docvecs store (emulated by deleting the forward
+    store) still serves doc-keyed reads — ``doc_vectors`` and RM3's
+    feedback fetch fall back to the postings scan with identical
+    results — and the store's first compact migrates the forward
+    store wholesale, after which the pruned fetch returns the same
+    rows again."""
+    import os
+    import shutil
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    docs, _ = _zipfy_corpus(seed=107)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "r2 c1 c4"), (2, "r7 c0")], "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    R.build_text_index(ddf, path, n_buckets=8)
+    want_tv = sorted(map(tuple, R.doc_vectors(
+        spark, path, [3, 11]).collect()))
+    want_rm3 = sorted(map(tuple, R.query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6).collect()))
+    assert want_tv and want_rm3
+
+    shutil.rmtree(f"{path}/docvecs")  # emulate a pre-r10 store
+    assert not R._has_docvecs(spark, path)
+    assert sorted(map(tuple, R.doc_vectors(
+        spark, path, [3, 11]).collect())) == want_tv
+    assert sorted(map(tuple, R.query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6
+    ).collect())) == want_rm3
+
+    # first compact migrates the forward store wholesale
+    extra = [(900, "c0 r3 c2")]
+    R.append_text_index(
+        spark,
+        path,
+        spark.createDataFrame(extra, "doc_id long, text string"),
+    )
+    R.compact_text_index(spark, path)
+    assert R._has_docvecs(spark, path)
+    assert os.path.isdir(f"{path}/docvecs")
+    got_tv = sorted(map(tuple, R.doc_vectors(
+        spark, path, [3, 11, 900]).collect()))
+    assert got_tv == _docvec_ref(docs + extra, {3, 11, 900})
+    # post-migration RM3 equals inline over the grown corpus
+    got = sorted(map(tuple, R.query_text_index_rm3(
+        spark, path, qdf, 6, fb_docs=4, fb_terms=6).collect()))
+    want = sorted(map(tuple, R.bm25_rm3_topk(
+        spark.createDataFrame(
+            docs + extra, "doc_id long, text string"
+        ), qdf, 6, fb_docs=4, fb_terms=6,
+    ).collect()))
+    assert got == want and got
