@@ -1464,3 +1464,361 @@ def q_doc_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ret.more_like_this(
         spark, path, ids, 5, max_query_terms=25, min_tf=1, min_df=2
     )
+
+
+def _gate_pos_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (overwrite) the shared POSITIONAL text index the
+    BM25-serving gate queries run against — one artifact per sf
+    tag; each gate entry rebuilds it so any subset of the registry
+    stays self-contained (the doc_term_vectors pattern)."""
+    import re as _re
+
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_posidx_gate_{tag}"
+    _ret.build_text_index(docs, path, n_buckets=16, positions=True)
+    return path
+
+
+@_register(
+    "doc_bm25_search",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+tv AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tv GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[2] AS t1, l[3] AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 89 = 7 AND len(l) >= 3),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, t0 AS term FROM q
+    UNION ALL SELECT query_id, t1 FROM q
+    UNION ALL SELECT query_id, t2 FROM q)),
+scored AS (
+  SELECT qt.query_id, t.doc_id,
+         round(sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dls.dl
+                                    / st.avgdl))),
+               6) AS bm25
+  FROM qterms qt
+  JOIN tv t USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN st
+  GROUP BY qt.query_id, t.doc_id)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT s.*, (row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC))::INT
+    AS rank
+  FROM scored s) r
+WHERE rank <= 10""",
+)
+def q_doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship SERVED lexical query (r11): BM25 top-10 over
+    the persisted text index — ``query_text_index`` end to end
+    (build -> bucket-pruned, term-pushed scan -> exact scoring),
+    with 3-token queries drawn deterministically from the corpus
+    (every 89th document's first three tokens). The oracle
+    recomputes the whole Okapi pipeline from raw text; the Spark
+    side must reproduce the exact 6dp scores and lowest-id tie
+    ranking from the parquet artifact alone. First registry entry
+    exercising the serving read path itself (doc_more_like_this
+    covers the weighted variant). (ref: Hadoop.java has no search;
+    LLM-pipeline extension surface.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 89 == 7)
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("text"),
+        )
+    )
+    return _ret.query_text_index(spark, path, q, 10)
+
+
+@_register(
+    "doc_phrase_match",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[2] AS t1
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 97 = 5 AND len(l) >= 2),
+qpos AS (
+  SELECT query_id, t0 AS term FROM q
+  UNION ALL SELECT query_id, t1 FROM q),
+qidf AS (
+  SELECT p.query_id,
+         sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           AS _qidf
+  FROM qpos p JOIN dfreq d USING (term) CROSS JOIN st
+  GROUP BY p.query_id
+  HAVING count(*) = 2),
+matches AS (
+  SELECT q.query_id, a.doc_id, count(*)::DOUBLE AS ptf
+  FROM q
+  JOIN toks a ON a.term = q.t0
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+             AND b.term = q.t1
+  GROUP BY q.query_id, a.doc_id),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(qi._qidf * m.ptf * 2.2
+               / (m.ptf + 1.2 * (0.25 + 0.75 * dls.dl / st.avgdl)),
+               6) AS bm25
+  FROM matches m
+  JOIN qidf qi USING (query_id)
+  JOIN dls ON dls.doc_id = m.doc_id
+  CROSS JOIN st)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT s.*, (row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC))::INT
+    AS rank
+  FROM scored s) r
+WHERE rank <= 10""",
+)
+def q_doc_phrase_match(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-phrase search over the positional index (r11, the r10
+    verdict's ask #3): two-token phrases (every 97th document's
+    first two tokens) matched at consecutive stored positions —
+    Lucene PhraseQuery scoring (phrase-occurrence tf, summed member
+    idfs, BM25 saturation, 6dp, lowest-id ties). The oracle does
+    the same position arithmetic in SQL (unnest + subscripts,
+    adjacency self-join); the Spark side answers from the persisted
+    positions via JVM higher-order functions. (ref: Hadoop.java has
+    no search; Lucene PhraseQuery is the public contract.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 97 == 5)
+        .filter(F.size(toks) >= 2)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("text"),
+        )
+    )
+    return _ret.query_text_index(spark, path, q, 10, phrase=True)
+
+
+@_register(
+    "doc_phrase_sloppy",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[3] AS t1
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 97 = 5 AND len(l) >= 3),
+qpos AS (
+  SELECT query_id, t0 AS term FROM q
+  UNION ALL SELECT query_id, t1 FROM q),
+qidf AS (
+  SELECT p.query_id,
+         sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5)))
+           AS _qidf
+  FROM qpos p JOIN dfreq d USING (term) CROSS JOIN st
+  GROUP BY p.query_id
+  HAVING count(*) = 2),
+anch AS (
+  SELECT q.query_id, a.doc_id, a.pos,
+         min(abs(b.pos - (a.pos + 1)))::DOUBLE AS disp
+  FROM q
+  JOIN toks a ON a.term = q.t0
+  JOIN toks b ON b.doc_id = a.doc_id AND b.term = q.t1
+  GROUP BY q.query_id, a.doc_id, a.pos),
+matches AS (
+  SELECT query_id, doc_id,
+         sum(CASE WHEN disp <= 2 THEN 1.0 / (1.0 + disp)
+                  ELSE 0.0 END) AS ptf
+  FROM anch GROUP BY query_id, doc_id
+  HAVING sum(CASE WHEN disp <= 2 THEN 1.0 / (1.0 + disp)
+             ELSE 0.0 END) > 0),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+         round(qi._qidf * m.ptf * 2.2
+               / (m.ptf + 1.2 * (0.25 + 0.75 * dls.dl / st.avgdl)),
+               6) AS bm25
+  FROM matches m
+  JOIN qidf qi USING (query_id)
+  JOIN dls ON dls.doc_id = m.doc_id
+  CROSS JOIN st)
+SELECT query_id, rank, doc_id, bm25 FROM (
+  SELECT s.*, (row_number() OVER (
+    PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC))::INT
+    AS rank
+  FROM scored s) r
+WHERE rank <= 10""",
+)
+def q_doc_phrase_sloppy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Proximity (sloppy) phrase search, slop=2 (r11): the phrase
+    is each selected document's FIRST and THIRD tokens — expected
+    adjacent, actually one apart in the source doc, so real
+    matches carry displacement 0, 1 or 2 and Lucene's sloppyFreq
+    weighting (1/(1+displacement)) produces fractional phrase tf
+    the scoring must reproduce at 6dp. Oracle: per-anchor nearest-
+    occurrence displacement fold in SQL — the documented exact
+    contract of ``query_text_index(slop=...)``. (ref: Lucene
+    SloppyPhraseMatcher is the public contract.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 97 == 5)
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(
+                " ",
+                F.element_at(toks, 1),
+                F.element_at(toks, 3),
+            ).alias("text"),
+        )
+    )
+    return _ret.query_text_index(
+        spark, path, q, 10, phrase=True, slop=2
+    )
+
+
+@_register(
+    "doc_highlight",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+tv AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tv GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[2] AS t1, l[3] AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 89 = 7 AND len(l) >= 3),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, t0 AS term FROM q
+    UNION ALL SELECT query_id, t1 FROM q
+    UNION ALL SELECT query_id, t2 FROM q)),
+scored AS (
+  SELECT qt.query_id, t.doc_id,
+         round(sum(ln(1 + (st.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dls.dl
+                                    / st.avgdl))),
+               6) AS bm25
+  FROM qterms qt
+  JOIN tv t USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN st
+  GROUP BY qt.query_id, t.doc_id),
+ranked AS (
+  SELECT query_id, doc_id FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC)
+      AS rank
+    FROM scored s) r
+  WHERE rank <= 5),
+hp AS (
+  SELECT r.query_id, r.doc_id, tk.pos
+  FROM ranked r
+  JOIN qterms qt ON qt.query_id = r.query_id
+  JOIN toks tk ON tk.doc_id = r.doc_id AND tk.term = qt.term),
+wins AS (
+  SELECT a.query_id, a.doc_id, a.pos AS start, count(*) AS hits
+  FROM hp a
+  JOIN hp b ON b.query_id = a.query_id AND b.doc_id = a.doc_id
+           AND b.pos >= a.pos AND b.pos < a.pos + 8
+  GROUP BY a.query_id, a.doc_id, a.pos)
+SELECT query_id, doc_id, start::INT AS window_start,
+       hits::INT AS window_hits
+FROM (SELECT w.*, row_number() OVER (
+        PARTITION BY query_id, doc_id
+        ORDER BY hits DESC, start ASC) AS rn
+      FROM wins w) x
+WHERE rn = 1""",
+)
+def q_doc_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-passage highlighting over the positional index (r11):
+    the BM25 top-5 ranking (same 3-token queries as
+    doc_bm25_search) feeds ``highlight_text_index`` — for every
+    (query, doc) pair, the 8-token window holding the most
+    query-term occurrences, earliest-start ties. The oracle redoes
+    the ranking AND the hit-window argmax with SQL position
+    arithmetic (anchored windows, self-join count); the Spark side
+    answers from stored positions with JVM array functions — WHERE
+    to snip, computed without ever touching the corpus. (ref:
+    Lucene highlighter contract, deterministic core.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 89 == 7)
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("text"),
+        )
+    )
+    ranking = _ret.query_text_index(spark, path, q, 5)
+    return _ret.highlight_text_index(
+        spark, path, q, ranking, window=8
+    )

