@@ -968,8 +968,7 @@ def append_text_index(
     All store probes go through ``sources/index_store`` (Hadoop
     FileSystem API), so the lifecycle behaves identically on local
     paths, ``file://`` URIs, and ``hdfs://``/``s3a://`` stores."""
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    md = meta.asDict()
+    md = _read_meta(spark, path)
     n_buckets = md["n_buckets"]
     attrs = list(md["attribute_cols"] or [])
     # pre-r8 manifests have no positions flag
@@ -1114,27 +1113,20 @@ def _rewrite_stats(
     post = spark.read.parquet(f"{path}/postings")
     if aff is not None:
         post = post.filter(F.col("bucket").isin(aff))
-    partials = (
-        post.filter(F.col("head") == 1)
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.sum("dl").alias("sum_dl"),
-        )
-        .localCheckpoint(eager=True)  # <= n_buckets rows
-    )
+    partials = post.filter(F.col("head") == 1).groupBy(
+        "bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    )  # <= n_buckets rows
     if aff is None:
         partials.write.mode("overwrite").partitionBy(
             "bucket"
         ).parquet(f"{path}/stats")
         return
-    skept = {
-        r["bucket"]
-        for r in partials.select("bucket").distinct().collect()
-    }
-    store.dynamic_overwrite(partials, "bucket", f"{path}/stats")
-    for b in set(aff) - skept:
-        store.remove_dir(spark, f"{path}/stats/bucket={b}")
+    skept = store.fold_partitions(
+        spark, partials, "bucket", f"{path}/stats", aff
+    )
     # an emptied-store compact leaves a bucket=-1 zero sentinel (so
     # the partitioned root stays readable); clear it once real
     # partials exist again
@@ -1209,21 +1201,14 @@ def _rewrite_docvecs(
         members = members.unionByName(seg_dv)
     if tomb is not None:
         members = members.join(tomb, "doc_id", "left_anti")
-    live = members.dropDuplicates(
-        ["doc_id", "term"]
-    ).localCheckpoint(eager=True)
-    kept = {
-        r["dbucket"]
-        for r in live.select("dbucket").distinct().collect()
-    }
-    if kept:
-        store.dynamic_overwrite(
-            live.sortWithinPartitions("dbucket", "doc_id", "term"),
-            "dbucket",
-            f"{path}/docvecs",
-        )
-    for b in set(daff) - kept:
-        store.remove_dir(spark, f"{path}/docvecs/dbucket={b}")
+    store.fold_partitions(
+        spark,
+        members.dropDuplicates(["doc_id", "term"]),
+        "dbucket",
+        f"{path}/docvecs",
+        daff,
+        order=("doc_id", "term"),
+    )
 
 
 def _rewrite_terms(spark, path: str, aff: list[int] | None) -> None:
@@ -1242,22 +1227,22 @@ def _rewrite_terms(spark, path: str, aff: list[int] | None) -> None:
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        .localCheckpoint(eager=True)
     )
-    terms_new = terms_new.sortWithinPartitions("bucket", "term")
     if aff is None:
-        terms_new.write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{path}/terms")
+        terms_new.sortWithinPartitions(
+            "bucket", "term"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/terms"
+        )
         return
-    tkept = {
-        r["bucket"]
-        for r in terms_new.select("bucket").distinct().collect()
-    }
-    if tkept:
-        store.dynamic_overwrite(terms_new, "bucket", f"{path}/terms")
-    for b in set(aff) - tkept:
-        store.remove_dir(spark, f"{path}/terms/bucket={b}")
+    store.fold_partitions(
+        spark,
+        terms_new,
+        "bucket",
+        f"{path}/terms",
+        aff,
+        order=("term",),
+    )
 
 
 def _rewrite_blocks(
@@ -1282,26 +1267,22 @@ def _rewrite_blocks(
             F.max("tf").alias("max_tf"),
             F.min("dl").alias("min_dl"),
         )
-        .localCheckpoint(eager=True)
-    )
-    blocks_new = blocks_new.sortWithinPartitions(
-        "bucket", "term", "blk"
     )
     if aff is None:
-        blocks_new.write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(f"{path}/blocks")
-        return
-    bkept = {
-        r["bucket"]
-        for r in blocks_new.select("bucket").distinct().collect()
-    }
-    if bkept:
-        store.dynamic_overwrite(
-            blocks_new, "bucket", f"{path}/blocks"
+        blocks_new.sortWithinPartitions(
+            "bucket", "term", "blk"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{path}/blocks"
         )
-    for b in set(aff) - bkept:
-        store.remove_dir(spark, f"{path}/blocks/bucket={b}")
+        return
+    store.fold_partitions(
+        spark,
+        blocks_new,
+        "bucket",
+        f"{path}/blocks",
+        aff,
+        order=("term", "blk"),
+    )
 
 
 def _read_meta(spark, path: str) -> dict:
@@ -1325,22 +1306,22 @@ def _rewrite_meta(spark, path: str, md: dict) -> None:
     rename leaves the committed tmp, which ``_read_meta`` serves
     and the next compact re-swaps. Always writes the FULL current
     schema (legacy stores gain explicit defaults)."""
-    mdir = f"{path}/meta"
-    tdir = f"{path}/meta_tmp"
-    spark.createDataFrame(
-        [
-            (
-                int(md["n_buckets"]),
-                list(md.get("attribute_cols") or []),
-                bool(md.get("positions", False)),
-                md.get("n_blocks"),
-            )
-        ],
-        "n_buckets int, attribute_cols array<string>, "
-        "positions boolean, n_blocks int",
-    ).coalesce(1).write.mode("overwrite").parquet(tdir)
-    store.remove_dir(spark, mdir)
-    store.rename_dir(spark, tdir, mdir)
+    store.swap_write(
+        spark,
+        spark.createDataFrame(
+            [
+                (
+                    int(md["n_buckets"]),
+                    list(md.get("attribute_cols") or []),
+                    bool(md.get("positions", False)),
+                    md.get("n_blocks"),
+                )
+            ],
+            "n_buckets int, attribute_cols array<string>, "
+            "positions boolean, n_blocks int",
+        ),
+        f"{path}/meta",
+    )
 
 
 def _read_manifest(
@@ -1388,16 +1369,14 @@ def _write_manifest(
     ``_read_manifest`` unions in. The written set is always a
     superset of the prior manifest's (the caller unions the old
     buckets in), so whichever side a crash exposes is sufficient."""
-    mdir = f"{path}/_compact_manifest"
-    tdir = f"{path}/_compact_manifest_tmp"
     rows = [("b", int(x)) for x in sorted(buckets)] + [
         ("d", int(x)) for x in sorted(dbuckets)
     ]
-    spark.createDataFrame(
-        rows, "kind string, b int"
-    ).coalesce(1).write.mode("overwrite").parquet(tdir)
-    store.remove_dir(spark, mdir)
-    store.rename_dir(spark, tdir, mdir)
+    store.swap_write(
+        spark,
+        spark.createDataFrame(rows, "kind string, b int"),
+        f"{path}/_compact_manifest",
+    )
 
 
 def _clear_manifest(spark, path: str) -> None:
@@ -1407,7 +1386,9 @@ def _clear_manifest(spark, path: str) -> None:
     store.remove_dir(spark, f"{path}/_compact_manifest_tmp")
 
 
-def compact_text_index(spark, path: str) -> None:
+def compact_text_index(
+    spark, path: str, *, retrofit_blocks: int | None = None
+) -> None:
     """Fold segments and tombstones into the base text index — the
     Lucene merge, PARTITION-SELECTIVE (r8, the `compact_ivf_index`
     discipline): only the AFFECTED buckets — those receiving
@@ -1437,9 +1418,15 @@ def compact_text_index(spark, path: str) -> None:
     land on an unpartitioned root), and a pre-r10 store with no
     doc-keyed forward store gets ``docvecs`` built from the
     post-compact postings. One O(corpus-of-that-store) rewrite
-    each, then O(delta) forever. (Block bounds are NOT retrofitted:
-    ``n_blocks`` is a build-time choice recorded in meta; a legacy
-    store keeps the term-granularity pruning path.)
+    each, then O(delta) forever. Block bounds are not retrofitted
+    automatically (``n_blocks`` is a build-time choice recorded in
+    meta; a legacy store keeps the term-granularity pruning path) —
+    pass ``retrofit_blocks=<n_blocks>`` to opt in (r11): the blocks
+    store is built wholesale from the current postings and
+    ``n_blocks`` is recorded via a crash-safe meta swap
+    (write-tmp-then-rename; ``_read_meta`` serves the committed tmp
+    in the swap window and the next compact re-swaps it), closing
+    the one store a legacy index could never gain.
 
     Crash ordering (r10 — the write-ahead manifest closes the r9
     verdict's What's-wrong #2 and ADVICE's any-hit-heal defect):
@@ -1496,9 +1483,39 @@ def compact_text_index(spark, path: str) -> None:
             for e in store.child_names(spark, f"{path}/docvecs")
             if e.startswith("dbucket=")
         }
-    md = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    # heal a crashed meta swap first (committed meta_tmp, torn or
+    # missing meta): re-issue the rename so later maintenance and
+    # queries read the canonical location again
+    if not store.is_committed(
+        spark, f"{path}/meta"
+    ) and store.is_committed(spark, f"{path}/meta_tmp"):
+        store.remove_dir(spark, f"{path}/meta")
+        store.rename_dir(spark, f"{path}/meta_tmp", f"{path}/meta")
+    md = _read_meta(spark, path)
     n_buckets = int(md["n_buckets"])
     n_blocks = md.get("n_blocks")
+    if retrofit_blocks is not None:
+        # opt-in legacy upgrade (r11, r10 verdict #4): a pre-r10
+        # store never gains block bounds on its own (n_blocks is a
+        # build-time choice) — build the blocks store wholesale
+        # from the CURRENT postings, then record n_blocks via the
+        # crash-safe meta swap. Runs BEFORE the fold: the fold
+        # below re-derives affected buckets' bounds from the
+        # rewritten files, so the final state is consistent either
+        # way; a crash between the two leaves loose-but-safe bounds
+        # (over-bounds only weaken pruning).
+        if n_blocks is not None:
+            raise ValueError(
+                "store already has block bounds "
+                f"(n_blocks={n_blocks}); retrofit_blocks is for "
+                "legacy stores built before the blocks store"
+            )
+        n_blocks = int(retrofit_blocks)
+        if n_blocks <= 0:
+            raise ValueError("retrofit_blocks must be positive")
+        _rewrite_blocks(spark, path, None, n_blocks)
+        md["n_blocks"] = n_blocks
+        _rewrite_meta(spark, path, md)
     has_blocks = n_blocks is not None and any(
         e.startswith("bucket=")
         for e in store.child_names(spark, f"{path}/blocks")
@@ -1596,20 +1613,14 @@ def compact_text_index(spark, path: str) -> None:
         members = members.unionByName(seg)
     if tomb is not None:
         members = members.join(tomb, "doc_id", "left_anti")
-    live = members.dropDuplicates(
-        ["doc_id", "term"]
-    ).localCheckpoint(eager=True)
-    kept = {
-        r["bucket"]
-        for r in live.select("bucket").distinct().collect()
-    }
-    store.dynamic_overwrite(
-        live.sortWithinPartitions("bucket", "term", "doc_id"),
+    kept = store.fold_partitions(
+        spark,
+        members.dropDuplicates(["doc_id", "term"]),
         "bucket",
         f"{path}/postings",
+        affected,
+        order=("term", "doc_id"),
     )
-    for b in affected - kept:
-        store.remove_dir(spark, f"{path}/postings/bucket={b}")
     if not kept and not any(
         e.startswith("bucket=")
         for e in store.child_names(spark, f"{path}/postings")
@@ -2178,7 +2189,7 @@ def query_text_index(
     statistics are approximate between maintenance ops; MATCHING is
     exact always).
     """
-    md = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    md = _read_meta(spark, path)
     n_buckets = md["n_buckets"]
     qterms = (
         queries.select(
@@ -2627,7 +2638,7 @@ def _index_match(
     folded at query time), full posts derivation for legacy
     stores — plus the (tbb, n_blocks) block-bound pair (r10;
     tbb None on pre-block stores)."""
-    md = spark.read.parquet(f"{path}/meta").collect()[0].asDict()
+    md = _read_meta(spark, path)
     n_buckets = md["n_buckets"]
     n_blocks = md.get("n_blocks")
     qset = (
@@ -2783,10 +2794,7 @@ def _fetch_doc_vectors(
     migrates it). Crash-window duplicates (same row in base and a
     not-yet-removed segment) are (doc_id, term)-deduped."""
     if _has_docvecs(spark, path):
-        n_buckets = int(
-            spark.read.parquet(f"{path}/meta")
-            .collect()[0]["n_buckets"]
-        )
+        n_buckets = int(_read_meta(spark, path)["n_buckets"])
         dbuckets = [
             int(r["_db"])
             for r in ids.select(
@@ -3258,9 +3266,7 @@ def highlight_text_index(
     need no re-masking: a ranking produced by ``query_text_index``
     already excludes deleted docs, and a pair absent from the store
     simply yields no row."""
-    n_buckets = spark.read.parquet(f"{path}/meta").collect()[0][
-        "n_buckets"
-    ]
+    n_buckets = _read_meta(spark, path)["n_buckets"]
     qterms = (
         queries.select(
             F.col(query_id_col).alias("query_id"),

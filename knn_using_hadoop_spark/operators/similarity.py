@@ -4824,6 +4824,15 @@ def compact_ivf_index(spark, path: str) -> None:
     re-run folds them back to one. Single-writer assumed, as with
     any non-catalog parquet maintenance.
 
+    No write-ahead manifest (r11, deliberate asymmetry with
+    ``compact_text_index``): the text index needs one because its
+    DERIVED stores (terms df, stats partials, block bounds) can go
+    stale against rewritten postings with nothing left to derive
+    the affected set from; here every store is primary data whose
+    affected set re-derives from the still-present tombstone and
+    segment directories in any crash window — pinned by the
+    between-stores crash test in ``test_index_lifecycle``.
+
     All store probes and removals go through ``sources/index_store``
     (Hadoop FileSystem API), so compaction works on ``file://`` /
     ``hdfs://`` / ``s3a://`` stores exactly as on local paths.
@@ -4859,35 +4868,31 @@ def compact_ivf_index(spark, path: str) -> None:
                 .collect()
             }  # bounded by C
         if affected:
-            survivors = _read_index_members(
-                spark, path, store_name
-            ).filter(
-                F.col("cell").isin([int(c) for c in affected])
-            ).dropDuplicates(["vec_id"]).localCheckpoint(
-                eager=True
-            )  # materialized BEFORE the overwrite — the plan reads
-            # the very files it replaces. dropDuplicates (ADVICE r6
-            # #1): a compaction that crashed between a store's
-            # dynamic overwrite and its segment removal leaves
-            # streamed rows in BOTH base and segments; base UNION
-            # segments would then bake the duplicates in permanently
-            # on the re-run. vec_id is the index PK (tombstones mask
-            # by id), so id-dedup is exact; the extra shuffle is
-            # bounded by the affected cells.
-            kept = {
-                r["cell"]
-                for r in survivors.select("cell").distinct().collect()
-            }
-            # per-write dynamic overwrite (r8 ADVICE #3): the mode
-            # rides on the DataFrameWriter, so no concurrent write
-            # on the session sees a flipped global conf
-            store.dynamic_overwrite(
-                survivors, "cell", f"{path}/{store_name}"
-            )
-            for c in affected - kept:
-                store.remove_dir(
-                    spark, f"{path}/{store_name}/cell={c}"
+            # fold_partitions (r11, shared with the text lifecycle):
+            # checkpoint-before-overwrite (the plan reads the very
+            # files it replaces), per-write dynamic overwrite, and
+            # explicit removal of emptied cells. dropDuplicates
+            # (ADVICE r6 #1): a compaction that crashed between a
+            # store's dynamic overwrite and its segment removal
+            # leaves streamed rows in BOTH base and segments; base
+            # UNION segments would then bake the duplicates in
+            # permanently on the re-run. vec_id is the index PK
+            # (tombstones mask by id), so id-dedup is exact; the
+            # extra shuffle is bounded by the affected cells.
+            survivors = (
+                _read_index_members(spark, path, store_name)
+                .filter(
+                    F.col("cell").isin([int(c) for c in affected])
                 )
+                .dropDuplicates(["vec_id"])
+            )
+            store.fold_partitions(
+                spark,
+                survivors,
+                "cell",
+                f"{path}/{store_name}",
+                affected,
+            )
         if has_stream:
             store.remove_dir(spark, sdir)
     if has_tomb:

@@ -49,6 +49,7 @@ __all__ = [
     "child_names",
     "dynamic_overwrite",
     "exists_dir",
+    "fold_partitions",
     "has_children",
     "has_segments",
     "is_committed",
@@ -59,6 +60,7 @@ __all__ = [
     "remove_dir",
     "rename_dir",
     "segment_batch_ids",
+    "swap_write",
 ]
 
 
@@ -78,6 +80,56 @@ def dynamic_overwrite(df: DataFrame, part_col: str, dest: str) -> None:
         .partitionBy(part_col)
         .parquet(dest)
     )
+
+
+def fold_partitions(
+    spark,
+    live: DataFrame,
+    part_col: str,
+    dest: str,
+    affected,
+    *,
+    order: tuple = (),
+) -> set:
+    """The selective-rewrite step both index lifecycles share (r11,
+    lifted from five near-identical blocks in retrieval/similarity):
+    materialize the surviving rows (EAGER localCheckpoint — the plan
+    reads the very files the overwrite replaces), dynamic-overwrite
+    only the partitions present in ``live`` (sorted within each
+    output file by ``order`` when given, so key-sorted stores keep
+    their row-group-skipping layout through every rewrite), and
+    explicitly remove ``affected`` partitions the rewrite emptied
+    (dynamic overwrite only replaces partitions it writes). Returns
+    the kept partition values."""
+    live = live.localCheckpoint(eager=True)
+    kept = {
+        r[part_col]
+        for r in live.select(part_col).distinct().collect()
+    }
+    if kept:
+        out = (
+            live.sortWithinPartitions(part_col, *order)
+            if order
+            else live
+        )
+        dynamic_overwrite(out, part_col, dest)
+    for v in set(affected) - kept:
+        remove_dir(spark, f"{dest}/{part_col}={v}")
+    return kept
+
+
+def swap_write(spark, df: DataFrame, dest: str) -> None:
+    """Replace a small metadata directory (manifest, meta row)
+    atomically-enough for single-writer maintenance: write to
+    ``<dest>_tmp``, remove ``dest``, rename the tmp in. A crash
+    inside the parquet write leaves ``dest`` intact; a crash
+    between remove and rename leaves a committed tmp readers can
+    fall back to (see ``is_committed``) — never a torn directory
+    that bricks later reads."""
+    tmp = f"{dest}_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    remove_dir(spark, dest)
+    rename_dir(spark, tmp, dest)
 
 
 def _fs_and_path(spark, path: str):

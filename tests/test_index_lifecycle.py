@@ -768,3 +768,88 @@ def test_ivf_lifecycle_on_file_uri(spark, tmp_path):
         ).collect()
     }
     assert post2 == post  # compaction invisible to queries
+
+
+def test_ivfpq_compact_crash_between_stores_converges(
+    spark, tmp_path, monkeypatch
+):
+    """r11: the IVF compact needs NO write-ahead manifest — unlike
+    the text index it has no derived statistics stores, so every
+    store's affected set re-derives from the still-present
+    tombstone/segment dirs (each store drops ITS segment dir only
+    after its own rewrite; tombstones drop last). Pin the
+    between-stores window the argument rests on: a compact that
+    dies AFTER the cells fold (cells purged, stream_cells gone)
+    but BEFORE the pq_codes fold leaves a mid-state where queries
+    are still exact (tombstones still mask the un-purged codes),
+    and the re-run folds pq_codes, clears all debt, and changes no
+    ranking."""
+    dim, k = 8, 4
+    base = _corpus(spark, n=240, dim=dim)
+    extra = _corpus(spark, n=40, dim=dim, start=1000)
+    queries = base.filter(F.col("vec_id") % 60 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(
+        base, path, n_centroids=6, iters=1, pq=True, dim=dim,
+        m=4, ks=16,
+    )
+    append_ivf_index(spark, path, extra)
+    doomed = {7, 1003}
+    delete_from_ivf_index(spark, path, sorted(doomed))
+    want = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(spark, path, queries, k, nprobe=6)
+            .collect(),
+        )
+    )
+    assert not {r[2] for r in want} & doomed
+
+    import knn_using_hadoop_spark.operators.similarity as S
+
+    real = S.store.fold_partitions
+
+    def boom(spark_, live, part_col, dest, affected, **kw):
+        if dest.endswith("pq_codes"):
+            raise RuntimeError("injected crash before codes fold")
+        return real(spark_, live, part_col, dest, affected, **kw)
+
+    monkeypatch.setattr(S.store, "fold_partitions", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        compact_ivf_index(spark, path)
+    monkeypatch.setattr(S.store, "fold_partitions", real)
+
+    # mid-window state: cells folded + its segments gone, codes
+    # NOT folded (segments + tombstones still present) — queries
+    # must still be exact
+    assert not os.path.isdir(f"{path}/stream_cells")
+    assert os.path.isdir(f"{path}/tombstones")
+    mid = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(spark, path, queries, k, nprobe=6)
+            .collect(),
+        )
+    )
+    assert mid == want
+
+    # re-run converges: codes folded, all debt cleared, rankings
+    # unchanged, doomed codes physically purged
+    compact_ivf_index(spark, path)
+    assert not os.path.isdir(f"{path}/tombstones")
+    assert not os.path.isdir(f"{path}/stream_pq_codes")
+    after = sorted(
+        map(
+            tuple,
+            query_ivfpq_index(spark, path, queries, k, nprobe=6)
+            .collect(),
+        )
+    )
+    assert after == want
+    left = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{path}/pq_codes")
+        .select("vec_id")
+        .collect()
+    }
+    assert not left & doomed

@@ -3450,3 +3450,102 @@ def test_manifest_write_crash_keeps_prior_manifest(
     assert not os.path.isdir(f"{path}/_compact_manifest_tmp")
     R._clear_manifest(spark, path)
     assert R._read_manifest(spark, path) == (set(), set(), False)
+
+
+def test_compact_retrofit_blocks_on_legacy_store(spark, tmp_path):
+    """r11 (r10 verdict #4): a legacy store (no ``blocks`` store,
+    no ``n_blocks`` in meta — the one store a pre-r10 index could
+    never gain) opts into block bounds at compact via
+    ``retrofit_blocks=N``: the blocks store appears with exactly
+    the from-scratch per-(term, blk) bounds, meta records N through
+    the crash-safe swap, weighted/pruned serving over the
+    retrofitted store stays bit-identical to unpruned, and a
+    crashed meta swap (committed meta_tmp, meta gone) still serves
+    queries and heals at the next compact. Retrofitting a store
+    that already has blocks raises."""
+    import os
+
+    from knn_using_hadoop_spark.operators import retrieval as R
+
+    docs, queries = _zipfy_corpus(seed=31)
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        queries, "query_id long, text string"
+    )
+    path = str(tmp_path / "tidx")
+    R.build_text_index(ddf, path, n_buckets=8)
+
+    # ---- forge the legacy layout: drop blocks, strip n_blocks
+    import shutil
+
+    shutil.rmtree(f"{path}/blocks")
+    md = R._read_meta(spark, path)
+    spark.createDataFrame(
+        [(int(md["n_buckets"]), [], False)],
+        "n_buckets int, attribute_cols array<string>, "
+        "positions boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    assert R._read_meta(spark, path).get("n_blocks") is None
+
+    # ---- retrofit at compact (a no-work compact: no seg/tomb)
+    R.compact_text_index(spark, path, retrofit_blocks=4)
+    assert R._read_meta(spark, path)["n_blocks"] == 4
+    want_blocks = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/postings")
+            .filter(F.col("tf") > 0)
+            .groupBy(
+                "bucket",
+                "term",
+                F.pmod(F.xxhash64("doc_id"), F.lit(4))
+                .cast("int")
+                .alias("blk"),
+            )
+            .agg(
+                F.max("tf").alias("max_tf"),
+                F.min("dl").alias("min_dl"),
+            )
+            .collect(),
+        )
+    )
+    got_blocks = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{path}/blocks")
+            .select("bucket", "term", "blk", "max_tf", "min_dl")
+            .collect(),
+        )
+    )
+    assert got_blocks == want_blocks
+
+    # pruned serving on the retrofitted store is exact (weighted
+    # RM3 takes the block path; plain takes term-granularity)
+    p = sorted(map(tuple, R.query_text_index(
+        spark, path, qdf, 5, prune=True).collect()))
+    u = sorted(map(tuple, R.query_text_index(
+        spark, path, qdf, 5, prune=False).collect()))
+    assert p == u and p
+    pr = sorted(map(tuple, R.query_text_index_rm3(
+        spark, path, qdf, 5, fb_docs=3, fb_terms=5,
+        prune=True).collect()))
+    ur = sorted(map(tuple, R.query_text_index_rm3(
+        spark, path, qdf, 5, fb_docs=3, fb_terms=5,
+        prune=False).collect()))
+    assert pr == ur and pr
+
+    # double-retrofit raises
+    with pytest.raises(ValueError, match="already has block"):
+        R.compact_text_index(spark, path, retrofit_blocks=4)
+
+    # ---- crashed meta swap: committed tmp, meta gone — queries
+    # still read the store, and the next compact re-swaps it
+    os.rename(f"{path}/meta", f"{path}/meta_tmp")
+    assert R._read_meta(spark, path)["n_blocks"] == 4
+    q2 = sorted(map(tuple, R.query_text_index(
+        spark, path, qdf, 5).collect()))
+    assert q2 == u
+    R.compact_text_index(spark, path)
+    assert os.path.isdir(f"{path}/meta")
+    assert not os.path.isdir(f"{path}/meta_tmp")
+    assert R._read_meta(spark, path)["n_blocks"] == 4

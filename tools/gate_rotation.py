@@ -101,7 +101,7 @@ def main() -> int:
         f"Driver-stamped at least once (r1–{rmax}): "
         f"{len(stamped & set(names))}. Never stamped: {len(never)} — "
         "all of them pass the independent local gate "
-        "(`tools/check_oracle.py`, 212/212).",
+        f"(`tools/check_oracle.py`, {len(names)}/{len(names)}).",
         "",
         "Priority order for a future driver snapshot refresh "
         "(regenerate with `python3 tools/gate_rotation.py`):",
