@@ -1822,3 +1822,136 @@ def q_doc_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ret.highlight_text_index(
         spark, path, q, ranking, window=8
     )
+
+
+@_register(
+    "doc_rm3_search",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+tv AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tv GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[2] AS t1, l[3] AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 89 = 7 AND len(l) >= 3),
+qm AS (
+  SELECT query_id, t0 AS term FROM q
+  UNION ALL SELECT query_id, t1 FROM q
+  UNION ALL SELECT query_id, t2 FROM q),
+qterms AS (SELECT DISTINCT query_id, term FROM qm),
+pass1 AS (
+  SELECT query_id, doc_id, bm25 FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rn
+    FROM (
+      SELECT qt.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n_docs - d.df + 0.5)
+                          / (d.df + 0.5))
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * dls.dl
+                                        / st.avgdl))),
+                   6) AS bm25
+      FROM qterms qt
+      JOIN tv t USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dls ON dls.doc_id = t.doc_id
+      CROSS JOIN st
+      GROUP BY qt.query_id, t.doc_id) s) r
+  WHERE rn <= 5),
+fb AS (
+  SELECT query_id, doc_id,
+         bm25 / sum(bm25) OVER (PARTITION BY query_id) AS sw
+  FROM pass1),
+rm1 AS (
+  SELECT fb.query_id, tv.term,
+         sum(fb.sw * tv.tf / dls.dl) AS w0
+  FROM fb
+  JOIN tv ON tv.doc_id = fb.doc_id
+  JOIN dls ON dls.doc_id = fb.doc_id
+  GROUP BY fb.query_id, tv.term),
+sel AS (
+  SELECT query_id, term, w0 FROM (
+    SELECT r.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY w0 DESC, term ASC) AS rn
+    FROM rm1 r) x
+  WHERE rn <= 8),
+seln AS (
+  SELECT query_id, term,
+         w0 / sum(w0) OVER (PARTITION BY query_id) AS w
+  FROM sel),
+qmle AS (
+  SELECT qm.query_id, qm.term,
+         count(*)::DOUBLE / min(qn.n) AS w
+  FROM qm
+  JOIN (SELECT query_id, count(*)::DOUBLE AS n
+        FROM qm GROUP BY query_id) qn USING (query_id)
+  GROUP BY qm.query_id, qm.term),
+expanded AS (
+  SELECT query_id, term, sum(w) AS w FROM (
+    SELECT query_id, term, 0.5 * w AS w FROM qmle
+    UNION ALL
+    SELECT query_id, term, 0.5 * w AS w FROM seln) u
+  GROUP BY query_id, term
+  HAVING sum(w) > 0),
+scored AS (
+  SELECT e.query_id, t.doc_id,
+         round(sum(e.w
+                   * ln(1 + (st.n_docs - d.df + 0.5)
+                        / (d.df + 0.5))
+                   * t.tf * 2.2
+                   / (t.tf + 1.2 * (0.25 + 0.75 * dls.dl
+                                    / st.avgdl))),
+               6) AS rm3
+  FROM expanded e
+  JOIN tv t USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dls ON dls.doc_id = t.doc_id
+  CROSS JOIN st
+  GROUP BY e.query_id, t.doc_id)
+SELECT query_id, rank, doc_id, rm3 FROM (
+  SELECT s.*, (row_number() OVER (
+    PARTITION BY query_id ORDER BY rm3 DESC, doc_id ASC))::INT
+    AS rank
+  FROM scored s) r
+WHERE rank <= 10""",
+)
+def q_doc_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 pseudo-relevance feedback SERVED from the persisted text
+    index (r11): first-pass BM25 top-5 feedback docs, score-
+    normalized RM1 term weights from the docs' language models
+    (P(t|d) read from the doc-keyed forward store, dbucket-pruned),
+    top-8 expansion terms renormalized and interpolated with the
+    query MLE model (alpha=0.5), weighted BM25 final pass — the
+    full Anserini -rm3 recipe answered with ZERO corpus access. The
+    oracle recomputes both passes and the feedback arithmetic from
+    raw text in SQL; 6dp scores and lowest-id ties must reproduce
+    bit-for-bit through build -> serve. Completes the served-BM25
+    gate family (search / phrase / sloppy / highlight / MLT / RM3).
+    (ref: Lavrenko & Croft SIGIR'01; Hadoop.java has no search.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 89 == 7)
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("text"),
+        )
+    )
+    return _ret.query_text_index_rm3(
+        spark, path, q, 10, fb_docs=5, fb_terms=8, alpha=0.5
+    )
