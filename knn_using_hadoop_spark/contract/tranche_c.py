@@ -1955,3 +1955,117 @@ def q_doc_rm3_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ret.query_text_index_rm3(
         spark, path, q, 10, fb_docs=5, fb_terms=8, alpha=0.5
     )
+
+
+@_register(
+    "doc_hybrid_rrf",
+    """WITH toks AS (
+  SELECT doc_id, unnest(l) AS term,
+         generate_subscripts(l, 1)::BIGINT - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)),
+dls AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY doc_id),
+st AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dls),
+tv AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tv GROUP BY term),
+q AS (
+  SELECT doc_id AS query_id, l[1] AS t0, l[2] AS t1, l[3] AS t2
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents)
+  WHERE doc_id % 89 = 7 AND len(l) >= 3),
+qterms AS (
+  SELECT DISTINCT query_id, term FROM (
+    SELECT query_id, t0 AS term FROM q
+    UNION ALL SELECT query_id, t1 FROM q
+    UNION ALL SELECT query_id, t2 FROM q)),
+lex AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS rank
+    FROM (
+      SELECT qt.query_id, t.doc_id,
+             round(sum(ln(1 + (st.n_docs - d.df + 0.5)
+                          / (d.df + 0.5))
+                       * t.tf * 2.2
+                       / (t.tf + 1.2 * (0.25 + 0.75 * dls.dl
+                                        / st.avgdl))),
+                   6) AS bm25
+      FROM qterms qt
+      JOIN tv t USING (term)
+      JOIN dfreq d USING (term)
+      JOIN dls ON dls.doc_id = t.doc_id
+      CROSS JOIN st
+      GROUP BY qt.query_id, t.doc_id) s) r
+  WHERE rank <= 10),
+eq AS (SELECT e.vec_id AS query_id, e.embedding AS qv
+       FROM embeddings e JOIN q ON q.query_id = e.vec_id),
+pe AS (SELECT e.vec_id, eq.query_id, e.embedding AS cv, eq.qv
+       FROM embeddings e, eq WHERE e.vec_id <> eq.query_id),
+sums AS (
+  SELECT query_id, vec_id,
+         sum(qv[i]::DOUBLE * cv[i]::DOUBLE) AS dot,
+         sum(qv[i]::DOUBLE * qv[i]::DOUBLE) AS qq,
+         sum(cv[i]::DOUBLE * cv[i]::DOUBLE) AS cc
+  FROM pe, generate_series(1, 64) g(i)
+  GROUP BY query_id, vec_id),
+vec AS (
+  SELECT query_id, vec_id AS doc_id, rank FROM (
+    SELECT query_id, vec_id,
+           (row_number() OVER (PARTITION BY query_id
+              ORDER BY round(dot / (sqrt(qq) * sqrt(cc)), 6) DESC,
+                       vec_id))::INT AS rank
+    FROM sums) x
+  WHERE rank <= 10),
+parts AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS p FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60 + rank) AS p FROM vec),
+fused AS (
+  SELECT query_id, doc_id, round(sum(p), 6) AS rrf
+  FROM parts GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id, rrf FROM (
+  SELECT f.*, (row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC))::INT
+    AS rank
+  FROM fused f) r
+WHERE rank <= 10""",
+)
+def q_doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval fused with reciprocal-rank
+    fusion (r11; Cormack, Clarke & Buettcher SIGIR'09): the BM25
+    top-10 from the persisted text index and the exact cosine
+    top-10 over the parallel ``embeddings`` table (vec_id i is
+    document i's embedding in the synthetic star schema) fuse as
+    sum(1/(60+rank)) — rank positions meet, raw scores never do.
+    The production RAG serving shape end to end, both legs AND the
+    fusion recomputed in SQL (the cosine leg reuses the registered
+    similarity_topk arithmetic; 6dp, lowest-id ties). (ref:
+    Hadoop.java has no search; RRF is the public contract.)"""
+    from knn_using_hadoop_spark.operators import retrieval as _ret
+    from knn_using_hadoop_spark.operators import similarity as _sim
+
+    path = _gate_pos_index(spark, sf_dir)
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", sf_dir)
+    toks = F.split("text", " ")
+    q = (
+        docs.filter(F.col("doc_id") % 89 == 7)
+        .filter(F.size(toks) >= 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 3)).alias("text"),
+        )
+    )
+    lex = _ret.query_text_index(spark, path, q, 10)
+    vq = embs.join(
+        q.select(F.col("query_id").alias("vec_id")), "vec_id"
+    )
+    vec = _sim.cosine_topk(embs, vq, 10, 64).withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    return _ret.rrf_fuse([lex, vec], 10)
