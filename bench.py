@@ -275,6 +275,57 @@ def _build_live_ivf_index(spark, sf_dir: str, path: str) -> None:
     delete_from_ivf_index(spark, path, where="vec_id % 37 = 0")
 
 
+def _build_live_dedup_index(spark, sf_dir: str, path: str) -> None:
+    """Dedup-store twin of the live text/IVF fixtures (r11): most of
+    the corpus in the base fingerprint store, one appended batch,
+    a slice tombstoned — the query pays segment union + tombstone
+    anti-join on both stores."""
+    import shutil
+
+    from knn_using_hadoop_spark.operators.dedup import (
+        append_dedup_index,
+        build_dedup_index,
+        delete_from_dedup_index,
+    )
+
+    shutil.rmtree(path, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    build_dedup_index(
+        docs.filter(
+            (F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 10 < 8)
+        ),
+        path,
+    )
+    append_dedup_index(
+        spark,
+        path,
+        docs.filter(
+            (F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 10 >= 8)
+        ),
+    )
+    delete_from_dedup_index(
+        spark,
+        path,
+        docs.filter(
+            (F.col("doc_id") % 7 != 3) & (F.col("doc_id") % 97 == 0)
+        ).select("doc_id"),
+    )
+
+
+def _dedup_index_query_live(spark, sf_dir: str, path: str):
+    from knn_using_hadoop_spark.operators.dedup import (
+        query_dedup_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    return query_dedup_index(spark, path, batch, threshold=0.5)
+
+
 def _ivf_index_query_live(spark, sf_dir: str, path: str):
     from knn_using_hadoop_spark.operators.similarity import (
         query_ivf_index,
@@ -532,6 +583,16 @@ def main() -> None:
         (
             "ivf_index_query_live",
             lambda: _ivf_index_query_live(spark, SF_DIR, ivf_live),
+        )
+    )
+    dedup_live = (
+        f"/tmp/spark_graft_dedup_index_live_{_sf_from_dir(SF_DIR)}"
+    )
+    _build_live_dedup_index(spark, SF_DIR, dedup_live)
+    legs.append(
+        (
+            "dedup_index_query_live",
+            lambda: _dedup_index_query_live(spark, SF_DIR, dedup_live),
         )
     )
     legs.append(("knn_predict_large", _knn_large))

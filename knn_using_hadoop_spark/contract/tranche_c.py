@@ -25,6 +25,14 @@ from knn_using_hadoop_spark.contract.featurization_ann import (
     _IVF_KMEANS_SQL,
     _IVF_NC,
 )
+from knn_using_hadoop_spark.contract.text_dedup import (
+    _DOC_CTE as _DEDUP_DOC_CTE,
+    _MINHASH_SQL as _DEDUP_MINHASH_SQL,
+)
+from knn_using_hadoop_spark.operators.dedup import (
+    BAND_ROWS as _BAND_ROWS,
+    NUM_HASHES as _NUM_HASHES,
+)
 from knn_using_hadoop_spark.contract.bpe_sql_incr import (
     _PQ_CTES,
     _PQ_KS_Q,
@@ -2401,4 +2409,97 @@ def q_doc_maxp_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg="max",
         chunk_col="chunk_key",
         score_col="bm25",
+    )
+
+
+@_register(
+    "dedup_index_pairs",
+    f"""WITH {_DEDUP_DOC_CTE},
+{_DEDUP_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, h_idx // {_BAND_ROWS} AS band,
+         max(CASE WHEN h_idx % {_BAND_ROWS} = 0 THEN minhash END)
+           AS sig0,
+         max(CASE WHEN h_idx % {_BAND_ROWS} = 1 THEN minhash END)
+           AS sig1
+  FROM sigs GROUP BY doc_id, h_idx // {_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+  WHERE a.doc_id % 7 != 3 AND b.doc_id % 7 = 3),
+agree AS (
+  SELECT c.doc_id, c.corpus_id,
+         sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.doc_id
+  JOIN sigs y ON y.doc_id = c.corpus_id AND y.h_idx = x.h_idx
+  GROUP BY c.doc_id, c.corpus_id)
+SELECT doc_id, corpus_id, n_agree,
+       n_agree::DOUBLE / {_NUM_HASHES} AS est_jaccard
+FROM agree
+WHERE n_agree::DOUBLE / {_NUM_HASHES} >= 0.5""",
+)
+def q_dedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted dedup-fingerprint index end to end (r11): the
+    corpus (doc_id % 7 != 3) is fingerprinted ONCE into the
+    band/signature store (`build_dedup_index`), then the incoming
+    batch (doc_id % 7 = 3) is near-dup-checked against it
+    (`query_dedup_index`) at batch cost — bounded band-bucket
+    partition filter, pushed sig0/doc_id key sets, signature-only
+    Jaccard estimation (no shingle re-join). The incremental-ingest
+    twin of `dedup_minhash_sigonly_pairs`; the oracle recomputes
+    signatures, band keys, cross-side candidates, and the agreement
+    estimate from raw text in SQL. (ref: Hadoop.java has no dedup;
+    LLM-pipeline extension surface.)"""
+    import re as _re
+
+    from knn_using_hadoop_spark.operators import dedup as _dedup_ops
+
+    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_dedupidx_gate_{tag}"
+    _dedup_ops.build_dedup_index(corpus, path, n_buckets=8)
+    return _dedup_ops.query_dedup_index(
+        spark, path, batch, threshold=0.5
+    )
+
+
+@_register(
+    "emb_ivf_filtered_search",
+    _IVF_KMEANS_SQL.replace(
+        "WHERE e.vec_id <> p.query_id",
+        "WHERE e.vec_id <> p.query_id AND e.label = 2",
+    ),
+)
+def q_emb_ivf_filtered_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filtered vector search on the persisted IVF store (r11): the
+    pre-filtering contract production vector stores ship —
+    `build_ivf_index(attribute_cols=["label"])` persists metadata
+    beside each vector, `query_ivf_index(member_filter="label = 2")`
+    applies the predicate AT THE SCAN (parquet pushdown, pinned in
+    pytest) and returns the EXACT top-k among the filter's
+    survivors (no rank-k starvation from post-filtering a fixed
+    candidate list). The oracle is the kmeans-IVF recipe with the
+    attribute predicate applied before the exact rerank — the same
+    semantics, recomputed end to end in SQL. (ref: Hadoop.java has
+    no vector search; LLM-pipeline extension surface.)"""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    path = (
+        f"/tmp/spark_graft_ivffidx_gate_{_gate_index_tag(sf_dir)}"
+    )
+    _sim.build_ivf_index(
+        corpus,
+        path,
+        n_centroids=_IVF_NC,
+        iters=1,
+        attribute_cols=["label"],
+    )
+    return _sim.query_ivf_index(
+        spark, path, queries, 5, nprobe=2, member_filter="label = 2"
     )

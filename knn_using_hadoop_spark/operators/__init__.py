@@ -1,8 +1,14 @@
 """Relational operators composed from DataFrame primitives."""
 
 from knn_using_hadoop_spark.operators.dedup import (
+    append_dedup_index,
+    build_dedup_index,
+    compact_dedup_index,
     dedup_exact,
+    delete_from_dedup_index,
+    describe_dedup_index,
     minhash_lsh_pairs,
+    query_dedup_index,
     minhash_signatures,
     neardup_components,
     neardup_components_star,
@@ -74,7 +80,13 @@ __all__ = [
     "knn_approx_neighbors",
     "knn_approx_predict",
     "top_k_per_group",
+    "append_dedup_index",
+    "build_dedup_index",
+    "compact_dedup_index",
     "dedup_exact",
+    "delete_from_dedup_index",
+    "describe_dedup_index",
+    "query_dedup_index",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -31,6 +31,7 @@ from knn_using_hadoop_spark.operators.text import (
     exploded_shingles,
     minhash_permuted,
 )
+from knn_using_hadoop_spark.sources import index_store as store
 
 # Fixed MinHash permutation parameters (odd multipliers, arbitrary
 # offsets — frozen: they are part of the operator contract and are
@@ -958,4 +959,432 @@ def shared_passage_spans(
             (F.count(F.lit(1)) + F.lit(win - 1)).alias("span_tokens"),
         )
         .select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted dedup-fingerprint index (r11): build once, then dedup every
+# incoming batch against the corpus WITHOUT re-minhashing the corpus —
+# the incremental-ingest shape a 100 TB crawl pipeline actually runs
+# (a new crawl slice arrives; its near-dups against everything already
+# ingested must be found at batch cost, not corpus cost). Third store
+# family on the shared `sources/index_store` lifecycle machinery
+# (text BM25 store, IVF(PQ) vector store, and now this one).
+#
+#   <path>/bands       (doc_id, band, sig0, sig1) hive-partitioned by
+#                      bbucket = pmod(xxhash64(band, sig0, sig1), B);
+#                      files sorted by (sig0, sig1, band) so a batch's
+#                      band-key set pushes into the scan (row-group
+#                      skipping — the r11 term-selective discipline)
+#   <path>/sigs        (doc_id, h_idx, minhash) partitioned by
+#                      sbucket = pmod(xxhash64(doc_id), B), sorted by
+#                      (doc_id, h_idx) — the doc-keyed side the
+#                      verify step and tombstone compaction read
+#   <path>/meta        one row (n, n_buckets, num_hashes, band_rows),
+#                      swap-written (crash-safe)
+#   <path>/bands_seg/ingest_batch=N, <path>/sigs_seg/ingest_batch=N
+#                      self-contained append segments
+#   <path>/tombstones  deleted doc ids
+#
+# No write-ahead manifest: unlike the text index there are no derived
+# global statistics to go stale (est_jaccard needs only the two rows'
+# signatures), so a compaction crash at ANY point leaves a state
+# where queries are correct and a re-run converges — the same
+# argument as the IVF compact (see `compact_ivf_index`); the one
+# duplicate-rows crash window is closed at query time by counting
+# agreement over DISTINCT h_idx.
+
+_DEDUP_META_SCHEMA = "n int, n_buckets int, num_hashes int, band_rows int"
+_DEDUP_PAIRS_SCHEMA = (
+    "doc_id bigint, corpus_id bigint, n_agree bigint, "
+    "est_jaccard double"
+)
+
+
+def _band_bucket(n_buckets: int):
+    return F.pmod(
+        F.xxhash64("band", "sig0", "sig1"), F.lit(n_buckets)
+    ).cast("int")
+
+
+def _sig_bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _write_dedup_stores(
+    sigs: DataFrame, bands: DataFrame, n_buckets: int,
+    bands_dest: str, sigs_dest: str,
+) -> None:
+    """Write sigs FIRST, bands second (a batch becomes visible to
+    candidate generation only when its bands land, and candidates
+    never point at missing signatures)."""
+    (
+        sigs.withColumn("sbucket", _sig_bucket("doc_id", n_buckets))
+        .sortWithinPartitions("sbucket", "doc_id", "h_idx")
+        .write.mode("overwrite")
+        .partitionBy("sbucket")
+        .parquet(sigs_dest)
+    )
+    (
+        bands.withColumn("bbucket", _band_bucket(n_buckets))
+        .sortWithinPartitions("bbucket", "sig0", "sig1", "band", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("bbucket")
+        .parquet(bands_dest)
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame, path: str, *, n: int = 3, n_buckets: int = 16
+) -> None:
+    """Persist the corpus near-dup fingerprint store: build once,
+    dedup many batches.
+
+    MinHash signatures (8 permutations over 60-bit md5 shingle
+    hashes — bit-identical to ``minhash_signatures``) and their LSH
+    band keys (r=2, b=4), both hive-partitioned by a hash bucket and
+    KEY-SORTED within every file so queries prune partitions AND
+    skip row groups. Docs shorter than the shingle width carry no
+    fingerprint (they can only be exact dupes — `dedup_exact`'s
+    job). The corpus text itself is NOT stored: at 100 TB the
+    fingerprint store is ~|docs| x 8 bigint rows — the artifact
+    that ships, while the corpus stays cold (the same
+    codebooks-travel argument as the PQ store)."""
+    spark = docs.sparkSession
+    sigs = minhash_signatures(docs, n).localCheckpoint(eager=True)
+    bands = minhash_band_buckets(sigs)
+    _write_dedup_stores(
+        sigs, bands, n_buckets, f"{path}/bands", f"{path}/sigs"
+    )
+    store.swap_write(
+        spark,
+        spark.createDataFrame(
+            [(n, n_buckets, NUM_HASHES, BAND_ROWS)],
+            _DEDUP_META_SCHEMA,
+        ),
+        f"{path}/meta",
+    )
+
+
+def _read_dedup_meta(spark, path: str) -> dict:
+    src = f"{path}/meta"
+    if not store.is_committed(spark, src):
+        tmp = f"{src}_tmp"
+        if store.is_committed(spark, tmp):
+            src = tmp
+    return spark.read.parquet(src).head().asDict()
+
+
+def append_dedup_index(
+    spark, path: str, docs: DataFrame, *, batch_id: int | None = None
+) -> int:
+    """Fingerprint a new batch against the STORED parameters and land
+    it as self-contained segments (`ingest_batch=N`, the Lucene/
+    Milvus segment model shared with the other two stores): one pass
+    over the batch, existing rows untouched. Replaying a batch id
+    REPLACES its segments (idempotent ingest). Returns the batch id.
+
+    Sigs land before bands, so a crash between the two writes leaves
+    the batch invisible rather than candidate-generating without
+    signatures; the re-run (same id) overwrites both."""
+    md = _read_dedup_meta(spark, path)
+    if batch_id is None:
+        batch_id = store.next_batch_id(spark, f"{path}/bands_seg")
+    sigs = minhash_signatures(docs, md["n"]).localCheckpoint(
+        eager=True
+    )
+    bands = minhash_band_buckets(sigs)
+    _write_dedup_stores(
+        sigs,
+        bands,
+        md["n_buckets"],
+        f"{path}/bands_seg/ingest_batch={int(batch_id)}",
+        f"{path}/sigs_seg/ingest_batch={int(batch_id)}",
+    )
+    return int(batch_id)
+
+
+def delete_from_dedup_index(spark, path: str, ids) -> None:
+    """Tombstone doc ids (list or one-column DataFrame): queries stop
+    reporting them immediately; their rows leave the stores at the
+    next `compact_dedup_index`."""
+    if isinstance(ids, DataFrame):
+        t = ids.select(F.col(ids.columns[0]).alias("doc_id"))
+    else:
+        t = spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id bigint"
+        )
+    t.write.mode("append").parquet(f"{path}/tombstones")
+
+
+def _dedup_candidates(spark, path: str, qbands: DataFrame):
+    """Candidate (qdoc, corpus_id) pairs from band-key equality —
+    the probed-bucket partition filter + pushed sig0 predicate scan
+    (exposed un-checkpointed so the plan pins can read it); None
+    when the batch carries no fingerprints."""
+    buckets = [
+        r["bbucket"]
+        for r in qbands.select("bbucket").distinct().collect()
+    ]
+    if not buckets:
+        return None
+    base = spark.read.parquet(f"{path}/bands").filter(
+        F.col("bbucket").isin(buckets)
+    )
+    seg = store.read_segments(spark, f"{path}/bands_seg")
+    if seg is not None:
+        base = base.unionByName(
+            seg.filter(F.col("bbucket").isin(buckets))
+        )
+    sig0s = store.push_set(qbands.select("sig0").distinct(), "sig0")
+    if sig0s is not None:
+        base = base.filter(F.col("sig0").isin(sig0s))
+    base = store.mask_tombstones(
+        spark, f"{path}/tombstones", base, "doc_id"
+    )
+    return (
+        base.join(
+            F.broadcast(
+                qbands.select(
+                    F.col("doc_id").alias("qdoc"),
+                    "band",
+                    "sig0",
+                    "sig1",
+                )
+            ),
+            ["band", "sig0", "sig1"],
+        )
+        .filter(F.col("doc_id") != F.col("qdoc"))
+        .select("qdoc", F.col("doc_id").alias("corpus_id"))
+        .distinct()
+    )
+
+
+def query_dedup_index(
+    spark, path: str, docs: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Near-dups of a batch against the persisted corpus:
+    (doc_id, corpus_id, n_agree, est_jaccard) — batch doc, live
+    corpus doc, minhash agreement count, estimated Jaccard >=
+    ``threshold`` (granularity 1/num_hashes, the signature-only
+    estimator: fixed-width work, no shingle re-join — the 100 TB
+    verify path `minhash_sig_est_pairs` established).
+
+    Scan discipline (the probed-cells/terms contract): the batch's
+    band keys give a bounded bbucket set (STATIC partition filter)
+    and a pushed ``sig0 IN (...)`` predicate (files are sig0-sorted,
+    so row-group stats skip non-matching key runs); the surviving
+    candidates' ids give the same treatment to the doc-keyed sigs
+    store (sbucket partitions + pushed ids). Query cost therefore
+    scales with the batch and its match volume, never the corpus.
+    Segments are unioned in (searchable immediately), tombstoned
+    corpus docs never match. Agreement counts DISTINCT h_idx, so
+    the compact crash window that can briefly duplicate store rows
+    cannot inflate the estimate."""
+    md = _read_dedup_meta(spark, path)
+    n_buckets, nh = md["n_buckets"], md["num_hashes"]
+    qsigs = minhash_signatures(docs, md["n"]).localCheckpoint(
+        eager=True
+    )
+    qbands = (
+        minhash_band_buckets(qsigs)
+        .withColumn("bbucket", _band_bucket(n_buckets))
+        .localCheckpoint(eager=True)  # reused: bucket fetch + join
+    )
+    cand = _dedup_candidates(spark, path, qbands)
+    if cand is None:
+        return spark.createDataFrame([], _DEDUP_PAIRS_SCHEMA)
+    cand = cand.localCheckpoint(eager=True)  # reused: bucket fetch + join
+    sbuckets = [
+        r["sb"]
+        for r in cand.select(
+            _sig_bucket("corpus_id", n_buckets).alias("sb")
+        )
+        .distinct()
+        .collect()
+    ]
+    if not sbuckets:
+        return spark.createDataFrame([], _DEDUP_PAIRS_SCHEMA)
+    ssrc = spark.read.parquet(f"{path}/sigs").filter(
+        F.col("sbucket").isin(sbuckets)
+    )
+    sseg = store.read_segments(spark, f"{path}/sigs_seg")
+    if sseg is not None:
+        ssrc = ssrc.unionByName(
+            sseg.filter(F.col("sbucket").isin(sbuckets))
+        )
+    ids = store.push_set(
+        cand.select("corpus_id").distinct(), "corpus_id"
+    )
+    if ids is not None:
+        ssrc = ssrc.filter(F.col("doc_id").isin(ids))
+    return (
+        cand.join(
+            qsigs.select(
+                F.col("doc_id").alias("qdoc"),
+                "h_idx",
+                F.col("minhash").alias("qm"),
+            ),
+            "qdoc",
+        )
+        .join(
+            ssrc.select(
+                F.col("doc_id").alias("corpus_id"),
+                "h_idx",
+                F.col("minhash").alias("cm"),
+            ),
+            ["corpus_id", "h_idx"],
+        )
+        .groupBy("qdoc", "corpus_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("qm") == F.col("cm"), F.col("h_idx"))
+            ).alias("n_agree")
+        )
+        .withColumn("est_jaccard", F.col("n_agree") / F.lit(nh))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(
+            F.col("qdoc").alias("doc_id"),
+            "corpus_id",
+            "n_agree",
+            "est_jaccard",
+        )
+    )
+
+
+def compact_dedup_index(spark, path: str) -> None:
+    """Fold segments and tombstones into the base stores — only the
+    AFFECTED hash-bucket partitions rewrite (dynamic partition
+    overwrite via the shared `index_store.fold_partitions`; key
+    sort preserved through every rewrite).
+
+    Affected sets are O(delta): segment buckets come from the
+    segments' own partition values (bounded distinct collects), and
+    a tombstoned doc's band buckets are RECOMPUTED from its
+    signatures in the doc-keyed sigs store (sbucket-pruned, id-
+    pushed fetch) — the docvecs trick, because band rows are keyed
+    by band-hash, not by doc. Crash ordering: bands fold -> bands
+    segments removed -> sigs fold -> sigs segments removed ->
+    tombstones last; a death at any point leaves every query
+    correct (un-folded stores still union segments and anti-join
+    tombstones; the brief duplicate-row window is neutralized by
+    the query's DISTINCT-h_idx agreement) and a re-run converges.
+    No write-ahead manifest is needed: there are no derived global
+    statistics to go stale (the `compact_ivf_index` argument)."""
+    md = _read_dedup_meta(spark, path)
+    n_buckets = md["n_buckets"]
+    bdir, sdir = f"{path}/bands", f"{path}/sigs"
+    bseg_dir, sseg_dir = f"{path}/bands_seg", f"{path}/sigs_seg"
+    tomb_dir = f"{path}/tombstones"
+    tomb = store.read_tombstones(
+        spark, tomb_dir, "doc_id", distinct=True
+    )
+    bseg = store.read_segments(spark, bseg_dir)
+    sseg = store.read_segments(spark, sseg_dir)
+    if tomb is None and bseg is None and sseg is None:
+        return
+    if tomb is not None:
+        tomb = tomb.localCheckpoint(eager=True)
+    t_sbuckets: set = set()
+    if tomb is not None:
+        t_sbuckets = {
+            r["sb"]
+            for r in tomb.select(
+                _sig_bucket("doc_id", n_buckets).alias("sb")
+            )
+            .distinct()
+            .collect()
+        }
+    aff_b: set = set()
+    if bseg is not None:
+        aff_b |= {
+            r["bbucket"]
+            for r in bseg.select("bbucket").distinct().collect()
+        }
+    if tomb is not None and t_sbuckets:
+        tsigs = spark.read.parquet(sdir).filter(
+            F.col("sbucket").isin(sorted(t_sbuckets))
+        )
+        ids = store.push_set(tomb, "doc_id")
+        if ids is not None:
+            tsigs = tsigs.filter(F.col("doc_id").isin(ids))
+        tsigs = tsigs.join(tomb, "doc_id")
+        tbands = minhash_band_buckets(tsigs).withColumn(
+            "bbucket", _band_bucket(n_buckets)
+        )
+        aff_b |= {
+            r["bbucket"]
+            for r in tbands.select("bbucket").distinct().collect()
+        }
+    if aff_b:
+        base_b = spark.read.parquet(bdir).filter(
+            F.col("bbucket").isin(sorted(aff_b))
+        )
+        live_b = (
+            base_b if bseg is None else base_b.unionByName(bseg)
+        )
+        live_b = store.mask_tombstones(
+            spark, tomb_dir, live_b, "doc_id"
+        ).dropDuplicates(["doc_id", "band"])
+        store.fold_partitions(
+            spark,
+            live_b,
+            "bbucket",
+            bdir,
+            aff_b,
+            order=("sig0", "sig1", "band", "doc_id"),
+        )
+    store.remove_dir(spark, bseg_dir)
+    aff_s = set(t_sbuckets)
+    if sseg is not None:
+        aff_s |= {
+            r["sbucket"]
+            for r in sseg.select("sbucket").distinct().collect()
+        }
+    if aff_s:
+        base_s = spark.read.parquet(sdir).filter(
+            F.col("sbucket").isin(sorted(aff_s))
+        )
+        live_s = (
+            base_s if sseg is None else base_s.unionByName(sseg)
+        )
+        live_s = store.mask_tombstones(
+            spark, tomb_dir, live_s, "doc_id"
+        ).dropDuplicates(["doc_id", "h_idx"])
+        store.fold_partitions(
+            spark,
+            live_s,
+            "sbucket",
+            sdir,
+            aff_s,
+            order=("doc_id", "h_idx"),
+        )
+    store.remove_dir(spark, sseg_dir)
+    store.remove_dir(spark, tomb_dir)
+
+
+def describe_dedup_index(spark, path: str) -> DataFrame:
+    """One-row gauge: (n_docs, n_segments, n_dead) — live
+    fingerprinted docs (segments in, tombstones out), pending
+    segment count, distinct tombstoned ids. The maintenance-debt
+    check before a query load, like its text/IVF siblings."""
+    md = _read_dedup_meta(spark, path)  # noqa: F841  (validates meta)
+    sigs = spark.read.parquet(f"{path}/sigs")
+    sseg = store.read_segments(spark, f"{path}/sigs_seg")
+    if sseg is not None:
+        sigs = sigs.unionByName(sseg)
+    live = store.mask_tombstones(
+        spark, f"{path}/tombstones", sigs, "doc_id"
+    )
+    n_docs = live.select("doc_id").distinct().count()
+    n_segments = len(
+        store.segment_batch_ids(spark, f"{path}/bands_seg")
+    )
+    tomb = store.read_tombstones(
+        spark, f"{path}/tombstones", "doc_id", distinct=True
+    )
+    n_dead = 0 if tomb is None else tomb.count()
+    return spark.createDataFrame(
+        [(n_docs, n_segments, n_dead)],
+        "n_docs bigint, n_segments int, n_dead bigint",
     )

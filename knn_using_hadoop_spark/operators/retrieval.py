@@ -52,27 +52,10 @@ __all__ = [
     "rrf_fuse",
 ]
 
-# Key sets larger than this are not pushed into the parquet scan as
-# an isin predicate (the broadcast term/id join still narrows them);
-# below it, the bounded driver collect is the same cost class as the
-# probed-bucket fetch every query already performs.
-_MAX_PUSHED_KEYS = 8192
-
-
-def _push_set(rel: DataFrame, col: str) -> list | None:
-    """The values of a bounded one-column DISTINCT relation, for
-    pushing into a parquet scan as ``col IN (...)`` (r11, the r10
-    verdict's top ask): the store files are written key-sorted
-    within each hash-bucket partition, so the pushed predicate
-    carries into ``PushedFilters`` and parquet row-group/page stats
-    skip the non-matching key runs — scan cost proportional to the
-    matched posting lists, not the probed bucket. None when the set
-    exceeds ``_MAX_PUSHED_KEYS`` (driver-bounded: the collect is
-    LIMIT-capped, never trusted to be small)."""
-    rows = rel.select(col).limit(_MAX_PUSHED_KEYS + 1).collect()
-    if len(rows) > _MAX_PUSHED_KEYS:
-        return None
-    return [r[col] for r in rows]
+# Shared pushed-predicate discipline (r11, lifted to index_store so
+# the text, IVF, and dedup store families carry one contract).
+_MAX_PUSHED_KEYS = store.MAX_PUSHED_KEYS
+_push_set = store.push_set
 
 
 def _push_terms(df: DataFrame, terms: list | None) -> DataFrame:

@@ -46,8 +46,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "MAX_PUSHED_KEYS",
     "child_names",
     "dynamic_overwrite",
+    "push_set",
     "exists_dir",
     "fold_partitions",
     "has_children",
@@ -62,6 +64,29 @@ __all__ = [
     "segment_batch_ids",
     "swap_write",
 ]
+
+
+# Key sets larger than this are not pushed into a parquet scan as an
+# isin predicate (the broadcast key join that follows still narrows
+# them); below it, the bounded driver collect is the same cost class
+# as the probed-bucket fetch every index query already performs.
+MAX_PUSHED_KEYS = 8192
+
+
+def push_set(rel: DataFrame, col: str) -> list | None:
+    """The values of a bounded one-column DISTINCT relation, for
+    pushing into a parquet scan as ``col IN (...)`` (r11): index
+    store files are written key-sorted within each hash-bucket
+    partition, so the pushed predicate carries into
+    ``PushedFilters`` and parquet row-group/page stats skip the
+    non-matching key runs — scan cost proportional to the matched
+    key runs, not the probed bucket. None when the set exceeds
+    ``MAX_PUSHED_KEYS`` (driver-bounded: the collect is
+    LIMIT-capped, never trusted to be small)."""
+    rows = rel.select(col).limit(MAX_PUSHED_KEYS + 1).collect()
+    if len(rows) > MAX_PUSHED_KEYS:
+        return None
+    return [r[col] for r in rows]
 
 
 def dynamic_overwrite(df: DataFrame, part_col: str, dest: str) -> None:

@@ -1,0 +1,383 @@
+"""Persisted dedup-fingerprint index (r11): lifecycle + scan pins.
+
+The incremental near-dup store (`operators/dedup.py::build_dedup_index`
+family) — third store family on the shared `sources/index_store`
+machinery. Parity oracle is the registered inline estimator
+(`minhash_sig_est_pairs`): the served path must reproduce its
+cross-side pairs bit-for-bit from the parquet artifact alone.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knn_using_hadoop_spark.operators import dedup as D
+from knn_using_hadoop_spark.sources import index_store as store
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(docs):
+    return docs.filter(F.col("doc_id") % 7 != 3)
+
+
+@pytest.fixture(scope="module")
+def batch(docs):
+    return docs.filter(F.col("doc_id") % 7 == 3)
+
+
+def _ref_pairs(union_docs, threshold=0.5):
+    """Cross-side (batch -> corpus) pairs via the registered inline
+    estimator over the union."""
+    out = {}
+    for r in D.minhash_sig_est_pairs(union_docs, threshold).collect():
+        for q, c in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if q % 7 == 3 and c % 7 != 3:
+                out[(q, c)] = (r.n_agree, round(r.est_jaccard, 6))
+    return out
+
+
+def _got_pairs(df):
+    return {
+        (r.doc_id, r.corpus_id): (r.n_agree, round(r.est_jaccard, 6))
+        for r in df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup_idx") / "store")
+    D.build_dedup_index(corpus, path, n_buckets=8)
+    return path
+
+
+def test_dedup_index_query_matches_inline(
+    spark, built, corpus, batch
+):
+    got = _got_pairs(
+        D.query_dedup_index(spark, built, batch, threshold=0.5)
+    )
+    ref = _ref_pairs(corpus.unionByName(batch))
+    assert got == ref
+    assert got, "fixture must produce at least one near-dup pair"
+
+
+def test_dedup_index_scans_are_pruned_and_pushed(
+    spark, built, batch
+):
+    md = D._read_dedup_meta(spark, built)
+    qsigs = D.minhash_signatures(batch, md["n"]).localCheckpoint(
+        eager=True
+    )
+    qbands = (
+        D.minhash_band_buckets(qsigs)
+        .withColumn("bbucket", D._band_bucket(md["n_buckets"]))
+        .localCheckpoint(eager=True)
+    )
+    cand = D._dedup_candidates(spark, built, qbands)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    bands_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln
+    ]
+    assert len(bands_scans) == 1
+    ln = bands_scans[0]
+    part = ln.split("PartitionFilters")[1]
+    assert "bbucket" in part[:160]
+    assert "sig0" in ln.split("PushedFilters")[1][:400]
+
+    full = D.query_dedup_index(spark, built, batch, threshold=0.5)
+    plan2 = full._jdf.queryExecution().executedPlan().toString()
+    sig_scans = [
+        ln
+        for ln in plan2.splitlines()
+        if "FileScan" in ln and "minhash" in ln
+    ]
+    assert len(sig_scans) == 1
+    ln2 = sig_scans[0]
+    assert "sbucket" in ln2.split("PartitionFilters")[1][:160]
+    assert "doc_id" in ln2.split("PushedFilters")[1][:400]
+
+
+def test_dedup_index_store_files_are_key_sorted(spark, built):
+    import pyarrow.parquet as pq
+
+    checked = 0
+    for bucket_dir in sorted(os.listdir(f"{built}/bands")):
+        if not bucket_dir.startswith("bbucket="):
+            continue
+        d = f"{built}/bands/{bucket_dir}"
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(f"{d}/{f}", columns=["sig0"])
+            vals = t.column("sig0").to_pylist()
+            assert vals == sorted(vals)
+            checked += 1
+    assert checked > 0
+
+
+def test_dedup_index_append_delete_compact(
+    spark, corpus, batch, tmp_path
+):
+    path = str(tmp_path / "store")
+    D.build_dedup_index(corpus, path, n_buckets=8)
+    base = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    fp = {
+        r.doc_id
+        for r in D.minhash_signatures(batch)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+
+    # append: every fingerprinted batch doc matches its shifted twin
+    newdocs = batch.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    bid = D.append_dedup_index(spark, path, newdocs)
+    assert bid == 0
+    after_append = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    twins = {(d, d + 1000000): (8, 1.0) for d in fp}
+    assert after_append == {**base, **twins}
+
+    # replaying the same batch id replaces, never duplicates
+    D.append_dedup_index(spark, path, newdocs, batch_id=bid)
+    assert _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    ) == {**base, **twins}
+
+    # delete hides a corpus doc immediately
+    victim = next(iter(base))[1]
+    D.delete_from_dedup_index(spark, path, [victim])
+    expected = {
+        k: v
+        for k, v in {**base, **twins}.items()
+        if k[1] != victim
+    }
+    assert (
+        _got_pairs(
+            D.query_dedup_index(spark, path, batch, threshold=0.5)
+        )
+        == expected
+    )
+
+    # compact folds segments + tombstones; results invariant
+    D.compact_dedup_index(spark, path)
+    assert (
+        _got_pairs(
+            D.query_dedup_index(spark, path, batch, threshold=0.5)
+        )
+        == expected
+    )
+    assert not store.has_segments(spark, f"{path}/bands_seg")
+    assert not store.has_segments(spark, f"{path}/sigs_seg")
+    assert not store.has_children(spark, f"{path}/tombstones")
+    row = D.describe_dedup_index(spark, path).head()
+    assert row.n_segments == 0 and row.n_dead == 0
+
+    # compacting a clean store is a no-op
+    D.compact_dedup_index(spark, path)
+    assert (
+        _got_pairs(
+            D.query_dedup_index(spark, path, batch, threshold=0.5)
+        )
+        == expected
+    )
+
+
+def test_dedup_index_compact_rewrites_only_affected_buckets(
+    spark, corpus, batch, tmp_path
+):
+    """Selective compaction: buckets untouched by the delta keep
+    their files byte-identical."""
+    path = str(tmp_path / "store")
+    D.build_dedup_index(corpus, path, n_buckets=8)
+
+    def snapshot(sub):
+        out = {}
+        root = f"{path}/{sub}"
+        for bdir in os.listdir(root):
+            full = f"{root}/{bdir}"
+            if not os.path.isdir(full):
+                continue
+            for f in os.listdir(full):
+                if f.endswith(".parquet"):
+                    p = f"{full}/{f}"
+                    out[p] = (os.path.getsize(p), open(p, "rb").read())
+        return out
+
+    before_b, before_s = snapshot("bands"), snapshot("sigs")
+    # tombstone ONE doc -> its sbucket and its bands' bbuckets only
+    victim = int(
+        D.minhash_signatures(corpus)
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .head()
+        .doc_id
+    )
+    D.delete_from_dedup_index(spark, path, [victim])
+    md = D._read_dedup_meta(spark, path)
+    vb = (
+        D.minhash_band_buckets(
+            D.minhash_signatures(
+                corpus.filter(F.col("doc_id") == victim)
+            )
+        )
+        .withColumn("bbucket", D._band_bucket(md["n_buckets"]))
+        .select("bbucket")
+        .distinct()
+    )
+    aff_b = {r.bbucket for r in vb.collect()}
+    aff_s = {
+        r.sb
+        for r in spark.createDataFrame([(victim,)], "doc_id bigint")
+        .select(D._sig_bucket("doc_id", md["n_buckets"]).alias("sb"))
+        .collect()
+    }
+    D.compact_dedup_index(spark, path)
+    after_b, after_s = snapshot("bands"), snapshot("sigs")
+    for p, content in before_b.items():
+        bucket = int(p.split("bbucket=")[1].split("/")[0])
+        if bucket not in aff_b:
+            assert after_b.get(p) == content, p
+    for p, content in before_s.items():
+        bucket = int(p.split("sbucket=")[1].split("/")[0])
+        if bucket not in aff_s:
+            assert after_s.get(p) == content, p
+    # and the victim is gone from results against a batch containing it
+    got = D.query_dedup_index(
+        spark,
+        path,
+        corpus.filter(F.col("doc_id") == victim),
+        threshold=0.0,
+    )
+    assert all(r.corpus_id != victim for r in got.collect())
+
+
+def test_dedup_index_duplicate_rows_cannot_inflate_estimate(
+    spark, corpus, batch, tmp_path
+):
+    """The compact crash window can briefly leave a segment's rows in
+    both base and segment; DISTINCT-h_idx agreement keeps est <= 1."""
+    path = str(tmp_path / "store")
+    D.build_dedup_index(corpus, path, n_buckets=8)
+    base = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    # simulate the window: re-append the CORPUS docs of known pairs
+    dup_ids = sorted({c for _, c in base})
+    dups = corpus.filter(F.col("doc_id").isin(dup_ids))
+    D.append_dedup_index(spark, path, dups)
+    got = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    assert got == base  # identical rows, identical estimates
+    assert all(v[0] <= 8 and v[1] <= 1.0 for v in got.values())
+
+
+def test_dedup_index_short_doc_and_empty_batch(spark, corpus, built):
+    short = corpus.sparkSession.createDataFrame(
+        [(999999901, "one two")], "doc_id bigint, text string"
+    )
+    out = D.query_dedup_index(spark, built, short, threshold=0.0)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id",
+        "corpus_id",
+        "n_agree",
+        "est_jaccard",
+    ]
+
+
+@pytest.mark.scale
+def test_dedup_index_at_500k(spark):
+    """100x scale: fingerprint the 500k Zipf corpus once, then dedup
+    a 5k incoming batch (4,096 near-dup perturbations of corpus
+    docs + ~1k genuinely new docs) at batch cost. Asserts recall of
+    the planted near-dups (each perturbed doc keeps Jaccard ~0.95
+    to its source, so the 8-perm estimate clears 0.5 w.h.p.), zero
+    false corpus attribution for the new docs beyond estimator
+    noise, and wall ceilings on build and query."""
+    import time as _t
+
+    zdir = "/tmp/spark_graft_zipf500k"
+    if not os.path.isdir(zdir):
+        pytest.skip(
+            "zipf corpus not generated yet (run "
+            "test_text_index_exact_prune_at_100x first)"
+        )
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    path = "/tmp/spark_graft_dedup_index_zipf"
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    t0 = _t.perf_counter()
+    D.build_dedup_index(zdocs, path, n_buckets=64)
+    t_build = _t.perf_counter() - t0
+
+    # batch: perturbed corpus docs (near-dups to find) + new docs
+    perturbed = (
+        zdocs.filter(F.col("doc_id") % 122 == 7)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzznovel")).alias(
+                "text"
+            ),
+        )
+    )
+    fresh = (
+        spark.range(1000)
+        .select(
+            (F.col("id") + 20_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("q"),
+                F.col("id").cast("string"),
+                F.lit(" fresh unseen tokens only "),
+                F.col("id").cast("string"),
+                F.lit("x qq zz yy ww vv uu tt ss rr"),
+            ).alias("text"),
+        )
+    )
+    batch = perturbed.unionByName(fresh).localCheckpoint(eager=True)
+    n_planted = perturbed.count()
+
+    got = D.query_dedup_index(
+        spark, path, batch, threshold=0.5
+    ).localCheckpoint(eager=True)  # warm
+    t0 = _t.perf_counter()
+    rows = D.query_dedup_index(spark, path, batch, threshold=0.5)
+    n_pairs = rows.count()
+    t_query = _t.perf_counter() - t0
+
+    found = {
+        r.doc_id
+        for r in got.filter(
+            F.col("corpus_id") == F.col("doc_id") - 10_000_000
+        ).collect()
+    }
+    recall = len(found) / n_planted
+    fresh_hits = got.filter(F.col("doc_id") >= 20_000_000).count()
+    print(
+        f"\ndedup index 500k: build {t_build:.1f}s, 5k-batch query "
+        f"{t_query:.1f}s, planted recall {recall:.3f} "
+        f"({len(found)}/{n_planted}), fresh-doc hits {fresh_hits}, "
+        f"pairs {n_pairs}"
+    )
+    assert recall >= 0.95
+    assert fresh_hits == 0
+    assert t_build < 180, f"500k fingerprint build: {t_build:.0f}s"
+    assert t_query < 60, f"5k-batch query: {t_query:.0f}s"
