@@ -2503,3 +2503,63 @@ def q_emb_ivf_filtered_search(
     return _sim.query_ivf_index(
         spark, path, queries, 5, nprobe=2, member_filter="label = 2"
     )
+
+
+@_register(
+    "emb_ivfpq_refine_search",
+    f"""WITH {_IVF_CELLS_SQL},
+{_PQ_CTES},
+qc AS (SELECT vec_id AS query_id, cell AS qcell FROM cells
+       WHERE vec_id % {_SIM_QUERY_MOD} = 0),
+ivfadc AS (
+  SELECT a.query_id, a.vec_id, a.adc_dist
+  FROM adc a
+  JOIN cells cv ON cv.vec_id = a.vec_id
+  JOIN qc ON qc.query_id = a.query_id AND qc.qcell = cv.cell),
+shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT i.*, row_number() OVER (PARTITION BY query_id
+      ORDER BY adc_dist ASC, vec_id ASC) AS arank
+    FROM ivfadc i) r
+  WHERE arank <= 50),
+refined AS (
+  SELECT s.query_id, s.vec_id,
+         round(sum((qe.embedding[i]::DOUBLE - ce.embedding[i]::DOUBLE)
+                   * (qe.embedding[i]::DOUBLE
+                      - ce.embedding[i]::DOUBLE)),
+               6) AS dist
+  FROM shortlist s
+  JOIN embeddings ce ON ce.vec_id = s.vec_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id,
+       generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY s.query_id, s.vec_id)
+SELECT query_id, rank, vec_id, dist FROM (
+  SELECT r.*, (row_number() OVER (PARTITION BY query_id
+    ORDER BY dist ASC, vec_id ASC))::INT AS rank
+  FROM refined r) t
+WHERE rank <= 10""",
+)
+def q_emb_ivfpq_refine_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The FAISS two-stage refine on the persisted IVFPQ store
+    (r11): ADC over packed codes retrieves a 50-deep shortlist,
+    then ONLY the shortlist joins back to raw vectors and is
+    exactly re-ranked to top-10 by rounded squared L2 — recall
+    recovers toward the cell-restricted exact ranking while the
+    scan cost stays ADC-shaped (|queries| x refine_k raw-vector
+    reads, never the corpus). The oracle recomputes coarse cells,
+    PQ codebook/codes, ADC, the shortlist cut, and the exact
+    rerank end to end in SQL. Completes the persisted ANN serving
+    family in the gate (plain IVF, filtered, ADC, refine). (ref:
+    Hadoop.java has no vector search; LLM-pipeline extension
+    surface.)"""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    path = f"/tmp/spark_graft_ivfpqidx_gate_{_gate_index_tag(sf_dir)}"
+    _sim.build_ivf_index(
+        corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
+        m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+    )
+    return _sim.query_ivfpq_index(
+        spark, path, queries, 10, nprobe=1, refine_k=50
+    )
