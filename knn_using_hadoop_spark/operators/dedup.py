@@ -1180,7 +1180,11 @@ def query_dedup_index(
     Segments are unioned in (searchable immediately), tombstoned
     corpus docs never match. Agreement counts DISTINCT h_idx, so
     the compact crash window that can briefly duplicate store rows
-    cannot inflate the estimate."""
+    cannot inflate the estimate. The batch's band keys ride as a
+    BROADCAST (|batch| x 4 fixed-width rows) — sized for ingest
+    slices up to the low millions of docs; a batch at corpus scale
+    is not an ingest slice, dedup it with the inline
+    `minhash_sig_est_pairs` over the union (or chunk the batch)."""
     md = _read_dedup_meta(spark, path)
     n_buckets, nh = md["n_buckets"], md["num_hashes"]
     qsigs = minhash_signatures(docs, md["n"]).localCheckpoint(
