@@ -2,6 +2,7 @@
 
 from knn_using_hadoop_spark.operators.dedup import (
     append_dedup_index,
+    append_dedup_index_stream,
     build_dedup_index,
     compact_dedup_index,
     dedup_exact,
@@ -81,6 +82,7 @@ __all__ = [
     "knn_approx_predict",
     "top_k_per_group",
     "append_dedup_index",
+    "append_dedup_index_stream",
     "build_dedup_index",
     "compact_dedup_index",
     "dedup_exact",

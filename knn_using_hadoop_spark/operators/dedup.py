@@ -1392,3 +1392,34 @@ def describe_dedup_index(spark, path: str) -> DataFrame:
         [(n_docs, n_segments, n_dead)],
         "n_docs bigint, n_segments int, n_dead bigint",
     )
+
+
+def append_dedup_index_stream(stream_df: DataFrame, path: str):
+    """Continuous ingestion into the persisted dedup-fingerprint
+    index — the growing-segment half of the lifecycle, twin of
+    ``append_text_index_stream`` / ``append_ivf_index_stream``.
+
+    Each micro-batch lands as its own self-contained sigs+bands
+    segment via ``append_dedup_index(batch_id=<micro-batch id>)``
+    with mode=overwrite — a batch replayed after a crash between
+    the sink write and the offset commit REPLACES its own segments
+    instead of duplicating rows (effectively-once). Streamed docs
+    are near-dup-searchable immediately; ``compact_dedup_index``
+    periodically seals segments into the base stores.
+
+    Returns the unstarted ``DataStreamWriter`` — callers pick the
+    trigger/checkpointLocation and ``.start()`` it."""
+
+    def feed(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        append_dedup_index(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            batch_id=int(batch_id),
+        )
+
+    return stream_df.writeStream.foreachBatch(feed).outputMode(
+        "append"
+    )

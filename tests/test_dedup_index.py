@@ -381,3 +381,127 @@ def test_dedup_index_at_500k(spark):
     assert fresh_hits == 0
     assert t_build < 180, f"500k fingerprint build: {t_build:.0f}s"
     assert t_query < 60, f"5k-batch query: {t_query:.0f}s"
+
+
+def test_dedup_index_streaming_ingest(spark, corpus, batch, tmp_path):
+    """append_dedup_index_stream == batch append of the same rows,
+    searchable without compaction — the effectively-once
+    foreachBatch contract of the text/IVF stream twins."""
+    path = str(tmp_path / "store")
+    D.build_dedup_index(corpus, path, n_buckets=8)
+    newdocs = batch.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    p_batch = str(tmp_path / "store_batch")
+    D.build_dedup_index(corpus, p_batch, n_buckets=8)
+    D.append_dedup_index(spark, p_batch, newdocs)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    newdocs.coalesce(1).write.parquet(str(src / "b0.parquet"))
+    stream = spark.readStream.schema(
+        "doc_id long, text string"
+    ).parquet(str(src) + "/*")
+    q = (
+        D.append_dedup_index_stream(stream, path)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    want = _got_pairs(
+        D.query_dedup_index(spark, p_batch, batch, threshold=0.5)
+    )
+    assert got == want
+    assert any(c >= 1000000 for _, c in got), (
+        "streamed rows must be searchable"
+    )
+
+
+def test_dedup_index_compact_crash_converges(
+    spark, corpus, batch, tmp_path
+):
+    """A compaction that dies between the bands fold and the sigs
+    fold leaves every query correct and a re-run converges to the
+    clean-compact state (the no-manifest argument in the
+    compact_dedup_index docstring, exercised)."""
+    path = str(tmp_path / "store")
+    clean = str(tmp_path / "clean")
+    for p in (path, clean):
+        D.build_dedup_index(corpus, p, n_buckets=8)
+    newdocs = batch.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    for p in (path, clean):
+        D.append_dedup_index(spark, p, newdocs)
+    base = _got_pairs(
+        D.query_dedup_index(spark, path, batch, threshold=0.5)
+    )
+    victim = next(iter(base))[1]
+    for p in (path, clean):
+        D.delete_from_dedup_index(spark, p, [victim])
+    expected = {k: v for k, v in base.items() if k[1] != victim}
+
+    # simulate the mid-compact crash: run ONLY the bands half of
+    # compact (fold + segment removal), leaving sigs_seg and
+    # tombstones behind — exactly the state a death between the two
+    # folds produces
+    md = D._read_dedup_meta(spark, path)
+    n_buckets = md["n_buckets"]
+    tomb = store.read_tombstones(
+        spark, f"{path}/tombstones", "doc_id", distinct=True
+    ).localCheckpoint(eager=True)
+    bseg = store.read_segments(spark, f"{path}/bands_seg")
+    aff_b = {
+        r.bbucket
+        for r in bseg.select("bbucket").distinct().collect()
+    }
+    tsigs = spark.read.parquet(f"{path}/sigs").join(tomb, "doc_id")
+    tb = D.minhash_band_buckets(tsigs).withColumn(
+        "bbucket", D._band_bucket(n_buckets)
+    )
+    aff_b |= {r.bbucket for r in tb.select("bbucket").distinct().collect()}
+    base_b = spark.read.parquet(f"{path}/bands").filter(
+        F.col("bbucket").isin(sorted(aff_b))
+    )
+    live_b = store.mask_tombstones(
+        spark,
+        f"{path}/tombstones",
+        base_b.unionByName(bseg),
+        "doc_id",
+    ).dropDuplicates(["doc_id", "band"])
+    store.fold_partitions(
+        spark, live_b, "bbucket", f"{path}/bands", aff_b,
+        order=("sig0", "sig1", "band", "doc_id"),
+    )
+    store.remove_dir(spark, f"{path}/bands_seg")
+    # crashed here: sigs_seg + tombstones still present
+
+    # queries in the crash window are still correct
+    assert (
+        _got_pairs(
+            D.query_dedup_index(spark, path, batch, threshold=0.5)
+        )
+        == expected
+    )
+    # re-running compact converges to the clean-compact results
+    D.compact_dedup_index(spark, path)
+    D.compact_dedup_index(spark, clean)
+    assert (
+        _got_pairs(
+            D.query_dedup_index(spark, path, batch, threshold=0.5)
+        )
+        == _got_pairs(
+            D.query_dedup_index(spark, clean, batch, threshold=0.5)
+        )
+        == expected
+    )
+    assert not store.has_segments(spark, f"{path}/sigs_seg")
+    assert not store.has_children(spark, f"{path}/tombstones")
