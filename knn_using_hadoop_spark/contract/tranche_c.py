@@ -2563,3 +2563,65 @@ def q_emb_ivfpq_refine_search(
     return _sim.query_ivfpq_index(
         spark, path, queries, 10, nprobe=1, refine_k=50
     )
+
+
+_PQ_CTES_RESIDUAL = _PQ_CTES.replace("embeddings", "residuals")
+
+
+@_register(
+    "emb_ivfpq_residual_search",
+    f"""WITH {_IVF_CELLS_SQL},
+residuals AS (
+  SELECT e.vec_id,
+         list(e.embedding[g.i]::DOUBLE - s.embedding[g.i]::DOUBLE
+              ORDER BY g.i) AS embedding
+  FROM embeddings e
+  JOIN cells cl ON cl.vec_id = e.vec_id
+  JOIN embeddings s ON s.vec_id = cl.cell,
+       generate_series(1, {_EMB_DIM}) g(i)
+  GROUP BY e.vec_id),
+{_PQ_CTES_RESIDUAL},
+qc AS (SELECT vec_id AS query_id, cell AS qcell FROM cells
+       WHERE vec_id % {_SIM_QUERY_MOD} = 0),
+ivfadc AS (
+  SELECT a.query_id, a.vec_id, a.adc_dist
+  FROM adc a
+  JOIN cells cv ON cv.vec_id = a.vec_id
+  JOIN qc ON qc.query_id = a.query_id AND qc.qcell = cv.cell),
+ranked AS (
+  SELECT query_id, vec_id, adc_dist,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY adc_dist ASC, vec_id ASC))::INT
+           AS rank
+  FROM ivfadc)
+SELECT query_id, rank, vec_id, adc_dist FROM ranked WHERE rank <= 10""",
+)
+def q_emb_ivfpq_residual_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVFPQ serving (r11; the FAISS IVFPQ_R recipe): the
+    store quantizes x - centroid(cell(x)) instead of x, so the
+    codebook only has to cover the tight within-cell displacement
+    distribution — the standard recall lever at fixed m x ks — and
+    the query path re-centers each query on its probed cell's
+    centroid before building ADC tables. The oracle derives the
+    residual relation in SQL (cells from the coarse seeds, residual
+    = x - seed(cell)) and feeds it through the SAME PQ CTE chain as
+    the non-residual entry (text-substituted source relation) —
+    codebook seeds, Lloyd refinement, encoding, and ADC all
+    recomputed on residuals. Closes the one previously
+    residual=False-only oracle. (ref: Hadoop.java has no vector
+    search; LLM-pipeline extension surface.)"""
+    corpus, queries = _sim_queries(spark, sf_dir)
+    path = (
+        "/tmp/spark_graft_ivfpqridx_gate_"
+        f"{_gate_index_tag(sf_dir)}"
+    )
+    _sim.build_ivf_index(
+        corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
+        m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+        pq_residual=True,
+    )
+    return _sim.query_ivfpq_index(
+        spark, path, queries, 10, nprobe=1
+    )
