@@ -1067,12 +1067,7 @@ def build_dedup_index(
 
 
 def _read_dedup_meta(spark, path: str) -> dict:
-    src = f"{path}/meta"
-    if not store.is_committed(spark, src):
-        tmp = f"{src}_tmp"
-        if store.is_committed(spark, tmp):
-            src = tmp
-    return spark.read.parquet(src).head().asDict()
+    return store.read_meta(spark, f"{path}/meta")
 
 
 def append_dedup_index(

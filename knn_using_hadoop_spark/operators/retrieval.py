@@ -1270,16 +1270,8 @@ def _rewrite_blocks(
 
 def _read_meta(spark, path: str) -> dict:
     """The one-row index manifest as a dict, tolerant of a crashed
-    meta swap (r11): reads ``<path>/meta`` when committed, else the
-    committed ``meta_tmp`` a ``_rewrite_meta`` crash left behind —
-    so a store is never unreadable in the swap window. Legacy keys
-    are absent, not defaulted (callers use ``.get``)."""
-    mdir = f"{path}/meta"
-    if not store.is_committed(spark, mdir) and store.is_committed(
-        spark, f"{path}/meta_tmp"
-    ):
-        mdir = f"{path}/meta_tmp"
-    return spark.read.parquet(mdir).collect()[0].asDict()
+    meta swap (r11, shared ``index_store.read_meta`` discipline)."""
+    return store.read_meta(spark, f"{path}/meta")
 
 
 def _rewrite_meta(spark, path: str, md: dict) -> None:

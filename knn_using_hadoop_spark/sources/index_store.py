@@ -57,6 +57,7 @@ __all__ = [
     "is_committed",
     "mask_tombstones",
     "next_batch_id",
+    "read_meta",
     "read_segments",
     "read_tombstones",
     "remove_dir",
@@ -141,6 +142,21 @@ def fold_partitions(
     for v in set(affected) - kept:
         remove_dir(spark, f"{dest}/{part_col}={v}")
     return kept
+
+
+def read_meta(spark, meta_dir: str) -> dict:
+    """The one-row metadata manifest at ``meta_dir`` as a dict,
+    tolerant of a crashed ``swap_write``: serves the directory when
+    committed, else the committed ``<meta_dir>_tmp`` a crash
+    between remove and rename left behind — a store is never
+    unreadable in the swap window (the next maintenance re-swaps).
+    Legacy keys are absent, not defaulted (callers use ``.get``)."""
+    src = meta_dir
+    if not is_committed(spark, src) and is_committed(
+        spark, f"{src}_tmp"
+    ):
+        src = f"{src}_tmp"
+    return spark.read.parquet(src).collect()[0].asDict()
 
 
 def swap_write(spark, df: DataFrame, dest: str) -> None:
