@@ -2625,3 +2625,65 @@ def q_emb_ivfpq_residual_search(
     return _sim.query_ivfpq_index(
         spark, path, queries, 10, nprobe=1
     )
+
+
+@_register(
+    "dedup_index_filtered_batch",
+    f"""WITH {_DEDUP_DOC_CTE},
+{_DEDUP_MINHASH_SQL},
+bands AS (
+  SELECT doc_id, h_idx // {_BAND_ROWS} AS band,
+         max(CASE WHEN h_idx % {_BAND_ROWS} = 0 THEN minhash END)
+           AS sig0,
+         max(CASE WHEN h_idx % {_BAND_ROWS} = 1 THEN minhash END)
+           AS sig1
+  FROM sigs GROUP BY doc_id, h_idx // {_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS corpus_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig0 = b.sig0 AND a.sig1 = b.sig1
+  WHERE a.doc_id % 7 != 3 AND b.doc_id % 7 = 3),
+agree AS (
+  SELECT c.doc_id,
+         sum(CASE WHEN x.minhash = y.minhash THEN 1 ELSE 0 END)::BIGINT
+           AS n_agree
+  FROM cand c
+  JOIN sigs x ON x.doc_id = c.doc_id
+  JOIN sigs y ON y.doc_id = c.corpus_id AND y.h_idx = x.h_idx
+  GROUP BY c.doc_id, c.corpus_id),
+matched AS (
+  SELECT DISTINCT doc_id FROM agree
+  WHERE n_agree::DOUBLE / {_NUM_HASHES} >= 0.5)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id % 7 = 3
+  AND d.doc_id NOT IN (SELECT doc_id FROM matched)""",
+)
+def q_dedup_index_filtered_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ingest-filter primitive (r11): incoming docs that survive
+    near-dup screening against the persisted corpus fingerprint
+    store — `dedup_incremental_near`, the near-dup twin of the
+    registered exact `dedup_incremental`. One index query + a
+    broadcast anti-join; all incoming columns pass through. The
+    oracle recomputes the whole chain (signatures, band candidates,
+    agreement estimate, anti-join) from raw text. (ref: Hadoop.java
+    has no dedup; LLM-pipeline extension surface.)"""
+    import re as _re
+
+    from knn_using_hadoop_spark.operators import dedup as _dedup_ops
+
+    docs = load_docs_wide(spark, sf_dir)
+    corpus = docs.select("doc_id", "text").filter(
+        F.col("doc_id") % 7 != 3
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", "text", "lang", "source"
+    )
+    tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
+    path = f"/tmp/spark_graft_dedupidx_gate_{tag}"
+    _dedup_ops.build_dedup_index(corpus, path, n_buckets=8)
+    return _dedup_ops.dedup_incremental_near(
+        spark, path, batch, threshold=0.5
+    ).select("doc_id", "lang", "source")

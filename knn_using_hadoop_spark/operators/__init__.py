@@ -6,6 +6,7 @@ from knn_using_hadoop_spark.operators.dedup import (
     build_dedup_index,
     compact_dedup_index,
     dedup_exact,
+    dedup_incremental_near,
     delete_from_dedup_index,
     describe_dedup_index,
     minhash_lsh_pairs,
@@ -86,6 +87,7 @@ __all__ = [
     "build_dedup_index",
     "compact_dedup_index",
     "dedup_exact",
+    "dedup_incremental_near",
     "delete_from_dedup_index",
     "describe_dedup_index",
     "query_dedup_index",

@@ -1418,3 +1418,24 @@ def append_dedup_index_stream(stream_df: DataFrame, path: str):
     return stream_df.writeStream.foreachBatch(feed).outputMode(
         "append"
     )
+
+
+def dedup_incremental_near(
+    spark, path: str, incoming: DataFrame, *, threshold: float = 0.5
+) -> DataFrame:
+    """Incoming docs with NO near-dup in the persisted corpus — the
+    ingest-filter primitive a crawl pipeline actually applies (keep
+    only genuinely new content), the near-dup twin of the exact
+    ``dedup_incremental``. One ``query_dedup_index`` pass, then a
+    broadcast-size anti-join of the matched batch ids against the
+    incoming rows (matched ids <= |incoming|). All incoming columns
+    pass through. Docs too short to fingerprint survive (they can
+    only be exact dupes — ``dedup_incremental``'s job; run both)."""
+    matched = (
+        query_dedup_index(
+            spark, path, incoming, threshold=threshold
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return incoming.join(matched, "doc_id", "left_anti")

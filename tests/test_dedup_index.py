@@ -505,3 +505,28 @@ def test_dedup_index_compact_crash_converges(
     )
     assert not store.has_segments(spark, f"{path}/sigs_seg")
     assert not store.has_children(spark, f"{path}/tombstones")
+
+
+def test_dedup_incremental_near_filters_matches(
+    spark, built, corpus, batch
+):
+    """The ingest filter drops exactly the batch docs with a pair
+    >= threshold; unfingerprintable (short) docs pass through."""
+    pairs = _got_pairs(
+        D.query_dedup_index(spark, built, batch, threshold=0.5)
+    )
+    matched = {d for d, _ in pairs}
+    short = corpus.sparkSession.createDataFrame(
+        [(999999902, "tiny doc")], "doc_id bigint, text string"
+    )
+    incoming = batch.unionByName(short)
+    kept = {
+        r.doc_id
+        for r in D.dedup_incremental_near(
+            spark, built, incoming, threshold=0.5
+        ).collect()
+    }
+    all_in = {r.doc_id for r in incoming.select("doc_id").collect()}
+    assert kept == all_in - matched
+    assert 999999902 in kept
+    assert matched and matched.isdisjoint(kept)
