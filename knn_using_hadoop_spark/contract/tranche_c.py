@@ -1403,7 +1403,10 @@ def q_doc_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     path = f"/tmp/spark_graft_docvec_gate_{tag}"
-    _ret.build_text_index(docs, path, n_buckets=16)
+    _build_gate_store_once(
+        path,
+        lambda: _ret.build_text_index(docs, path, n_buckets=16),
+    )
     ids = docs.filter(F.col("doc_id") % 50 == 3).select("doc_id")
     return _ret.doc_vectors(spark, path, ids)
 
@@ -1477,27 +1480,50 @@ def q_doc_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     path = f"/tmp/spark_graft_docvec_gate_{tag}"
-    _ret.build_text_index(docs, path, n_buckets=16)
+    _build_gate_store_once(
+        path,
+        lambda: _ret.build_text_index(docs, path, n_buckets=16),
+    )
     ids = docs.filter(F.col("doc_id") % 50 == 3).select("doc_id")
     return _ret.more_like_this(
         spark, path, ids, 5, max_query_terms=25, min_tf=1, min_df=2
     )
 
 
+# Gate store builds memoized PER PROCESS: every entry still calls its
+# builder (any registry subset stays self-contained — the first
+# caller builds), but a full gate run rebuilds each identical
+# artifact once instead of once per entry. Keyed by destination
+# path; all entries sharing a path build with identical parameters.
+_GATE_STORES_BUILT: set = set()
+
+
+def _build_gate_store_once(path: str, build) -> str:
+    if path not in _GATE_STORES_BUILT:
+        build()
+        _GATE_STORES_BUILT.add(path)
+    return path
+
+
 def _gate_pos_index(spark: SparkSession, sf_dir: str) -> str:
-    """Build (overwrite) the shared POSITIONAL text index the
-    BM25-serving gate queries run against — one artifact per sf
-    tag; each gate entry rebuilds it so any subset of the registry
-    stays self-contained (the doc_term_vectors pattern)."""
+    """The shared POSITIONAL text index the BM25-serving gate
+    queries run against — one artifact per sf tag, built by the
+    FIRST entry that needs it in a process (memoized; any registry
+    subset stays self-contained, a full run builds once)."""
     import re as _re
 
     from knn_using_hadoop_spark.operators import retrieval as _ret
 
-    docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     path = f"/tmp/spark_graft_posidx_gate_{tag}"
-    _ret.build_text_index(docs, path, n_buckets=16, positions=True)
-    return path
+
+    def build():
+        docs = load_docs_wide(spark, sf_dir).select("doc_id", "text")
+        _ret.build_text_index(
+            docs, path, n_buckets=16, positions=True
+        )
+
+    return _build_gate_store_once(path, build)
 
 
 # Shared CTE chain: the served-BM25 ranking recomputed from raw text
@@ -2119,8 +2145,11 @@ def q_emb_ivf_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector search; LLM-pipeline extension surface.)"""
     corpus, queries = _sim_queries(spark, sf_dir)
     path = f"/tmp/spark_graft_ivfidx_gate_{_gate_index_tag(sf_dir)}"
-    _sim.build_ivf_index(
-        corpus, path, n_centroids=_IVF_NC, iters=1
+    _build_gate_store_once(
+        path,
+        lambda: _sim.build_ivf_index(
+            corpus, path, n_centroids=_IVF_NC, iters=1
+        ),
     )
     return _sim.query_ivf_index(spark, path, queries, 5, nprobe=2)
 
@@ -2159,9 +2188,12 @@ def q_emb_ivfpq_index_search(
     has no vector search; LLM-pipeline extension surface.)"""
     corpus, queries = _sim_queries(spark, sf_dir)
     path = f"/tmp/spark_graft_ivfpqidx_gate_{_gate_index_tag(sf_dir)}"
-    _sim.build_ivf_index(
-        corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
-        m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+    _build_gate_store_once(
+        path,
+        lambda: _sim.build_ivf_index(
+            corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
+            m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+        ),
     )
     return _sim.query_ivfpq_index(spark, path, queries, 10, nprobe=1)
 
@@ -2462,7 +2494,12 @@ def q_dedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 7 == 3)
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     path = f"/tmp/spark_graft_dedupidx_gate_{tag}"
-    _dedup_ops.build_dedup_index(corpus, path, n_buckets=8)
+    _build_gate_store_once(
+        path,
+        lambda: _dedup_ops.build_dedup_index(
+            corpus, path, n_buckets=8
+        ),
+    )
     return _dedup_ops.query_dedup_index(
         spark, path, batch, threshold=0.5
     )
@@ -2493,12 +2530,15 @@ def q_emb_ivf_filtered_search(
     path = (
         f"/tmp/spark_graft_ivffidx_gate_{_gate_index_tag(sf_dir)}"
     )
-    _sim.build_ivf_index(
-        corpus,
+    _build_gate_store_once(
         path,
-        n_centroids=_IVF_NC,
-        iters=1,
-        attribute_cols=["label"],
+        lambda: _sim.build_ivf_index(
+            corpus,
+            path,
+            n_centroids=_IVF_NC,
+            iters=1,
+            attribute_cols=["label"],
+        ),
     )
     return _sim.query_ivf_index(
         spark, path, queries, 5, nprobe=2, member_filter="label = 2"
@@ -2556,9 +2596,12 @@ def q_emb_ivfpq_refine_search(
     surface.)"""
     corpus, queries = _sim_queries(spark, sf_dir)
     path = f"/tmp/spark_graft_ivfpqidx_gate_{_gate_index_tag(sf_dir)}"
-    _sim.build_ivf_index(
-        corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
-        m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+    _build_gate_store_once(
+        path,
+        lambda: _sim.build_ivf_index(
+            corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
+            m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+        ),
     )
     return _sim.query_ivfpq_index(
         spark, path, queries, 10, nprobe=1, refine_k=50
@@ -2617,10 +2660,13 @@ def q_emb_ivfpq_residual_search(
         "/tmp/spark_graft_ivfpqridx_gate_"
         f"{_gate_index_tag(sf_dir)}"
     )
-    _sim.build_ivf_index(
-        corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
-        m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
-        pq_residual=True,
+    _build_gate_store_once(
+        path,
+        lambda: _sim.build_ivf_index(
+            corpus, path, n_centroids=_IVF_NC, iters=0, pq=True,
+            m=_PQ_M_Q, ks=_PQ_KS_Q, pq_iters=1, dim=_EMB_DIM,
+            pq_residual=True,
+        ),
     )
     return _sim.query_ivfpq_index(
         spark, path, queries, 10, nprobe=1
@@ -2683,7 +2729,12 @@ def q_dedup_index_filtered_batch(
     )
     tag = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     path = f"/tmp/spark_graft_dedupidx_gate_{tag}"
-    _dedup_ops.build_dedup_index(corpus, path, n_buckets=8)
+    _build_gate_store_once(
+        path,
+        lambda: _dedup_ops.build_dedup_index(
+            corpus, path, n_buckets=8
+        ),
+    )
     return _dedup_ops.dedup_incremental_near(
         spark, path, batch, threshold=0.5
     ).select("doc_id", "lang", "source")
