@@ -9,6 +9,7 @@ from knn_using_hadoop_spark.operators.dedup import (
     dedup_incremental_near,
     delete_from_dedup_index,
     describe_dedup_index,
+    evaluate_dedup_index,
     minhash_lsh_pairs,
     query_dedup_index,
     minhash_signatures,
@@ -90,6 +91,7 @@ __all__ = [
     "dedup_incremental_near",
     "delete_from_dedup_index",
     "describe_dedup_index",
+    "evaluate_dedup_index",
     "query_dedup_index",
     "minhash_signatures",
     "minhash_lsh_pairs",

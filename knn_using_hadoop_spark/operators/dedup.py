@@ -1439,3 +1439,98 @@ def dedup_incremental_near(
         .distinct()
     )
     return incoming.join(matched, "doc_id", "left_anti")
+
+
+def evaluate_dedup_index(
+    spark,
+    path: str,
+    corpus_docs: DataFrame,
+    batch: DataFrame,
+    *,
+    exact_threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """Estimator quality report for the served dedup path — the
+    `evaluate_ivf_index` of this store family: the operating-point
+    picker an ops team runs before choosing a serving threshold.
+
+    For every candidate threshold t in {0, 1/H, ..., 1} (H =
+    num_hashes — the estimator's full granularity): how many
+    candidate pairs the served estimate (`query_dedup_index` at
+    threshold 0, i.e. ALL band candidates with their n_agree/H)
+    would report at t, and the precision/recall of that decision
+    against EXACT Jaccard >= ``exact_threshold`` computed over the
+    same candidate pairs (`jaccard_verify` on the supplied raw
+    text — the store keeps only fingerprints, so the evaluator,
+    like any ground-truth pass, needs corpus access). LSH candidate
+    recall (pairs the bands never surface) is a property of the
+    build parameters, pinned separately; this evaluates the
+    ESTIMATOR the serving path ranks by. Output one row per
+    threshold: (threshold, n_pairs, n_true, tp, precision, recall),
+    6dp, precision null at thresholds predicting zero pairs."""
+    md = _read_dedup_meta(spark, path)
+    nh = md["num_hashes"]
+    est = query_dedup_index(
+        spark, path, batch, threshold=0.0
+    ).localCheckpoint(eager=True)  # feeds truth join + every t
+    union = corpus_docs.select("doc_id", "text").unionByName(
+        batch.select("doc_id", "text")
+    )
+    sh = hashed_shingle_sets(union, n).withColumnRenamed(
+        "h", "shingle"
+    )
+    truth = jaccard_verify(
+        est.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("corpus_id").alias("doc_b"),
+        ),
+        sh,
+    ).select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("corpus_id"),
+        (F.col("jaccard") >= exact_threshold).alias("is_true"),
+    )
+    scored = est.join(truth, ["doc_id", "corpus_id"], "left").select(
+        "est_jaccard", F.coalesce("is_true", F.lit(False)).alias("is_true")
+    )
+    sweep = scored.select(
+        "est_jaccard",
+        "is_true",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(nh))
+        ).alias("step"),
+    ).withColumn("threshold", F.col("step") / F.lit(nh))
+    pred = F.col("est_jaccard") >= F.col("threshold")
+    return (
+        sweep.groupBy("threshold")
+        .agg(
+            F.sum(F.when(pred, 1).otherwise(0)).alias("n_pairs"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias(
+                "n_true"
+            ),
+            F.sum(
+                F.when(pred & F.col("is_true"), 1).otherwise(0)
+            ).alias("tp"),
+        )
+        .select(
+            F.round("threshold", 6).alias("threshold"),
+            "n_pairs",
+            "n_true",
+            "tp",
+            F.round(
+                F.when(
+                    F.col("n_pairs") > 0,
+                    F.col("tp") / F.col("n_pairs"),
+                ),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("tp") / F.col("n_true"),
+                ).otherwise(1.0),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )

@@ -530,3 +530,59 @@ def test_dedup_incremental_near_filters_matches(
     assert kept == all_in - matched
     assert 999999902 in kept
     assert matched and matched.isdisjoint(kept)
+
+
+def test_evaluate_dedup_index_threshold_sweep(
+    spark, built, corpus, batch
+):
+    """The operating-point report: 9 threshold rows (estimator
+    granularity 1/8), pair counts monotone in threshold, and
+    precision/recall at t=0.5 equal to a pure-Python recompute of
+    exact Jaccard over the candidate pairs."""
+    rep = {
+        r.threshold: r
+        for r in D.evaluate_dedup_index(
+            spark, built, corpus, batch, exact_threshold=0.5
+        ).collect()
+    }
+    ts = sorted(rep)
+    assert ts == [round(i / 8, 6) for i in range(9)]
+    counts = [rep[t].n_pairs for t in ts]
+    assert counts == sorted(counts, reverse=True)
+    assert rep[ts[0]].recall == 1.0  # all candidates predicted at 0
+
+    # pure-Python reference at t=0.5
+    est = {
+        (r.doc_id, r.corpus_id): r.est_jaccard
+        for r in D.query_dedup_index(
+            spark, built, batch, threshold=0.0
+        ).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in corpus.unionByName(batch).collect()
+    }
+
+    def sh(t):
+        w = t.split(" ")
+        return {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+
+    truth = {
+        p: (
+            len(sh(texts[p[0]]) & sh(texts[p[1]]))
+            / len(sh(texts[p[0]]) | sh(texts[p[1]]))
+            >= 0.5
+        )
+        for p in est
+    }
+    pred = {p for p, e in est.items() if e >= 0.5}
+    tp = sum(1 for p in pred if truth[p])
+    n_true = sum(1 for v in truth.values() if v)
+    row = rep[0.5]
+    assert row.n_pairs == len(pred)
+    assert row.n_true == n_true
+    assert row.tp == tp
+    assert row.precision == round(tp / len(pred), 6)
+    assert row.recall == round(tp / n_true, 6)
