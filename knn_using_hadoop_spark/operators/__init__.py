@@ -12,6 +12,7 @@ from knn_using_hadoop_spark.operators.dedup import (
     evaluate_dedup_index,
     minhash_lsh_pairs,
     query_dedup_index,
+    tune_dedup_threshold,
     minhash_signatures,
     neardup_components,
     neardup_components_star,
@@ -93,6 +94,7 @@ __all__ = [
     "describe_dedup_index",
     "evaluate_dedup_index",
     "query_dedup_index",
+    "tune_dedup_threshold",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",

@@ -1534,3 +1534,63 @@ def evaluate_dedup_index(
         )
         .orderBy("threshold")
     )
+
+
+def tune_dedup_threshold(
+    spark,
+    path: str,
+    corpus_docs: DataFrame,
+    batch: DataFrame,
+    target_precision: float,
+    *,
+    exact_threshold: float = 0.5,
+    n: int = 3,
+) -> dict:
+    """Pick the LOWEST serving threshold whose precision clears a
+    bar — the operating-point decision `evaluate_dedup_index`
+    informs, made executable (the `tune_nprobe` of this family).
+
+    Near-dup screening trades precision against recall monotonically
+    in the threshold: raising it can only drop predicted pairs, so
+    the lowest clearing point keeps the most recall at the required
+    precision. One `evaluate_dedup_index` sweep (one candidate pass
+    + one exact-Jaccard pass over candidates — the dominant costs),
+    then a driver-side scan of its <= num_hashes+1 rows. Returns
+    ``{"threshold": float | None, "precision": float, "recall":
+    float, "swept": [(threshold, precision, recall), ...]}`` —
+    ``threshold=None`` (with the t=1.0 row reported) means even
+    requiring all hashes to agree cannot clear the bar on this
+    sample. A threshold predicting ZERO pairs (null precision)
+    vacuously satisfies any bar only if no lower point does;
+    such a point is returned with precision reported as 1.0."""
+    rep = evaluate_dedup_index(
+        spark,
+        path,
+        corpus_docs,
+        batch,
+        exact_threshold=exact_threshold,
+        n=n,
+    ).collect()
+    swept = [
+        (
+            r.threshold,
+            1.0 if r.precision is None else r.precision,
+            r.recall,
+        )
+        for r in sorted(rep, key=lambda r: r.threshold)
+    ]
+    for t, p, rec in swept:
+        if p >= target_precision:
+            return {
+                "threshold": t,
+                "precision": p,
+                "recall": rec,
+                "swept": swept,
+            }
+    t, p, rec = swept[-1]
+    return {
+        "threshold": None,
+        "precision": p,
+        "recall": rec,
+        "swept": swept,
+    }

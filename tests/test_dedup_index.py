@@ -586,3 +586,35 @@ def test_evaluate_dedup_index_threshold_sweep(
     assert row.tp == tp
     assert row.precision == round(tp / len(pred), 6)
     assert row.recall == round(tp / n_true, 6)
+
+
+def test_tune_dedup_threshold_picks_lowest_clearing_point(
+    spark, built, corpus, batch
+):
+    rep = {
+        r.threshold: r
+        for r in D.evaluate_dedup_index(
+            spark, built, corpus, batch, exact_threshold=0.5
+        ).collect()
+    }
+    # a reachable bar: the best precision in the sweep
+    precs = {
+        t: (1.0 if r.precision is None else r.precision)
+        for t, r in rep.items()
+    }
+    best = max(precs.values())
+    got = D.tune_dedup_threshold(
+        spark, built, corpus, batch, best, exact_threshold=0.5
+    )
+    expect_t = min(t for t, p in precs.items() if p >= best)
+    assert got["threshold"] == expect_t
+    assert got["precision"] == precs[expect_t]
+    assert got["recall"] == rep[expect_t].recall
+    assert [t for t, _, _ in got["swept"]] == sorted(precs)
+    # an unreachable bar returns None with the t=1.0 row
+    assert (
+        D.tune_dedup_threshold(
+            spark, built, corpus, batch, 1.1
+        )["threshold"]
+        is None
+    )
