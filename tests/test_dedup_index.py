@@ -618,3 +618,90 @@ def test_tune_dedup_threshold_picks_lowest_clearing_point(
         )["threshold"]
         is None
     )
+
+
+def test_dedup_index_bands_rowgroup_skipping(spark, tmp_path):
+    """The within-bucket selectivity contract, pinned at the footer
+    level (the text index's term-selective pin, applied to bands):
+    on a multi-row-group store the per-file (min, max) stats on
+    sig0 are disjoint ascending runs, and a small batch's sig0 key
+    set matches a strict minority of the probed buckets' row groups
+    — the bands read is key-run-sized, not bucket-sized."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = spark.range(20000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(10)),
+                lambda p: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("id"), p), F.lit(5000)
+                    ).cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    path = str(tmp_path / "store")
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size", None)
+    hconf.set("parquet.block.size", "2048")
+    try:
+        D.build_dedup_index(docs, path, n_buckets=8)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    def rg_ranges(bucket):
+        out = []
+        for f in sorted(
+            glob.glob(f"{path}/bands/bbucket={bucket}/*.parquet")
+        ):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.row_group(0).column(j).path_in_schema: j
+                for j in range(md.row_group(0).num_columns)
+            }["sig0"]
+            runs = [
+                (
+                    md.row_group(i).column(idx).statistics.min,
+                    md.row_group(i).column(idx).statistics.max,
+                )
+                for i in range(md.num_row_groups)
+            ]
+            # disjoint ascending runs within each file
+            for i, (lo, hi) in enumerate(runs):
+                assert lo <= hi
+                if i:
+                    assert runs[i - 1][1] <= lo
+            out.extend(runs)
+        return out
+
+    batch = docs.filter(F.col("doc_id") % 6000 == 17)
+    md = D._read_dedup_meta(spark, path)
+    qb = D.minhash_band_buckets(
+        D.minhash_signatures(batch, md["n"])
+    ).withColumn("bbucket", D._band_bucket(md["n_buckets"]))
+    rows = qb.select("bbucket", "sig0").collect()
+    sig0s = {r.sig0 for r in rows}
+    probed = {r.bbucket for r in rows}
+    assert sig0s and probed
+
+    total = matched = 0
+    for b in probed:
+        for lo, hi in rg_ranges(b):
+            total += 1
+            if any(lo <= s <= hi for s in sig0s):
+                matched += 1
+    assert total >= 20, ("need multi-row-group buckets", total)
+    assert matched < total / 2, (
+        "pushed sig0 set must skip a majority of row groups",
+        matched,
+        total,
+    )
