@@ -994,7 +994,10 @@ def shared_passage_spans(
 # duplicate-rows crash window is closed at query time by counting
 # agreement over DISTINCT h_idx.
 
-_DEDUP_META_SCHEMA = "n int, n_buckets int, num_hashes int, band_rows int"
+_DEDUP_META_SCHEMA = (
+    "n int, n_buckets int, num_hashes int, band_rows int, "
+    "attribute_cols array<string>"
+)
 _DEDUP_PAIRS_SCHEMA = (
     "doc_id bigint, corpus_id bigint, n_agree bigint, "
     "est_jaccard double"
@@ -1035,7 +1038,12 @@ def _write_dedup_stores(
 
 
 def build_dedup_index(
-    docs: DataFrame, path: str, *, n: int = 3, n_buckets: int = 16
+    docs: DataFrame,
+    path: str,
+    *,
+    n: int = 3,
+    n_buckets: int = 16,
+    attribute_cols: list[str] | None = None,
 ) -> None:
     """Persist the corpus near-dup fingerprint store: build once,
     dedup many batches.
@@ -1046,20 +1054,29 @@ def build_dedup_index(
     KEY-SORTED within every file so queries prune partitions AND
     skip row groups. Docs shorter than the shingle width carry no
     fingerprint (they can only be exact dupes — `dedup_exact`'s
-    job). The corpus text itself is NOT stored: at 100 TB the
+    job). ``attribute_cols`` persists metadata columns beside each
+    band row so ``query_dedup_index(member_filter=...)`` can
+    pre-filter candidates AT THE SCAN (e.g. same-language near-dups
+    only) — the `query_ivf_index(member_filter)` contract. The
+    corpus text itself is NOT stored: at 100 TB the
     fingerprint store is ~|docs| x 8 bigint rows — the artifact
     that ships, while the corpus stays cold (the same
     codebooks-travel argument as the PQ store)."""
     spark = docs.sparkSession
     sigs = minhash_signatures(docs, n).localCheckpoint(eager=True)
     bands = minhash_band_buckets(sigs)
+    if attribute_cols:
+        bands = bands.join(
+            docs.select("doc_id", *attribute_cols), "doc_id"
+        )
     _write_dedup_stores(
         sigs, bands, n_buckets, f"{path}/bands", f"{path}/sigs"
     )
     store.swap_write(
         spark,
         spark.createDataFrame(
-            [(n, n_buckets, NUM_HASHES, BAND_ROWS)],
+            [(n, n_buckets, NUM_HASHES, BAND_ROWS,
+              list(attribute_cols or []))],
             _DEDUP_META_SCHEMA,
         ),
         f"{path}/meta",
@@ -1089,6 +1106,9 @@ def append_dedup_index(
         eager=True
     )
     bands = minhash_band_buckets(sigs)
+    attrs = list(md.get("attribute_cols") or [])
+    if attrs:
+        bands = bands.join(docs.select("doc_id", *attrs), "doc_id")
     _write_dedup_stores(
         sigs,
         bands,
@@ -1112,7 +1132,9 @@ def delete_from_dedup_index(spark, path: str, ids) -> None:
     t.write.mode("append").parquet(f"{path}/tombstones")
 
 
-def _dedup_candidates(spark, path: str, qbands: DataFrame):
+def _dedup_candidates(
+    spark, path: str, qbands: DataFrame, *, member_filter=None
+):
     """Candidate (qdoc, corpus_id) pairs from band-key equality —
     the probed-bucket partition filter + pushed sig0 predicate scan
     (exposed un-checkpointed so the plan pins can read it); None
@@ -1134,6 +1156,16 @@ def _dedup_candidates(spark, path: str, qbands: DataFrame):
     sig0s = store.push_set(qbands.select("sig0").distinct(), "sig0")
     if sig0s is not None:
         base = base.filter(F.col("sig0").isin(sig0s))
+    if member_filter is not None:
+        # attribute pre-filter over the bands store's persisted
+        # columns (build-time attribute_cols) — applied AT THE SCAN
+        # (PushedFilters) before candidate generation, the exact
+        # pre-filtering contract of query_ivf_index(member_filter)
+        base = base.filter(
+            F.expr(member_filter)
+            if isinstance(member_filter, str)
+            else member_filter
+        )
     base = store.mask_tombstones(
         spark, f"{path}/tombstones", base, "doc_id"
     )
@@ -1156,7 +1188,12 @@ def _dedup_candidates(spark, path: str, qbands: DataFrame):
 
 
 def query_dedup_index(
-    spark, path: str, docs: DataFrame, *, threshold: float = 0.5
+    spark,
+    path: str,
+    docs: DataFrame,
+    *,
+    threshold: float = 0.5,
+    member_filter=None,
 ) -> DataFrame:
     """Near-dups of a batch against the persisted corpus:
     (doc_id, corpus_id, n_agree, est_jaccard) — batch doc, live
@@ -1175,7 +1212,13 @@ def query_dedup_index(
     Segments are unioned in (searchable immediately), tombstoned
     corpus docs never match. Agreement counts DISTINCT h_idx, so
     the compact crash window that can briefly duplicate store rows
-    cannot inflate the estimate. The batch's band keys ride as a
+    cannot inflate the estimate. ``member_filter`` (a Column or
+    SQL string over the bands store's columns — doc_id plus any
+    build-time ``attribute_cols``) drops corpus rows BEFORE
+    candidate generation; because verification is per-pair, the
+    result equals post-filtering the unfiltered pairs on the same
+    predicate, but the scan never reads excluded rows (parquet
+    pushdown). The batch's band keys ride as a
     BROADCAST (|batch| x 4 fixed-width rows) — sized for ingest
     slices up to the low millions of docs; a batch at corpus scale
     is not an ingest slice, dedup it with the inline
@@ -1190,7 +1233,9 @@ def query_dedup_index(
         .withColumn("bbucket", _band_bucket(n_buckets))
         .localCheckpoint(eager=True)  # reused: bucket fetch + join
     )
-    cand = _dedup_candidates(spark, path, qbands)
+    cand = _dedup_candidates(
+        spark, path, qbands, member_filter=member_filter
+    )
     if cand is None:
         return spark.createDataFrame([], _DEDUP_PAIRS_SCHEMA)
     cand = cand.localCheckpoint(eager=True)  # reused: bucket fetch + join

@@ -705,3 +705,113 @@ def test_dedup_index_bands_rowgroup_skipping(spark, tmp_path):
         matched,
         total,
     )
+
+
+def test_dedup_index_member_filter(spark, docs, batch, tmp_path):
+    """Attribute-filtered near-dup search: build persists the
+    attribute beside each band row, member_filter drops corpus rows
+    at the scan (PushedFilters), and the pairs equal post-filtering
+    the unfiltered result on the same predicate."""
+    full = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    corpus = full.filter(F.col("doc_id") % 7 != 3)
+    qbatch = full.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "store")
+    D.build_dedup_index(
+        corpus, path, n_buckets=8, attribute_cols=["lang"]
+    )
+    unfiltered = _got_pairs(
+        D.query_dedup_index(spark, path, qbatch, threshold=0.5)
+    )
+    en_ids = {
+        r.doc_id
+        for r in corpus.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .collect()
+    }
+    got = _got_pairs(
+        D.query_dedup_index(
+            spark, path, qbatch, threshold=0.5,
+            member_filter="lang = 'en'",
+        )
+    )
+    want = {
+        k: v for k, v in unfiltered.items() if k[1] in en_ids
+    }
+    assert got == want
+    assert got != unfiltered, "fixture must actually filter"
+
+    # the predicate reaches the bands scan
+    md = D._read_dedup_meta(spark, path)
+    assert md["attribute_cols"] == ["lang"]
+    qb = (
+        D.minhash_band_buckets(
+            D.minhash_signatures(qbatch, md["n"])
+        )
+        .withColumn("bbucket", D._band_bucket(md["n_buckets"]))
+        .localCheckpoint(eager=True)
+    )
+    cand = D._dedup_candidates(
+        spark, path, qb, member_filter="lang = 'en'"
+    )
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 1
+    assert "lang" in scans[0].split("PushedFilters")[1][:500]
+
+    # append inherits the stored attribute columns
+    extra = full.filter(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "text",
+        "lang",
+    )
+    D.append_dedup_index(spark, path, extra)
+    twins = D.query_dedup_index(
+        spark, path, qbatch, threshold=0.5,
+        member_filter="lang = 'en'",
+    )
+    twin_pairs = {
+        (r.doc_id, r.corpus_id) for r in twins.collect()
+    }
+    en_batch = {
+        r.doc_id
+        for r in full.filter(
+            (F.col("doc_id") % 7 == 3) & (F.col("lang") == "en")
+        ).collect()
+    }
+    fp = {
+        r.doc_id
+        for r in D.minhash_signatures(qbatch)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert {
+        (d, d + 1000000) for d in en_batch & fp
+    } <= twin_pairs
+    assert all(
+        c - 1000000 in en_batch
+        for _, c in twin_pairs
+        if c >= 1000000
+    )
+
+    # compact folds the attribute-carrying segments; filter invariant
+    before = _got_pairs(
+        D.query_dedup_index(
+            spark, path, qbatch, threshold=0.5,
+            member_filter="lang = 'en'",
+        )
+    )
+    D.compact_dedup_index(spark, path)
+    assert (
+        _got_pairs(
+            D.query_dedup_index(
+                spark, path, qbatch, threshold=0.5,
+                member_filter="lang = 'en'",
+            )
+        )
+        == before
+    )
