@@ -1139,10 +1139,26 @@ def _dedup_candidates(
     the probed-bucket partition filter + pushed sig0 predicate scan
     (exposed un-checkpointed so the plan pins can read it); None
     when the batch carries no fingerprints."""
-    buckets = [
-        r["bbucket"]
-        for r in qbands.select("bbucket").distinct().collect()
-    ]
+    # ONE bounded driver fetch (r11 opt): the probed-bucket set and
+    # the pushed sig0 set both derive from the same distinct
+    # (bbucket, sig0) collect — the r11 shape paid two driver jobs
+    probe = (
+        qbands.select("bbucket", "sig0")
+        .distinct()
+        .limit(store.MAX_PUSHED_KEYS + 1)
+        .collect()
+    )
+    if len(probe) > store.MAX_PUSHED_KEYS:
+        buckets = [
+            r["bbucket"]
+            for r in qbands.select("bbucket").distinct().collect()
+        ]
+        sig0s = store.push_set(
+            qbands.select("sig0").distinct(), "sig0"
+        )
+    else:
+        buckets = sorted({r["bbucket"] for r in probe})
+        sig0s = sorted({r["sig0"] for r in probe})
     if not buckets:
         return None
     base = spark.read.parquet(f"{path}/bands").filter(
@@ -1153,9 +1169,12 @@ def _dedup_candidates(
         base = base.unionByName(
             seg.filter(F.col("bbucket").isin(buckets))
         )
-    sig0s = store.push_set(qbands.select("sig0").distinct(), "sig0")
     if sig0s is not None:
-        base = base.filter(F.col("sig0").isin(sig0s))
+        # store.in_set, not Column.isin: the batch's sig0 set runs to
+        # thousands of keys and isin marshals one py4j literal per
+        # key (measured ~5 s of pure driver time at this size — the
+        # r11-opt profile's 12.9 s leg gap; OPTIMIZATION_r11.md)
+        base = base.filter(store.in_set("sig0", sig0s))
     if member_filter is not None:
         # attribute pre-filter over the bands store's persisted
         # columns (build-time attribute_cols) — applied AT THE SCAN
@@ -1239,14 +1258,32 @@ def query_dedup_index(
     if cand is None:
         return spark.createDataFrame([], _DEDUP_PAIRS_SCHEMA)
     cand = cand.localCheckpoint(eager=True)  # reused: bucket fetch + join
-    sbuckets = [
-        r["sb"]
-        for r in cand.select(
-            _sig_bucket("corpus_id", n_buckets).alias("sb")
+    # one bounded driver fetch for the sigs-store probe too (r11
+    # opt): (corpus_id, sbucket) pairs collected together
+    sprobe = (
+        cand.select(
+            "corpus_id",
+            _sig_bucket("corpus_id", n_buckets).alias("sb"),
         )
         .distinct()
+        .limit(store.MAX_PUSHED_KEYS + 1)
         .collect()
-    ]
+    )
+    if len(sprobe) > store.MAX_PUSHED_KEYS:
+        sbuckets = [
+            r["sb"]
+            for r in cand.select(
+                _sig_bucket("corpus_id", n_buckets).alias("sb")
+            )
+            .distinct()
+            .collect()
+        ]
+        ids = store.push_set(
+            cand.select("corpus_id").distinct(), "corpus_id"
+        )
+    else:
+        sbuckets = sorted({r["sb"] for r in sprobe})
+        ids = sorted({r["corpus_id"] for r in sprobe})
     if not sbuckets:
         return spark.createDataFrame([], _DEDUP_PAIRS_SCHEMA)
     ssrc = spark.read.parquet(f"{path}/sigs").filter(
@@ -1257,11 +1294,8 @@ def query_dedup_index(
         ssrc = ssrc.unionByName(
             sseg.filter(F.col("sbucket").isin(sbuckets))
         )
-    ids = store.push_set(
-        cand.select("corpus_id").distinct(), "corpus_id"
-    )
     if ids is not None:
-        ssrc = ssrc.filter(F.col("doc_id").isin(ids))
+        ssrc = ssrc.filter(store.in_set("doc_id", ids))
     return (
         cand.join(
             qsigs.select(
@@ -1351,7 +1385,7 @@ def compact_dedup_index(spark, path: str) -> None:
         )
         ids = store.push_set(tomb, "doc_id")
         if ids is not None:
-            tsigs = tsigs.filter(F.col("doc_id").isin(ids))
+            tsigs = tsigs.filter(store.in_set("doc_id", ids))
         tsigs = tsigs.join(tomb, "doc_id")
         tbands = minhash_band_buckets(tsigs).withColumn(
             "bbucket", _band_bucket(n_buckets)

@@ -65,7 +65,58 @@ def _push_terms(df: DataFrame, terms: list | None) -> DataFrame:
     results are bit-identical either way."""
     if terms is None:
         return df
-    return df.filter(F.col("term").isin(terms))
+    # store.in_set, not Column.isin: isin marshals one py4j literal
+    # per term (~1 ms each — seconds of driver time per query on
+    # wide expanded-term sets); in_set is one expression hop (r11
+    # optimization round, measured in OPTIMIZATION_r11.md)
+    return df.filter(store.in_set("term", terms))
+
+
+def _term_probe(spark, qterms: DataFrame, n_buckets: int):
+    """(qset, probed, pushed) for a query's distinct terms in ONE
+    bounded driver fetch (r11 optimization round).
+
+    The r11 shape paid three driver jobs per store probe — an eager
+    checkpoint of the (term, bucket) relation, a distinct-bucket
+    collect, and the ``push_set`` collect (profiled: the text-serving
+    legs ran 22-56 Spark jobs each, gap-dominated). One capped
+    collect now serves all three. Within the cap the probed-bucket
+    set AND the pushed term set both derive from the same rows, and
+    ``qset`` is returned as None: the pushed ``term IN (...)``
+    predicate is set-identical to the broadcast semi-join it used to
+    feed, so match sites skip the join entirely (``_match_terms``).
+    Over the cap (> MAX_PUSHED_KEYS distinct terms) the exact r11
+    shape returns unchanged: eager-checkpointed qset, bucket collect,
+    no pushed set, broadcast term join at every match site."""
+    rel = qterms.select("term").distinct().withColumn(
+        "bucket",
+        F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
+    )
+    rows = rel.limit(_MAX_PUSHED_KEYS + 1).collect()
+    if len(rows) > _MAX_PUSHED_KEYS:
+        qset = rel.localCheckpoint(eager=True)
+        probed = [
+            r["bucket"]
+            for r in qset.select("bucket").distinct().collect()
+        ]
+        return qset, probed, None
+    probed = sorted({r["bucket"] for r in rows})
+    pushed = [r["term"] for r in rows]
+    return None, probed, pushed
+
+
+def _match_terms(
+    df: DataFrame, qset: DataFrame | None, pushed: list | None
+) -> DataFrame:
+    """Narrow ``df`` to the query terms: the pushed ``IN`` predicate
+    when the bounded set collected (scan-level row-group skipping
+    AND the semi-join in one expression — the IN set is exactly the
+    distinct term set, so the broadcast join it replaces kept
+    identical rows), else the broadcast semi-join against ``qset``
+    (the over-cap fallback, bit-identical)."""
+    if pushed is not None:
+        return df.filter(store.in_set("term", pushed))
+    return df.join(F.broadcast(qset.select("term")), "term")
 
 
 def bm25_topk(
@@ -1708,22 +1759,23 @@ def _block_bounds(
     ):
         return None
     tbb = (
-        _push_terms(
+        _match_terms(
             spark.read.parquet(f"{path}/blocks").filter(
                 F.col("bucket").isin(probed)
             ),
+            qset,
             pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select("term", "blk", "max_tf", "min_dl")
     )
     if seg is not None:
         seg_tbb = (
-            _push_terms(
-                seg.filter(F.col("bucket").isin(probed)), pushed
+            _match_terms(
+                seg.filter(F.col("bucket").isin(probed)),
+                qset,
+                pushed,
             )
             .filter(F.col("tf") > 0)
-            .join(F.broadcast(qset.select("term")), "term")
             .groupBy(
                 "term",
                 F.pmod(F.xxhash64("doc_id"), F.lit(int(n_blocks)))
@@ -2173,23 +2225,12 @@ def query_text_index(
         )
         .distinct()
     )
-    qset = (
-        qterms.select("term")
-        .distinct()
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-        )
-        .localCheckpoint(eager=True)  # reused: bucket fetch + joins
-    )
-    probed = [
-        r["bucket"]
-        for r in qset.select("bucket").distinct().collect()
-    ]  # bounded by the distinct query terms
-    # the same bounded relation, as a pushed scan predicate (r11):
-    # bucket pruning stops at the 1/n_buckets shard; the pushed term
-    # set + term-sorted files make the read posting-list-sized
-    pushed = _push_set(qset, "term")
+    # bounded driver fetch: probed buckets (static partition filter)
+    # + pushed term set (scan predicate + semi-join, r11) in ONE
+    # collect — bucket pruning stops at the 1/n_buckets shard; the
+    # pushed term set + term-sorted files make the read
+    # posting-list-sized
+    qset, probed, pushed = _term_probe(spark, qterms, n_buckets)
     seg = store.read_segments(spark, f"{path}/postings_seg")
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
@@ -2209,16 +2250,17 @@ def query_text_index(
         ["positions"] if phrase else []
     )
     posts = (
-        _push_terms(
-            members.filter(F.col("bucket").isin(probed)), pushed
+        _match_terms(
+            members.filter(F.col("bucket").isin(probed)),
+            qset,
+            pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select(*post_cols)
     )
     if seg is not None:
         # fold crash-window duplicates (same posting in base AND a
         # not-yet-removed segment) before tf/min_match aggregation;
-        # placed after the bucket prune + term join so it only ever
+        # placed after the bucket prune + term match so it only ever
         # touches matched postings
         posts = posts.dropDuplicates(["doc_id", "term"])
     posts = store.mask_tombstones(
@@ -2270,11 +2312,11 @@ def query_text_index(
         posts = posts.localCheckpoint(eager=True)
     terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
-        _push_terms(
+        _match_terms(
             terms_store.filter(F.col("bucket").isin(probed)),
+            qset,
             pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select("term", "df")
     )
     stats = _read_stats(spark, path).select("n_docs", "avgdl")
@@ -2283,11 +2325,12 @@ def query_text_index(
         # postings; segment doc stats from the (column-pruned) head
         # rows — both derived, nothing stored to drift
         seg_df = (
-            _push_terms(
-                seg.filter(F.col("bucket").isin(probed)), pushed
+            _match_terms(
+                seg.filter(F.col("bucket").isin(probed)),
+                qset,
+                pushed,
             )
             .filter(F.col("tf") > 0)
-            .join(F.broadcast(qset.select("term")), "term")
             # a doc landing in two segments must count once
             .dropDuplicates(["doc_id", "term"])
             .groupBy("term")
@@ -2508,13 +2551,13 @@ def query_text_index(
             # so such terms read as always-essential instead of
             # poisoning the cumulative bound sum with NULLs
             tb = (
-                _push_terms(
+                _match_terms(
                     terms_store.filter(
                         F.col("bucket").isin(probed)
                     ),
+                    qset,
                     pushed,
                 )
-                .join(F.broadcast(qset.select("term")), "term")
                 .select(
                     "term",
                     F.coalesce(F.col("max_tf"), F.lit(1.0e30))
@@ -2525,12 +2568,10 @@ def query_text_index(
             )
             if seg is not None:
                 seg_tb = (
-                    _push_terms(
+                    _match_terms(
                         seg.filter(F.col("bucket").isin(probed)),
+                        qset,
                         pushed,
-                    )
-                    .join(
-                        F.broadcast(qset.select("term")), "term"
                     )
                     .groupBy("term")
                     .agg(
@@ -2596,6 +2637,7 @@ def _index_match(
     tset: DataFrame,
     doc_filter: Column | str | None = None,
     with_bounds: bool = False,
+    md: dict | None = None,
 ):
     """(posts, dfreq, stats[, tb]) of a persisted text index for an
     arbitrary distinct-term relation ``tset`` (one ``term`` column)
@@ -2612,24 +2654,15 @@ def _index_match(
     (NULL-coalesced to the loosest valid bounds, segment bounds
     folded at query time), full posts derivation for legacy
     stores — plus the (tbb, n_blocks) block-bound pair (r10;
-    tbb None on pre-block stores)."""
-    md = _read_meta(spark, path)
+    tbb None on pre-block stores). ``md`` lets a caller that already
+    read the store meta pass it through (r11 opt: RM3/MLT probe the
+    same store 2-3 times per invocation; one meta read serves all)."""
+    if md is None:
+        md = _read_meta(spark, path)
     n_buckets = md["n_buckets"]
     n_blocks = md.get("n_blocks")
-    qset = (
-        tset.select("term")
-        .distinct()
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    probed = [
-        r["bucket"]
-        for r in qset.select("bucket").distinct().collect()
-    ]  # bounded by the distinct terms
-    pushed = _push_set(qset, "term")  # scan-level predicate (r11)
+    # one bounded driver fetch: probed buckets + pushed terms (r11)
+    qset, probed, pushed = _term_probe(spark, tset, n_buckets)
     seg = store.read_segments(spark, f"{path}/postings_seg")
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
@@ -2641,10 +2674,11 @@ def _index_match(
             else doc_filter
         )
     posts = (
-        _push_terms(
-            members.filter(F.col("bucket").isin(probed)), pushed
+        _match_terms(
+            members.filter(F.col("bucket").isin(probed)),
+            qset,
+            pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select("doc_id", "term", "tf", "dl")
     )
     if seg is not None:
@@ -2654,21 +2688,22 @@ def _index_match(
     )
     terms_store = spark.read.parquet(f"{path}/terms")
     dfreq = (
-        _push_terms(
+        _match_terms(
             terms_store.filter(F.col("bucket").isin(probed)),
+            qset,
             pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select("term", "df")
     )
     stats = _read_stats(spark, path).select("n_docs", "avgdl")
     if seg is not None:
         seg_df = (
-            _push_terms(
-                seg.filter(F.col("bucket").isin(probed)), pushed
+            _match_terms(
+                seg.filter(F.col("bucket").isin(probed)),
+                qset,
+                pushed,
             )
             .filter(F.col("tf") > 0)
-            .join(F.broadcast(qset.select("term")), "term")
             .dropDuplicates(["doc_id", "term"])
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("double").alias("df"))
@@ -2704,11 +2739,11 @@ def _index_match(
         return posts, dfreq, stats
     if "max_tf" in terms_store.columns:
         tb = (
-            _push_terms(
+            _match_terms(
                 terms_store.filter(F.col("bucket").isin(probed)),
+                qset,
                 pushed,
             )
-            .join(F.broadcast(qset.select("term")), "term")
             .select(
                 "term",
                 F.coalesce(F.col("max_tf"), F.lit(1.0e30))
@@ -2719,11 +2754,11 @@ def _index_match(
         )
         if seg is not None:
             seg_tb = (
-                _push_terms(
+                _match_terms(
                     seg.filter(F.col("bucket").isin(probed)),
+                    qset,
                     pushed,
                 )
-                .join(F.broadcast(qset.select("term")), "term")
                 .groupBy("term")
                 .agg(
                     F.max("tf").alias("max_tf"),
@@ -2754,6 +2789,7 @@ def _fetch_doc_vectors(
     path: str,
     ids: DataFrame,
     seg: DataFrame | None,
+    md: dict | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) forward rows for a bounded id set —
     the doc-keyed access path of a persisted text index (r10).
@@ -2769,32 +2805,62 @@ def _fetch_doc_vectors(
     migrates it). Crash-window duplicates (same row in base and a
     not-yet-removed segment) are (doc_id, term)-deduped."""
     if _has_docvecs(spark, path):
-        n_buckets = int(_read_meta(spark, path)["n_buckets"])
-        dbuckets = [
-            int(r["_db"])
-            for r in ids.select(
+        if md is None:
+            md = _read_meta(spark, path)
+        n_buckets = int(md["n_buckets"])
+        # ONE bounded driver fetch (r11 opt): (doc_id, dbucket)
+        # pairs collected together — the dbucket partition filter
+        # and the pushed id predicate both derive from it (the r11
+        # shape paid two collects plus a meta re-read per fetch)
+        id_rows = (
+            ids.select(
+                "doc_id",
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
                 .cast("int")
-                .alias("_db")
+                .alias("_db"),
             )
             .distinct()
+            .limit(_MAX_PUSHED_KEYS + 1)
             .collect()
-        ]  # bounded by the id set
+        )
+        if len(id_rows) > _MAX_PUSHED_KEYS:
+            dbuckets = sorted(
+                {
+                    int(r["_db"])
+                    for r in ids.select(
+                        F.pmod(
+                            F.xxhash64("doc_id"), F.lit(n_buckets)
+                        )
+                        .cast("int")
+                        .alias("_db")
+                    )
+                    .distinct()
+                    .collect()
+                }
+            )
+            pushed_ids = None
+        else:
+            dbuckets = sorted({int(r["_db"]) for r in id_rows})
+            pushed_ids = [r["doc_id"] for r in id_rows]
         base = spark.read.parquet(f"{path}/docvecs").filter(
             F.col("dbucket").isin(dbuckets)
         )
         # pushed id predicate (r11): docvecs files are doc-sorted
         # within each dbucket, so the bounded id set skips every
         # non-matching row-group run — fetch cost ~ the fetched
-        # docs' forward rows, not the probed dbucket shards
-        pushed_ids = _push_set(ids, "doc_id")
+        # docs' forward rows, not the probed dbucket shards. The
+        # pushed set IS the distinct id set, so it subsumes the
+        # broadcast semi-join (skipped when pushed — same rows).
         if pushed_ids is not None:
-            base = base.filter(F.col("doc_id").isin(pushed_ids))
-        rows = (
-            base
-            .join(F.broadcast(ids), "doc_id")
-            .select("doc_id", "term", "tf", "dl")
-        )
+            rows = base.filter(
+                store.in_set("doc_id", pushed_ids)
+            ).select("doc_id", "term", "tf", "dl")
+        else:
+            rows = (
+                base
+                .join(F.broadcast(ids), "doc_id")
+                .select("doc_id", "term", "tf", "dl")
+            )
         if seg is not None:
             rows = rows.unionByName(
                 seg.filter(F.col("tf") > 0)
@@ -2822,6 +2888,7 @@ def doc_vectors(
     ids: DataFrame | list,
     *,
     id_col: str = "doc_id",
+    md: dict | None = None,
 ) -> DataFrame:
     """Public doc-keyed term-vector fetch over a persisted text
     index: (doc_id, term, tf, dl) for the given LIVE ids — the
@@ -2830,7 +2897,9 @@ def doc_vectors(
     with ``id_col`` or a Python list (typed from the store). Reads
     only the ids' dbucket partitions of the forward store plus the
     current segments; tombstoned ids are masked (a deleted doc has
-    no term vector)."""
+    no term vector). ``md``: optional pre-read store meta
+    (an internal pass-through for callers that probe the store
+    several times per invocation — e.g. ``more_like_this``)."""
     if isinstance(ids, DataFrame):
         idf = ids.select(F.col(id_col).alias("doc_id")).distinct()
     else:
@@ -2841,9 +2910,12 @@ def doc_vectors(
             [(i,) for i in ids],
             T.StructType([T.StructField("doc_id", vt)]),
         ).distinct()
-    idf = idf.localCheckpoint(eager=True)
+    # no eager checkpoint of the id relation (r11 opt): the fetch
+    # collects the bounded (id, dbucket) probe once, and the only
+    # other consumer (the segment union branch) re-derives the ids
+    # lazily — a driver job per call saved
     seg = store.read_segments(spark, f"{path}/postings_seg")
-    rows = _fetch_doc_vectors(spark, path, idf, seg)
+    rows = _fetch_doc_vectors(spark, path, idf, seg, md=md)
     return store.mask_tombstones(
         spark, f"{path}/tombstones", rows, "doc_id"
     )
@@ -2943,11 +3015,13 @@ def query_text_index_rm3(
         )
         .localCheckpoint(eager=True)  # |queries| x fb_docs rows
     )
-    fb_ids = fb.select("doc_id").distinct().localCheckpoint(
-        eager=True
-    )  # |queries| x fb_docs ids
+    # fb_ids stays a lazy view of the CHECKPOINTED fb (r11 opt: its
+    # own eager checkpoint was a redundant driver job — every
+    # consumer re-derives it from fb's pinned blocks for free)
+    fb_ids = fb.select("doc_id").distinct()
+    md = _read_meta(spark, path)  # shared by the fetch + final pass
     seg = store.read_segments(spark, f"{path}/postings_seg")
-    dlm = _fetch_doc_vectors(spark, path, fb_ids, seg)
+    dlm = _fetch_doc_vectors(spark, path, fb_ids, seg, md=md)
     dlm = dlm.select(
         "doc_id",
         "term",
@@ -2963,6 +3037,7 @@ def query_text_index_rm3(
         expanded.select("term"),
         doc_filter,
         with_bounds=True,
+        md=md,
     )
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= float(max_df))
@@ -3105,7 +3180,8 @@ def more_like_this(
     # a DataFrame ids input keyed by a custom id_col must resolve on
     # ITS column, not a hard-coded doc_id (list inputs are untyped
     # and take the store's id type either way)
-    tv = doc_vectors(spark, path, ids, id_col=id_col).select(
+    md = _read_meta(spark, path)  # one meta read serves all probes
+    tv = doc_vectors(spark, path, ids, id_col=id_col, md=md).select(
         F.col("doc_id").alias("query_id"),
         "term",
         F.col("tf").alias("_stf"),
@@ -3113,13 +3189,15 @@ def more_like_this(
     if min_tf > 1:
         tv = tv.filter(F.col("_stf") >= float(min_tf))
     # df/stats for the SOURCE vocabulary (posts of this probe are
-    # never executed — lazy plans, only dfreq/stats are consumed)
-    _, dfreq0, stats0, _, _, _ = _index_match(
+    # never executed — lazy plans, only dfreq/stats are consumed;
+    # r11 opt: with_bounds=False — the unconsumed tb/tbb bounds were
+    # an extra blocks-store probe per invocation)
+    _, dfreq0, stats0 = _index_match(
         spark,
         path,
         tv.select("term"),
         None,
-        with_bounds=True,
+        md=md,
     )
     if min_df > 1:
         dfreq0 = dfreq0.filter(F.col("df") >= float(min_df))
@@ -3152,6 +3230,7 @@ def more_like_this(
         expanded.select("term"),
         doc_filter,
         with_bounds=True,
+        md=md,
     )
     contrib = (
         F.col("w")
@@ -3249,19 +3328,7 @@ def highlight_text_index(
         )
         .distinct()
     )
-    qset = (
-        qterms.select("term")
-        .distinct()
-        .withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    probed = [
-        r["bucket"]
-        for r in qset.select("bucket").distinct().collect()
-    ]
+    qset, probed, pushed = _term_probe(spark, qterms, n_buckets)
     seg = store.read_segments(spark, f"{path}/postings_seg")
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
@@ -3277,11 +3344,11 @@ def highlight_text_index(
         ).distinct()
     )
     posts = (
-        _push_terms(
+        _match_terms(
             members.filter(F.col("bucket").isin(probed)),
-            _push_set(qset, "term"),
+            qset,
+            pushed,
         )
-        .join(F.broadcast(qset.select("term")), "term")
         .select("doc_id", "term", "positions")
     )
     if seg is not None:

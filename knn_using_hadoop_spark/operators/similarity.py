@@ -3095,8 +3095,8 @@ def ivfpq_topk(
             qcell_map = {
                 r[0]: r[1]
                 for r in cells.filter(
-                    F.col("vec_id").isin(
-                        [int(x) for x in qids]
+                    store.in_set(
+                        "vec_id", [int(x) for x in qids]
                     )
                 ).collect()
             }

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "MAX_PUSHED_KEYS",
     "child_names",
+    "in_set",
     "dynamic_overwrite",
     "push_set",
     "exists_dir",
@@ -72,6 +73,36 @@ __all__ = [
 # them); below it, the bounded driver collect is the same cost class
 # as the probed-bucket fetch every index query already performs.
 MAX_PUSHED_KEYS = 8192
+
+
+def in_set(col: str, vals) -> "F.Column":
+    """``col IN (vals)`` as ONE driver-side expression hop.
+
+    ``Column.isin(vals)`` builds a py4j literal per value — measured
+    ~1 ms each on this JVM gateway (3.6-4.9 s to merely CONSTRUCT the
+    expression at 1k-4k keys, before any planning), which made every
+    large pushed-key predicate cost multiple seconds of pure driver
+    time per query. Rendering the same IN through the SQL parser is
+    a single py4j call (measured: plan 0.9 s and execute 0.6 s at 4k
+    keys vs 5.6 s for the isin shape). Ints/floats render verbatim;
+    strings are quoted with backslash/quote escaping; mixed or
+    exotic key types fall back to ``Column.isin``. The predicate is
+    semantically identical either way — same parquet PushedFilters,
+    same rows."""
+    vals = list(vals)
+    if not vals:
+        return F.lit(False)  # empty IN matches nothing, like isin([])
+    if all(isinstance(v, (int, float)) and not isinstance(v, bool)
+           for v in vals):
+        lits = ",".join(repr(v) for v in vals)
+    elif all(isinstance(v, str) for v in vals):
+        lits = ",".join(
+            "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in vals
+        )
+    else:
+        return F.col(col).isin(vals)
+    return F.expr(f"`{col}` IN ({lits})")
 
 
 def push_set(rel: DataFrame, col: str) -> list | None:
