@@ -2375,6 +2375,12 @@ def query_text_index(
     contrib = idf * F.col("tf") * (k1 + 1.0) / denom
     if phrase:
         # ---- exact-phrase scoring (see docstring) ----
+        # the phrase plan consumes the matched positional postings
+        # TWICE (two-rarest candidate intersection, then the
+        # adjacency grouping) — materialize them once (r11 opt, the
+        # same multi-consumer discipline as the pruned exact path;
+        # size is the phrase terms' posting lists, never the store)
+        posts = posts.localCheckpoint(eager=True)
         qpos = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.posexplode(tokens(F.col(query_text_col))).alias(
