@@ -1028,7 +1028,18 @@ def q_lineitem_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "p_brand")
         .distinct()
     )
-    n = ob.select("l_orderkey").distinct().count()
+    # the order count rides as a broadcast one-row relation (exactly
+    # the oracle's n_orders CTE cross join) instead of an eager
+    # .count() — the r11 shape paid a separate full
+    # lineitem-join-distinct job per invocation BEFORE the real one;
+    # as a relation, Catalyst's ReuseExchange shares ob's distinct
+    # across the count, the marginals and both self-join sides
+    # (r11 optimization round; same IEEE divisions, values unchanged)
+    nrel = F.broadcast(
+        ob.agg(
+            F.count_distinct(F.col("l_orderkey")).alias("_n")
+        )
+    )
     brand_cnt = ob.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1059,18 +1070,19 @@ def q_lineitem_brand_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(ca, "brand_a")
         .join(cb, "brand_b")
+        .crossJoin(nrel)
         .select(
             "brand_a",
             "brand_b",
             "both_cnt",
-            F.round(F.col("both_cnt") / F.lit(float(n)), 6).alias(
-                "support"
-            ),
+            F.round(
+                F.col("both_cnt") / F.col("_n").cast("double"), 6
+            ).alias("support"),
             F.round(
                 F.col("both_cnt") / F.col("cnt_a").cast("double"), 6
             ).alias("confidence_a_b"),
             F.round(
-                F.col("both_cnt") * F.lit(float(n))
+                F.col("both_cnt") * F.col("_n").cast("double")
                 / (F.col("cnt_a") * F.col("cnt_b")),
                 6,
             ).alias("lift"),
