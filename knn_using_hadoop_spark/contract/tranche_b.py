@@ -1166,7 +1166,12 @@ def q_events_weekly_seasonality(
     Sun=0), so the Spark side subtracts 1 to match DuckDB's 0-based
     convention. The dow-mean relation (7 rows) broadcasts back for
     the residual pass; all variances round at 6dp before the final
-    ratio."""
+    ratio. The two variance scalars ride as ONE-ROW BROADCAST
+    relations (r12 opt, the brand-affinity treatment): the r11
+    shape paid two eager ``.collect()`` jobs — two full extra
+    passes over events — before the real query, every invocation;
+    as columns the whole thing is one action and the arithmetic is
+    the same IEEE division on the same 6dp-rounded doubles."""
     ev = load_table(spark, "events", sf_dir)
     base = ev.select(
         "value", (F.dayofweek("ts") - 1).cast("int").alias("dow")
@@ -1176,24 +1181,27 @@ def q_events_weekly_seasonality(
         F.count(F.lit(1)).alias("n"),
     )
     var_total = base.agg(
-        F.round(F.var_samp("value"), 6).alias("v")
-    ).collect()[0]["v"]
+        F.round(F.var_samp("value"), 6).alias("_vt")
+    )
     resid = (
         base.join(F.broadcast(dow_means.select("dow", "dow_mean")), "dow")
         .agg(
             F.round(
                 F.var_samp(F.col("value") - F.col("dow_mean")), 6
-            ).alias("v")
+            ).alias("_vr")
         )
-        .collect()[0]["v"]
     )
-    return dow_means.select(
-        "dow",
-        "dow_mean",
-        "n",
-        F.round(F.lit(1.0) - F.lit(resid) / F.lit(var_total), 6).alias(
-            "var_explained"
-        ),
+    return (
+        dow_means.crossJoin(F.broadcast(resid))
+        .crossJoin(F.broadcast(var_total))
+        .select(
+            "dow",
+            "dow_mean",
+            "n",
+            F.round(
+                F.lit(1.0) - F.col("_vr") / F.col("_vt"), 6
+            ).alias("var_explained"),
+        )
     )
 
 

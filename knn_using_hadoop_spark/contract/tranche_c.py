@@ -720,21 +720,33 @@ def q_orders_benford_profile(
             " AS STRING), 1) AS INT)"
         ).alias("first_digit")
     )
-    total = d.count()
+    # the total rides as a one-row broadcast cross join — exactly
+    # the oracle's ``n`` CTE — instead of an eager ``.count()``
+    # (r12 opt, the brand-affinity treatment: one action instead of
+    # a full extra orders pass per invocation; same IEEE division)
+    total = d.agg(
+        F.count(F.lit(1)).cast("double").alias("_total")
+    )
     benford = F.round(
         F.log(F.lit(1.0) + F.lit(1.0) / F.col("first_digit"))
         / F.log(F.lit(10.0)),
         6,
     )
-    return d.groupBy("first_digit").agg(
-        F.count(F.lit(1)).alias("observed"),
-        F.round(
-            F.count(F.lit(1)) / F.lit(float(total)), 6
-        ).alias("observed_share"),
-        benford.alias("benford_share"),
-        F.round(
-            F.count(F.lit(1)) / F.lit(float(total)) - benford, 6
-        ).alias("deviation"),
+    return (
+        d.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "first_digit",
+            "observed",
+            F.round(
+                F.col("observed") / F.col("_total"), 6
+            ).alias("observed_share"),
+            benford.alias("benford_share"),
+            F.round(
+                F.col("observed") / F.col("_total") - benford, 6
+            ).alias("deviation"),
+        )
     )
 
 
@@ -903,14 +915,20 @@ def q_doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     all_cnt = src_cnt.groupBy("tok").agg(
         F.sum("c").alias("c_all")
     )
-    n_all = float(
-        all_cnt.agg(F.sum("c_all")).collect()[0][0]
+    # the corpus token total rides as a one-row broadcast cross
+    # join — exactly the oracle's ``all_tot`` CTE — instead of an
+    # eager ``.collect()`` (r12 opt: the r11 shape recomputed the
+    # whole tokenize + two aggregations in a separate job before
+    # the real query, every invocation; same IEEE arithmetic)
+    all_tot = all_cnt.agg(
+        F.sum("c_all").cast("double").alias("_n_all")
     )
     p = F.col("c") / F.col("n")
-    q = F.col("c_all") / F.lit(n_all)
+    q = F.col("c_all") / F.col("_n_all")
     return (
         src_cnt.join(F.broadcast(src_tot), "source")
         .join(all_cnt, "tok")
+        .crossJoin(F.broadcast(all_tot))
         .groupBy("source", "n")
         .agg(
             F.round(F.sum(p * F.log(p / q)), 5).alias(
@@ -1126,26 +1144,34 @@ def q_corpus_token_budget_plan(
         .cast("bigint")
         .alias("n_tokens")
     )
-    total = float(src.agg(F.sum("n_tokens")).collect()[0][0])
-    share = F.lit(budget) * F.col("n_tokens") / F.lit(total)
-    alloc = src.select(
+    # both scalars — the token total and the floor-sum remainder —
+    # ride as one-row broadcast cross joins, exactly the oracle's
+    # ``tot`` / ``extra`` CTEs, instead of two eager ``.collect()``
+    # jobs that re-tokenized the corpus before the real query (r12
+    # opt, the brand-affinity treatment; integer-exact arithmetic
+    # and the same shared IEEE division either way)
+    total = src.agg(
+        F.sum("n_tokens").cast("double").alias("_total")
+    )
+    share = F.lit(budget) * F.col("n_tokens") / F.col("_total")
+    alloc = src.crossJoin(F.broadcast(total)).select(
         "source",
         "n_tokens",
         F.floor(share).cast("bigint").alias("base_alloc"),
         (share - F.floor(share)).alias("frac"),
     )
-    remainder = budget - alloc.agg(
-        F.sum("base_alloc")
-    ).collect()[0][0]
+    extra = alloc.agg(
+        (F.lit(budget) - F.sum("base_alloc")).alias("_rem")
+    )
     wr = Window.orderBy(F.col("frac").desc(), "source")
-    return alloc.select(
+    return alloc.crossJoin(F.broadcast(extra)).select(
         "source",
         "n_tokens",
         "base_alloc",
         (
             F.col("base_alloc")
             + F.when(
-                F.row_number().over(wr) <= F.lit(int(remainder)), 1
+                F.row_number().over(wr) <= F.col("_rem"), 1
             ).otherwise(0)
         )
         .cast("bigint")
@@ -1343,10 +1369,21 @@ def q_doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional DISTINCT collapses in the same two-phase aggregate.
     All counts integer-exact."""
     docs = load_docs_wide(spark, sf_dir)
-    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
-    bounds = spark.createDataFrame(
-        [(p, max_id * p // 10) for p in range(1, 11)],
-        "p int, doc_cut bigint",
+    # the 10-row checkpoint relation derives relationally from the
+    # max-id aggregate — exactly the oracle's ``bounds`` CTE —
+    # instead of an eager ``.collect()`` of max(doc_id) before the
+    # real query (r12 opt: one action per invocation; ``DIV`` is
+    # the same exact integer division Python's ``//`` performed on
+    # the collected value)
+    bounds = (
+        docs.agg(F.max("doc_id").alias("_mx"))
+        .crossJoin(
+            spark.range(1, 11).select(F.col("id").cast("int").alias("p"))
+        )
+        .select(
+            "p",
+            F.expr("_mx * p DIV 10").cast("bigint").alias("doc_cut"),
+        )
     )
     tk = docs.select(
         "doc_id", F.explode(_text.tokens("text")).alias("tok")

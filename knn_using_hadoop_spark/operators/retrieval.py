@@ -26,6 +26,8 @@ the plan.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -58,6 +60,75 @@ _MAX_PUSHED_KEYS = store.MAX_PUSHED_KEYS
 _push_set = store.push_set
 
 
+def _localize(
+    spark, df: DataFrame, cap: int = None
+) -> tuple[DataFrame, list | None]:
+    """Materialize a BOUNDED relation driver-side: ONE capped
+    collect (the same driver job its eager ``localCheckpoint``
+    predecessor paid), rebuilt as a ``createDataFrame`` relation —
+    bit-identical rows (collected doubles/longs/strings round-trip
+    exactly through py4j; no literal text rendering). Returns
+    ``(relation, rows)``; past the cap the r11 eager-checkpoint
+    shape returns unchanged with ``rows=None``.
+
+    Why (r12 opt, VERDICT r11 #1): the serving paths are
+    JOB-COUNT-bound, not compute-bound — profiled 29-43 jobs of
+    8-60 ms each per rm3/mlt batch, with a driver-only gap of
+    ~40-60 ms per job (AQE stage submission + replan). The bounded
+    intermediates (RM3's feedback scores, the RM3/MLT expanded term
+    weights) were eager localCheckpoints that every downstream
+    driver probe re-collected as ANOTHER job; with the rows already
+    on the driver, the follow-up probes (feedback-id dbuckets,
+    expanded-term buckets) evaluate through ``_probe_keys_local``
+    with ZERO jobs. Same scale judgment as the r11 probe
+    consolidation: these relations are query-batch-sized by
+    construction (|queries| x fb_terms-ish), never data-sized, and
+    serving-batch driver latency is serial at any cluster size
+    (guide section 5)."""
+    return store.localize_bounded(spark, df, cap)
+
+
+def _probe_keys_local(
+    spark, keys: list, dtype, n_buckets: int
+) -> list | None:
+    """Hash buckets for an in-hand key list, evaluated DRIVER-SIDE:
+    one parsed ``VALUES`` projection whose ``pmod(xxhash64(key), n)``
+    is the SAME JVM expression the distributed probes evaluate
+    (parity pinned in pytest) — Catalyst constant-folds a projection
+    over a LocalRelation (``ConvertToLocalRelation``), so the
+    collect launches ZERO Spark jobs (measured ~70-150 ms of parse
+    for 1.5-4k keys vs 2-4 jobs x ~65 ms for the distributed
+    shape). The key column is CAST to the relation's exact type
+    BEFORE hashing — xxhash64 is type-sensitive (an int key hashed
+    as bigint would probe the wrong bucket). Returns the bucket
+    list aligned with ``keys``, or None when a key is not exactly
+    renderable as a SQL literal (exotic types; strings containing
+    quotes/backslashes — the escapedStringLiterals hazard
+    ``index_store.in_set`` documents) — callers fall back to the
+    distributed probe, same results."""
+    if not keys:
+        return []  # empty probe: no buckets, like the collect shape
+    lits = []
+    for v in keys:
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, int):
+            lits.append(f"({v})")
+        elif isinstance(v, str):
+            if "'" in v or "\\" in v:
+                return None
+            lits.append(f"('{v}')")
+        else:
+            return None
+    ddl = dtype.simpleString()
+    sql = (
+        f"SELECT CAST(pmod(xxhash64(CAST(c0 AS {ddl})), "
+        f"{int(n_buckets)}) AS INT) AS b "
+        f"FROM VALUES {','.join(lits)} AS t(c0)"
+    )
+    return [r["b"] for r in spark.sql(sql).collect()]
+
+
 def _push_terms(df: DataFrame, terms: list | None) -> DataFrame:
     """Apply a bounded pushed-term predicate (no-op on None). The
     predicate is redundant with the broadcast term join that always
@@ -72,9 +143,18 @@ def _push_terms(df: DataFrame, terms: list | None) -> DataFrame:
     return df.filter(store.in_set("term", terms))
 
 
-def _term_probe(spark, qterms: DataFrame, n_buckets: int):
+def _term_probe(
+    spark, qterms: DataFrame, n_buckets: int, keys: list | None = None
+):
     """(qset, probed, pushed) for a query's distinct terms in ONE
     bounded driver fetch (r11 optimization round).
+
+    ``keys`` (r12 opt): when the caller ALREADY holds the distinct
+    term list (a localized bounded relation — RM3/MLT expanded
+    terms), the bucket set derives driver-side through
+    ``_probe_keys_local`` with zero Spark jobs; non-renderable keys
+    or over-cap lists fall through to the distributed probe below,
+    bit-identical.
 
     The r11 shape paid three driver jobs per store probe — an eager
     checkpoint of the (term, bucket) relation, a distinct-bucket
@@ -88,6 +168,12 @@ def _term_probe(spark, qterms: DataFrame, n_buckets: int):
     Over the cap (> MAX_PUSHED_KEYS distinct terms) the exact r11
     shape returns unchanged: eager-checkpointed qset, bucket collect,
     no pushed set, broadcast term join at every match site."""
+    if keys is not None and len(keys) <= _MAX_PUSHED_KEYS:
+        kb = _probe_keys_local(
+            spark, keys, qterms.schema["term"].dataType, n_buckets
+        )
+        if kb is not None:
+            return None, sorted(set(kb)), list(keys)
     rel = qterms.select("term").distinct().withColumn(
         "bucket",
         F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"),
@@ -380,9 +466,10 @@ def _rm3_weights(
     feedback docs' language models (``fb``: query_id, doc_id, _sw
     score-normalized; ``dlm``: doc_id, term, _ptd = P(t|d)), top
     ``fb_terms`` per query renormalized, interpolated with the
-    original query MLE model. Returns the eager-checkpointed
-    (query_id, term, w > 0) expanded-weights relation — bounded by
-    |queries| x (|query terms| + fb_terms), never data-sized."""
+    original query MLE model. Returns the LAZY (query_id, term,
+    w > 0) expanded-weights relation — bounded by |queries| x
+    (|query terms| + fb_terms), never data-sized; callers
+    materialize it once (``_localize`` on the serving path)."""
     rm1 = (
         fb.join(dlm, "doc_id")
         .groupBy("query_id", "term")
@@ -396,35 +483,39 @@ def _rm3_weights(
         .filter(F.col("_r") <= int(fb_terms))
         .select("query_id", "term", "_w")
     )
-    seln = (
-        sel.join(
-            sel.groupBy("query_id").agg(F.sum("_w").alias("_t")),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            "term",
-            (F.col("_w") / F.col("_t")).alias("w"),
-        )
+    # per-query total as a WINDOW sum over the partition the
+    # row-number window just established (r12 opt: the r11
+    # groupBy+join pair cost an extra aggregate + join stage per
+    # invocation). Identical doubles: the rows stream through both
+    # the old partial aggregate and this frame in the SAME
+    # (_w desc, term asc) sort order the wr window imposed, so the
+    # additions fold in the same sequence (oracle-verified).
+    seln = sel.select(
+        "query_id",
+        "term",
+        (
+            F.col("_w")
+            / F.sum("_w").over(Window.partitionBy("query_id"))
+        ).alias("w"),
     )
     # original query MLE model (duplicate tokens count)
     qm = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(tokens(F.col(query_text_col))).alias("term"),
     )
+    # the per-query token total is likewise a window sum over the
+    # (query_id, term) aggregate (r12 opt, -1 aggregate -1 join):
+    # exact-integer counts, summation order immaterial
     qmle = (
         qm.groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("_c"))
-        .join(
-            qm.groupBy("query_id").agg(
-                F.count(F.lit(1)).cast("double").alias("_n")
-            ),
-            "query_id",
-        )
         .select(
             "query_id",
             "term",
-            (F.col("_c") / F.col("_n")).alias("w"),
+            (
+                F.col("_c")
+                / F.sum("_c").over(Window.partitionBy("query_id"))
+            ).alias("w"),
         )
     )
     return (
@@ -447,7 +538,10 @@ def _rm3_weights(
         # zero-weight terms (alpha at 0 or 1) would match docs and
         # mint score-0 rows the ranking must not contain
         .filter(F.col("w") > 0)
-        .localCheckpoint(eager=True)  # |q| x (|terms| + fb_terms)
+        # LAZY (r12): each caller materializes — the serving path
+        # localizes (``_localize``) to reuse the collected term
+        # list for its zero-job store probe, the inline path just
+        # needs the bounded relation pinned
     )
 
 
@@ -612,9 +706,12 @@ def bm25_rm3_topk(
             (F.count(F.lit(1)) / F.first("dl")).alias("_ptd")
         )
     )
-    expanded = _rm3_weights(
-        fb, dlm, queries, fb_terms, alpha,
-        query_id_col, query_text_col,
+    expanded, _ = _localize(
+        queries.sparkSession,
+        _rm3_weights(
+            fb, dlm, queries, fb_terms, alpha,
+            query_id_col, query_text_col,
+        ),
     )
     # final pass: the bm25_topk single-scan shape over the expanded
     # term set (see its docstring for the head-row trick)
@@ -1111,27 +1208,99 @@ def delete_from_text_index(
     return n
 
 
+# Catalog-style statistics cache (r12 opt, VERDICT r11 #4 — the
+# stats twin of ``index_store._META_CACHE``): the one-row corpus
+# statistics fold was re-planned and re-executed INSIDE every
+# serving query (an n_buckets-row scan + aggregate — a broadcast
+# stage job per consumer, plus a separate gate collect on the
+# pruned exact path). The fold's RESULT is a catalog statistic
+# derived solely from ``<path>/stats``; cache the collected row
+# keyed on that directory's child-listing fingerprint (one
+# listStatus RPC validates it) and serve it as a one-row
+# LocalRelation — bit-identical values (a collected double
+# round-trips exactly), and any stats rewrite (build, append
+# fold, compact, delete) changes the fingerprint, so the next
+# query re-reads. Staleness pinned in tests/test_index_lifecycle.py.
+_STATS_CACHE: dict[str, tuple[tuple, list, T.StructType]] = {}
+
+
 def _read_stats(spark, path: str) -> DataFrame:
     """The one-row corpus statistics (n_docs, avgdl, sum_dl) of a
     text index, whatever the stats layout: the r9 bucketed store
-    holds per-bucket (n_docs, sum_dl) partials (summed here — an
-    n_buckets-row scan, never data-sized); a legacy store IS the one
-    row. Zero partials (a fully emptied store) read as (0, 0, 0)."""
-    st = spark.read.parquet(f"{path}/stats")
-    if "bucket" not in st.columns:
-        return st.select("n_docs", "avgdl", "sum_dl")
-    return st.agg(
-        F.coalesce(F.sum("n_docs"), F.lit(0.0)).alias("n_docs"),
-        F.coalesce(F.sum("sum_dl"), F.lit(0.0)).alias("sum_dl"),
-    ).select(
-        "n_docs",
-        F.when(
-            F.col("n_docs") > 0, F.col("sum_dl") / F.col("n_docs")
-        )
-        .otherwise(0.0)
-        .alias("avgdl"),
-        "sum_dl",
-    )
+    holds per-bucket (n_docs, sum_dl) partials (summed once per
+    store state — an n_buckets-row scan, never data-sized — then
+    served from the fingerprint-validated ``_STATS_CACHE``); a
+    legacy store IS the one row. Zero partials (a fully emptied
+    store) read as (0, 0, 0)."""
+    sdir = f"{path}/stats"
+    tok = store.dir_token(spark, sdir)
+    hit = _STATS_CACHE.get(sdir)
+    if hit is None or hit[0] != tok:
+        st = spark.read.parquet(sdir)
+        if "bucket" not in st.columns:
+            one = st.select("n_docs", "avgdl", "sum_dl")
+        else:
+            one = st.agg(
+                F.coalesce(F.sum("n_docs"), F.lit(0.0)).alias(
+                    "n_docs"
+                ),
+                F.coalesce(F.sum("sum_dl"), F.lit(0.0)).alias(
+                    "sum_dl"
+                ),
+            ).select(
+                "n_docs",
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.col("sum_dl") / F.col("n_docs"),
+                )
+                .otherwise(0.0)
+                .alias("avgdl"),
+                "sum_dl",
+            )
+        hit = (tok, one.collect(), one.schema)
+        _STATS_CACHE[sdir] = hit
+    return _one_row_rel(spark, hit[1], hit[2])
+
+
+def _one_row_rel(spark, rows: list, schema) -> DataFrame:
+    """A collected one-row relation rebuilt as a TRUE LocalRelation
+    (a SELECT of exact literals — ``repr(double)+'D'`` parses via
+    Double.parseDouble to the identical bits), so every consumer
+    plan embeds a LocalTableScan: broadcasting it launches no job
+    and collecting it (the prune gate) is driver-local. Falls back
+    to ``createDataFrame`` (a parallelized local relation — still
+    correct, one tiny job per consumer) for shapes the renderer
+    does not cover."""
+    if len(rows) == 1:
+        parts = []
+        for f in schema.fields:
+            v = rows[0][f.name]
+            if v is None:
+                parts.append(
+                    f"CAST(NULL AS {f.dataType.simpleString()})"
+                    f" AS `{f.name}`"
+                )
+            elif isinstance(f.dataType, T.DoubleType) and isinstance(
+                v, float
+            ) and math.isfinite(v):
+                parts.append(f"CAST({v!r}D AS DOUBLE) AS `{f.name}`")
+            elif isinstance(
+                f.dataType, (T.LongType, T.IntegerType)
+            ) and isinstance(v, int) and not isinstance(v, bool):
+                parts.append(
+                    f"CAST({v!r} AS {f.dataType.simpleString()})"
+                    f" AS `{f.name}`"
+                )
+            else:
+                parts = None
+                break
+        if parts is not None:
+            return spark.sql(
+                "SELECT "
+                + ", ".join(parts)
+                + " FROM VALUES (1) AS t(_one)"
+            )
+    return spark.createDataFrame(rows, schema)
 
 
 def _rewrite_stats(
@@ -2644,6 +2813,7 @@ def _index_match(
     doc_filter: Column | str | None = None,
     with_bounds: bool = False,
     md: dict | None = None,
+    keys: list | None = None,
 ):
     """(posts, dfreq, stats[, tb]) of a persisted text index for an
     arbitrary distinct-term relation ``tset`` (one ``term`` column)
@@ -2667,8 +2837,10 @@ def _index_match(
         md = _read_meta(spark, path)
     n_buckets = md["n_buckets"]
     n_blocks = md.get("n_blocks")
-    # one bounded driver fetch: probed buckets + pushed terms (r11)
-    qset, probed, pushed = _term_probe(spark, tset, n_buckets)
+    # one bounded driver fetch: probed buckets + pushed terms (r11);
+    # zero-job local derivation when the caller holds the term list
+    # (r12, ``keys`` — see _term_probe)
+    qset, probed, pushed = _term_probe(spark, tset, n_buckets, keys=keys)
     seg = store.read_segments(spark, f"{path}/postings_seg")
     members = spark.read.parquet(f"{path}/postings")
     if seg is not None:
@@ -2796,6 +2968,7 @@ def _fetch_doc_vectors(
     ids: DataFrame,
     seg: DataFrame | None,
     md: dict | None = None,
+    id_list: list | None = None,
 ) -> DataFrame:
     """(doc_id, term, tf, dl) forward rows for a bounded id set —
     the doc-keyed access path of a persisted text index (r10).
@@ -2809,26 +2982,54 @@ def _fetch_doc_vectors(
     O(delta)). A legacy store without docvecs falls back to the
     full postings scan it predates (O(store) — its first compact
     migrates it). Crash-window duplicates (same row in base and a
-    not-yet-removed segment) are (doc_id, term)-deduped."""
+    not-yet-removed segment) are (doc_id, term)-deduped.
+
+    ``id_list`` (r12 opt): a caller that ALREADY holds the distinct
+    id list (RM3's localized feedback relation; a Python-list
+    ``doc_vectors`` input) passes it so the (id, dbucket) probe
+    evaluates driver-side (``_probe_keys_local``) with zero Spark
+    jobs — and, because ``ids`` is then a materialized local
+    relation, the pushed predicate and the segment-branch join see
+    ONE pinned id set even for nondeterministic upstream inputs
+    (r11 ADVICE #3). Non-renderable ids fall through to the
+    distributed probe, bit-identical."""
     if _has_docvecs(spark, path):
         if md is None:
             md = _read_meta(spark, path)
         n_buckets = int(md["n_buckets"])
-        # ONE bounded driver fetch (r11 opt): (doc_id, dbucket)
-        # pairs collected together — the dbucket partition filter
-        # and the pushed id predicate both derive from it (the r11
-        # shape paid two collects plus a meta re-read per fetch)
-        id_rows = (
-            ids.select(
-                "doc_id",
-                F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
-                .cast("int")
-                .alias("_db"),
+        kb = None
+        if (
+            id_list is not None
+            and len(id_list) <= _MAX_PUSHED_KEYS
+        ):
+            kb = _probe_keys_local(
+                spark,
+                id_list,
+                ids.schema["doc_id"].dataType,
+                n_buckets,
             )
-            .distinct()
-            .limit(_MAX_PUSHED_KEYS + 1)
-            .collect()
-        )
+            if kb is not None:
+                id_rows = [
+                    {"doc_id": i, "_db": b}
+                    for i, b in zip(id_list, kb)
+                ]
+        if kb is None:
+            # ONE bounded driver fetch (r11 opt): (doc_id, dbucket)
+            # pairs collected together — the dbucket partition
+            # filter and the pushed id predicate both derive from
+            # it (the r11 shape paid two collects plus a meta
+            # re-read per fetch)
+            id_rows = (
+                ids.select(
+                    "doc_id",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets))
+                    .cast("int")
+                    .alias("_db"),
+                )
+                .distinct()
+                .limit(_MAX_PUSHED_KEYS + 1)
+                .collect()
+            )
         if len(id_rows) > _MAX_PUSHED_KEYS:
             dbuckets = sorted(
                 {
@@ -2906,22 +3107,32 @@ def doc_vectors(
     no term vector). ``md``: optional pre-read store meta
     (an internal pass-through for callers that probe the store
     several times per invocation — e.g. ``more_like_this``)."""
+    id_list = None
     if isinstance(ids, DataFrame):
         idf = ids.select(F.col(id_col).alias("doc_id")).distinct()
     else:
         vt = spark.read.parquet(f"{path}/postings").schema[
             "doc_id"
         ].dataType
+        # a Python-list input IS the distinct id set — hand it to
+        # the fetch so its (id, dbucket) probe evaluates driver-side
+        # with zero jobs (r12 opt, _probe_keys_local)
+        try:
+            id_list = sorted(set(ids))
+        except TypeError:  # unsortable mix: keep the r11 shape
+            id_list = list(set(ids))
         idf = spark.createDataFrame(
-            [(i,) for i in ids],
+            [(i,) for i in id_list],
             T.StructType([T.StructField("doc_id", vt)]),
-        ).distinct()
+        )
     # no eager checkpoint of the id relation (r11 opt): the fetch
     # collects the bounded (id, dbucket) probe once, and the only
     # other consumer (the segment union branch) re-derives the ids
     # lazily — a driver job per call saved
     seg = store.read_segments(spark, f"{path}/postings_seg")
-    rows = _fetch_doc_vectors(spark, path, idf, seg, md=md)
+    rows = _fetch_doc_vectors(
+        spark, path, idf, seg, md=md, id_list=id_list
+    )
     return store.mask_tombstones(
         spark, f"{path}/tombstones", rows, "doc_id"
     )
@@ -3019,32 +3230,77 @@ def query_text_index_rm3(
             "doc_id",
             (F.col("_s") / F.col("_t")).alias("_sw"),
         )
-        .localCheckpoint(eager=True)  # |queries| x fb_docs rows
     )
-    # fb_ids stays a lazy view of the CHECKPOINTED fb (r11 opt: its
-    # own eager checkpoint was a redundant driver job — every
-    # consumer re-derives it from fb's pinned blocks for free)
-    fb_ids = fb.select("doc_id").distinct()
+    # the feedback relation is |queries| x fb_docs rows — localize
+    # it (r12 opt, see _localize): the collected rows drive a
+    # ZERO-JOB (id, dbucket) probe for the doc-vector fetch below,
+    # and the materialized id relation pins determinism for the
+    # fetch's two consumers (r11 ADVICE #3)
+    fb, fb_rows = _localize(spark, fb)
     md = _read_meta(spark, path)  # shared by the fetch + final pass
     seg = store.read_segments(spark, f"{path}/postings_seg")
-    dlm = _fetch_doc_vectors(spark, path, fb_ids, seg, md=md)
+    if fb_rows is not None:
+        id_list = sorted({r["doc_id"] for r in fb_rows})
+    else:  # over-cap fallback: the r11 lazy-view shape, unchanged
+        id_list = None
+    # lazy view of the MATERIALIZED fb — only ever evaluated by the
+    # fetch's segment/legacy branches (the pushed-id fast path never
+    # executes it), and deterministic because fb is materialized
+    fb_ids = fb.select("doc_id").distinct()
+    dlm = _fetch_doc_vectors(
+        spark, path, fb_ids, seg, md=md, id_list=id_list
+    )
     dlm = dlm.select(
         "doc_id",
         "term",
         (F.col("tf") / F.col("dl")).alias("_ptd"),
     )
-    expanded = _rm3_weights(
-        fb, dlm, queries, fb_terms, alpha,
-        query_id_col, query_text_col,
+    # the expanded weights are |q| x (|terms| + fb_terms) rows —
+    # localized (r12 opt) so the final pass's term probe evaluates
+    # driver-side with zero jobs (``keys`` below)
+    expanded, exp_rows = _localize(
+        spark,
+        _rm3_weights(
+            fb, dlm, queries, fb_terms, alpha,
+            query_id_col, query_text_col,
+        ),
     )
-    posts, dfreq, stats, tb, tbb, n_blocks = _index_match(
+    exp_terms = (
+        sorted({r["term"] for r in exp_rows})
+        if exp_rows is not None
+        else None
+    )
+    # WEIGHTED max-score pruning of the final pass (same machinery,
+    # w folded into every bound — see _maxscore_candidates): the
+    # expanded disjunction is wider than the original query (|q| +
+    # fb_terms, feedback terms often common), so this is where the
+    # exact path's pair volume lives. Same auto gate as the plain
+    # path; prune=True forces, prune=False disables (both passes).
+    # Decided BEFORE the store match (r12): with_bounds only pays
+    # when the pruner will consume the tb/tbb bound relations —
+    # and the stats gate read is served from the fingerprint-
+    # validated stats cache (_read_stats), not a per-query job.
+    prune_final = (prune is True) or (
+        prune is None
+        and max_df is None  # guarded queries keep the plain plan
+        and float(
+            _read_stats(spark, path).collect()[0]["n_docs"] or 0
+        )
+        >= 100_000
+    )
+    im = _index_match(
         spark,
         path,
         expanded.select("term"),
         doc_filter,
-        with_bounds=True,
+        with_bounds=prune_final,
         md=md,
+        keys=exp_terms,
     )
+    if prune_final:
+        posts, dfreq, stats, tb, tbb, n_blocks = im
+    else:
+        posts, dfreq, stats = im
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= float(max_df))
     idf = F.log(
@@ -3060,20 +3316,6 @@ def query_text_index_rm3(
             F.col("tf")
             + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
         )
-    )
-    # WEIGHTED max-score pruning of the final pass (same machinery,
-    # w folded into every bound — see _maxscore_candidates): the
-    # expanded disjunction is wider than the original query (|q| +
-    # fb_terms, feedback terms often common), so this is where the
-    # exact path's pair volume lives. Same auto gate as the plain
-    # path; prune=True forces, prune=False disables (both passes).
-    prune_final = (prune is True) or (
-        prune is None
-        and max_df is None  # guarded queries keep the plain plan
-        and float(
-            _read_stats(spark, path).collect()[0]["n_docs"] or 0
-        )
-        >= 100_000
     )
     pair_w = expanded.join(dfreq, "term")
     if prune_final:
@@ -3216,7 +3458,10 @@ def more_like_this(
     wsel = Window.partitionBy("query_id").orderBy(
         F.col("w").desc(), F.col("term").asc()
     )
-    expanded = (
+    # |ids| x max_query_terms rows — localized (r12 opt) so the
+    # match probe below evaluates driver-side with zero jobs
+    expanded, exp_rows = _localize(
+        spark,
         tv.join(dfreq0, "term")
         .crossJoin(F.broadcast(stats0.select("n_docs")))
         .select(
@@ -3227,17 +3472,30 @@ def more_like_this(
         .filter(F.col("w") > 0)
         .withColumn("_r", F.row_number().over(wsel))
         .filter(F.col("_r") <= int(max_query_terms))
-        .select("query_id", "term", "w")
-        .localCheckpoint(eager=True)  # |ids| x max_query_terms
+        .select("query_id", "term", "w"),
     )
-    posts, dfreq, stats, tb, tbb, n_blocks = _index_match(
+    exp_terms = (
+        sorted({r["term"] for r in exp_rows})
+        if exp_rows is not None
+        else None
+    )
+    # with_bounds only when the pruner will consume tb/tbb (r12 —
+    # prune defaults OFF for MLT, see docstring): the bound
+    # relations' plan construction and blocks-store listing were
+    # pure overhead on the default path
+    im = _index_match(
         spark,
         path,
         expanded.select("term"),
         doc_filter,
-        with_bounds=True,
+        with_bounds=(prune is True),
         md=md,
+        keys=exp_terms,
     )
+    if prune is True:
+        posts, dfreq, stats, tb, tbb, n_blocks = im
+    else:
+        posts, dfreq, stats = im
     contrib = (
         F.col("w")
         * idf

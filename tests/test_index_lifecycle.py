@@ -890,3 +890,76 @@ def test_in_set_matches_isin_semantics(spark):
         df.filter(in_set("id", [1, "2"])).count()
         == df.filter(F.col("id").isin([1, "2"])).count()
     )
+    # non-finite floats (r11 verdict #1): repr() would render bare
+    # nan/inf identifiers the parser resolves as columns — in_set
+    # must fall back to isin and select the same rows, not raise
+    nan, inf = float("nan"), float("inf")
+    for vals in ([nan, 1.5], [inf, 2.5], [-inf]):
+        got = sorted(
+            r["v"] for r in fdf.filter(in_set("v", vals)).collect()
+        )
+        want = sorted(
+            r["v"]
+            for r in fdf.filter(F.col("v").isin(vals)).collect()
+        )
+        assert got == want
+    # escapedStringLiterals=true (r11 ADVICE #1): rendered \\ / \'
+    # escapes would silently select different strings — in_set must
+    # keep isin semantics under either parser mode
+    key = "spark.sql.parser.escapedStringLiterals"
+    old = spark.conf.get(key, "false")
+    try:
+        spark.conf.set(key, "true")
+        got = sorted(
+            r["id"]
+            for r in df.filter(in_set("s", svals)).collect()
+        )
+        assert got == [1, 2]
+        # escape-free strings still render through the parser
+        assert df.filter(in_set("s", ["plain"])).count() == 1
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_meta_and_stats_cache_staleness(spark, tmp_path):
+    """r12-opt pin (VERDICT r11 #4): the driver-side meta/stats
+    catalog caches are keyed on the directory's child-listing
+    fingerprint, so a store REBUILD (or any maintenance rewrite) at
+    the same path must be visible to the very next read — a stale
+    n_buckets would mis-bucket every probe, a stale n_docs would
+    mis-score every query."""
+    from knn_using_hadoop_spark.operators.retrieval import (
+        _read_meta,
+        _read_stats,
+        build_text_index,
+        compact_text_index,
+        delete_from_text_index,
+    )
+
+    path = str(tmp_path / "meta_cache_store")
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{i % 3} common") for i in range(40)],
+        "doc_id long, text string",
+    )
+    build_text_index(docs, path, n_buckets=8)
+    assert _read_meta(spark, path)["n_buckets"] == 8
+    s0 = _read_stats(spark, path).collect()[0]
+    assert float(s0["n_docs"]) == 40.0
+    # cache warm: a second read serves the same values
+    assert _read_meta(spark, path)["n_buckets"] == 8
+    # rebuild with different parameters and corpus at the SAME path
+    build_text_index(
+        docs.filter(F.col("doc_id") < 25), path, n_buckets=4
+    )
+    assert _read_meta(spark, path)["n_buckets"] == 4
+    s1 = _read_stats(spark, path).collect()[0]
+    assert float(s1["n_docs"]) == 25.0
+    # maintenance rewrite (delete + compact folds the stats store)
+    delete_from_text_index(spark, path, where="doc_id < 5")
+    compact_text_index(spark, path)
+    s2 = _read_stats(spark, path).collect()[0]
+    assert float(s2["n_docs"]) == 20.0
+    # mutating the returned meta dict must not poison the cache
+    md = _read_meta(spark, path)
+    md["n_buckets"] = 999
+    assert _read_meta(spark, path)["n_buckets"] == 4

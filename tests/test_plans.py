@@ -168,6 +168,23 @@ def test_brand_affinity_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     assert "BroadcastHashJoin" in plan
+    # r12 (VERDICT r11 #3): pin the SPECIFIC allowed shape — the
+    # sole BNLJ must be the broadcast (BuildRight) cross of the
+    # one-row global order-count aggregate, so a future edit that
+    # degenerates a REAL join into a BNLJ fails here even if the
+    # count-attach disappears
+    if "BroadcastNestedLoopJoin" in plan:
+        bnlj_line = next(
+            ln
+            for ln in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln
+        )
+        assert "BuildRight" in bnlj_line and "Cross" in bnlj_line
+        assert (
+            "functions=[count(distinct l_orderkey" in plan
+            and "keys=[], functions=[count(distinct l_orderkey"
+            in plan
+        )
 
 
 def test_moving_median_single_user_exchange(spark):

@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r11",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12"),
 )
 
 
